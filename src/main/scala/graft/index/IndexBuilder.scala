@@ -1,0 +1,313 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.search.{BM25, Bm25Params}
+
+/** Flat posting row between tokenize and block packing. */
+final case class Posting(termId: Long, docId: Long, tf: Long, dl: Long)
+
+/** Per-document tokenize output (stage 0): identity + lineage + per-term
+  * frequencies. Stored columnar so downstream stages read only the columns
+  * they need (docs stage never touches `terms`; tf stage never touches
+  * `sha256`). */
+final case class DocTf(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    sha256: String,
+    dl: Long,
+    terms: Array[TermTf])
+final case class TermTf(term: String, tf: Long)
+
+/** Staged, resumable inverted-index build.
+  *
+  * This is the engine-side re-expression of the reference's whole load path
+  * (`SeqrVCFToMTTask` → `SeqrMTToESTask`, `luigi_pipeline/seqr_loading.py:114-148,249-313`):
+  * scan corpus → analyze → stats → dictionary-encode terms → shuffle once on
+  * the minimal `(termId, docId, tf, dl)` projection → pack sorted
+  * delta+varint blocks → publish atomically. Stage boundaries are
+  * materialized with checkpoint manifests (the Luigi `_SUCCESS` /
+  * `_EXPORTED_TO_ES` marker pattern, `luigi_pipeline/lib/hail_tasks.py:70-74`),
+  * so a killed build resumes, skipping completed stages/buckets, and
+  * produces a logically identical index (tested): same docs, dictionary,
+  * postings, stats and bit-identical query results. Physical block cut
+  * points may differ run-to-run (they follow read-split geometry), which is
+  * invisible to queries — cursors order blocks by firstDoc.
+  *
+  * Scale design (100 TB / 10^12 files):
+  *  - `content` is scanned and tokenized exactly ONCE (stage 0); everything
+  *    after operates on the much smaller (identity, term, tf) projection.
+  *    No shuffle ever moves `content`;
+  *  - the wide shuffles are: docId range-sort (identity cols only), the
+  *    tf explode+join (tf rows only), the term groupBy, and the final
+  *    `repartitionByRange(termId, docId)` — each on a minimal projection;
+  *  - stop-term skew cannot overload a task: range partitioning on the
+  *    composite `(termId, docId)` key splits a hot term's postings across
+  *    partitions (the sampled range bounds see the skew), and the packer is
+  *    streaming (O(blockSize) memory), so a run of any length packs fine —
+  *    this subsumes manual salting while keeping block-max bounds exact
+  *    (the reference needed `use_new_shuffle` for the same class of problem:
+  *    `luigi_pipeline/seqr_loading.py:115`);
+  *  - blocks never span a shard (shard = docId / docsPerShard), so
+  *    query-time WAND parallelizes per shard like ES shards
+  *    (`luigi_pipeline/lib/hail_tasks.py:274-278`);
+  *  - `buildBuckets` termId-range buckets give per-partition resume
+  *    granularity with lineage + term/posting counts in each manifest.
+  */
+class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
+  import spark.implicits._
+
+  private val p = Bm25Params(cfg.k1, cfg.b)
+
+  private def manifestPath(dir: String) = s"$dir/_manifest.json"
+
+  private def loadIfDone(dir: String, lineage: Long): Option[StageManifest] =
+    if (!Json.exists(manifestPath(dir))) None
+    else {
+      val m = Json.read(manifestPath(dir), classOf[StageManifest])
+      if (m.configHash == cfg.configHash && (lineage == 0L || m.lineage == lineage)) Some(m)
+      else None
+    }
+
+  /** Build (or resume) the index for `corpus` into `indexDir`.
+    * `corpus` must have columns (repo, path, commit, lang, content).
+    *
+    * `killAfterStage` simulates a mid-build crash for the resume-equivalence
+    * test (SURVEY.md §5 mode 2): the build throws [[BuildKilled]] right
+    * after completing stage N (0=doctf, 1=docs, 2=tf, 3=terms, 4=postings,
+    * 5+b = block bucket b). A subsequent `build(resume = true)` must produce
+    * an index logically identical to an uninterrupted fresh build. */
+  def build(
+      corpus: DataFrame,
+      indexDir: String,
+      resume: Boolean = true,
+      killAfterStage: Int = Int.MaxValue): IndexMeta = {
+    def kill(n: Int): Unit =
+      if (n >= killAfterStage) throw new IndexBuilder.BuildKilled(n)
+    val staging = indexDir + ".staging"
+    if (!resume) Json.deleteRecursively(staging)
+    Json.deleteRecursively(indexDir)
+
+    // ---- stage 0: single tokenize pass over content → columnar doc/tf rows
+    val doctfDir = s"$staging/_doctf"
+    if (loadIfDone(doctfDir, 0L).isEmpty) {
+      val doctf = corpus
+        .select("repo", "path", "commit", "lang", "content")
+        .as[(String, String, String, String, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          it.map { case (repo, path, commit, lang, content) =>
+            val toks = Analyzer.tokenize(content)
+            val tfMap = new java.util.HashMap[String, Long]()
+            var i = 0
+            while (i < toks.length) {
+              tfMap.merge(toks(i), 1L, (a, b) => a + b)
+              i += 1
+            }
+            val terms = new Array[TermTf](tfMap.size)
+            val eit = tfMap.entrySet().iterator()
+            var j = 0
+            while (eit.hasNext) {
+              val e = eit.next()
+              terms(j) = TermTf(e.getKey, e.getValue)
+              j += 1
+            }
+            md.reset()
+            val sha = md.digest(content.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+            DocTf(repo, path, commit, lang, sha, toks.length.toLong, terms)
+          }
+        }
+      doctf.write.mode("overwrite").parquet(doctfDir)
+      Json.write(manifestPath(doctfDir),
+        StageManifest("doctf", 0L, 0L, 0L, 0L, cfg.configHash))
+    }
+    kill(0)
+
+    // ---- stage 1: docs (identity, sha256 lineage, doc length, dense docId)
+    val docsDir = s"$staging/docs"
+    val docsManifest = loadIfDone(docsDir, 0L).getOrElse {
+      val withStats = spark.read.parquet(doctfDir)
+        .select("repo", "path", "commit", "lang", "sha256", "dl")
+      val ided = DenseIds.assign(withStats, Seq("repo", "path", "commit"), "docId", cfg.buildPartitions)
+      ided.df
+        .select("docId", "repo", "path", "commit", "lang", "sha256", "dl")
+        .write.mode("overwrite").parquet(docsDir)
+      ided.release()
+      val row = spark.read.parquet(docsDir)
+        .agg(count("*").as("n"), sum("dl").as("sumDl"),
+          expr("bit_xor(xxhash64(sha256))").as("lineage"))
+        .head()
+      val m = StageManifest("docs", row.getAs[Long]("n"), 0L, row.getAs[Long]("sumDl"),
+        row.getAs[Long]("lineage"), cfg.configHash)
+      Json.write(manifestPath(docsDir), m)
+      m
+    }
+    kill(1)
+    val numDocs = docsManifest.rows
+    val sumDl = docsManifest.postings // sumDl carried in `postings` slot for the docs stage
+    val lineage = docsManifest.lineage
+    val avgdl = sumDl.toDouble / numDocs.toDouble
+    val docs = spark.read.parquet(docsDir)
+
+    // ---- stage 2: term frequencies (term, docId, tf, dl) — tf rows only,
+    // joined to docs on identity (sort-merge on the small projections; the
+    // 100 TB content column never reaches this shuffle)
+    val tfDir = s"$staging/_tf"
+    val tfManifest = loadIfDone(tfDir, lineage).getOrElse {
+      val tf = spark.read.parquet(doctfDir)
+        .select(col("repo"), col("path"), col("commit"), explode(col("terms")).as("t"))
+        .select(col("repo"), col("path"), col("commit"),
+          col("t.term").as("term"), col("t.tf").as("tf"))
+        .join(docs.select("repo", "path", "commit", "docId", "dl"), Seq("repo", "path", "commit"))
+        .select("term", "docId", "tf", "dl")
+      tf.write.mode("overwrite").parquet(tfDir)
+      val row = spark.read.parquet(tfDir).agg(count("*").as("n")).head()
+      val m = StageManifest("tf", row.getAs[Long]("n"), 0L, row.getAs[Long]("n"), lineage, cfg.configHash)
+      Json.write(manifestPath(tfDir), m)
+      m
+    }
+    kill(2)
+    val numPostings = tfManifest.postings
+
+    // ---- stage 3: term dictionary with dense termId (ascending term order)
+    val termsDir = s"$staging/terms"
+    val termsManifest = loadIfDone(termsDir, lineage).getOrElse {
+      val stats = spark.read.parquet(tfDir)
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      val ided = DenseIds.assign(stats, Seq("term"), "termId", cfg.buildPartitions)
+      ided.df.select("termId", "term", "df", "cf").write.mode("overwrite").parquet(termsDir)
+      ided.release()
+      val n = spark.read.parquet(termsDir).count()
+      val m = StageManifest("terms", n, n, 0L, lineage, cfg.configHash)
+      Json.write(manifestPath(termsDir), m)
+      m
+    }
+    kill(3)
+    val numTerms = termsManifest.terms
+
+    // ---- stage 4: flat postings keyed by dense termId, range-laid-out
+    val postingsDir = s"$staging/_postings"
+    loadIfDone(postingsDir, lineage).getOrElse {
+      val terms = spark.read.parquet(termsDir).select("term", "termId")
+      spark.read.parquet(tfDir)
+        .join(terms, Seq("term"))
+        .select("termId", "docId", "tf", "dl")
+        .repartitionByRange(cfg.buildPartitions, col("termId"), col("docId"))
+        .sortWithinPartitions("termId", "docId")
+        .write.mode("overwrite").parquet(postingsDir)
+      val m = StageManifest("postings", numPostings, numTerms, numPostings, lineage, cfg.configHash)
+      Json.write(manifestPath(postingsDir), m)
+      m
+    }
+
+    kill(4)
+    // ---- stage 5: delta+varint posting blocks, built per termId-range bucket
+    val blocksDir = s"$staging/blocks"
+    val bucketWidth = math.max(1L, (numTerms + cfg.buildBuckets - 1) / cfg.buildBuckets)
+    var numBlocks = 0L
+    (0 until cfg.buildBuckets).foreach { b =>
+      val lo = b * bucketWidth
+      val hi = if (b == cfg.buildBuckets - 1) Long.MaxValue else (b + 1) * bucketWidth
+      val bDir = f"$blocksDir/bucket=$b%04d"
+      val m = loadIfDone(bDir, lineage).getOrElse {
+        val part = spark.read.parquet(postingsDir)
+          .filter(col("termId") >= lo && col("termId") < hi)
+          .as[Posting]
+        // bind to locals so the closure captures serializable values, not `this`
+        val (bs, dps, params) = (cfg.blockSize, cfg.docsPerShard, p)
+        val packFn: Iterator[Posting] => Iterator[PostingBlock] =
+          IndexBuilder.packBlocks(bs, dps, params, avgdl)
+        val blocks = part.mapPartitions(packFn)
+        blocks.write.mode("overwrite").parquet(bDir)
+        val row = spark.read.parquet(bDir)
+          .agg(count(lit(1)).as("blocks"),
+            coalesce(sum("n"), lit(0L)).as("postings"),
+            countDistinct("termId").as("terms"))
+          .head()
+        val mm = StageManifest(s"blocks/$b", row.getAs[Long]("blocks"),
+          row.getAs[Long]("terms"), row.getAs[Long]("postings"), lineage, cfg.configHash)
+        Json.write(manifestPath(bDir), mm)
+        mm
+      }
+      numBlocks += m.rows
+      kill(5 + b)
+    }
+
+    // ---- stage 6: metadata + atomic publish (build-then-publish, the
+    // reference's refresh_interval=-1 → forcemerge → route-off pattern)
+    val meta = IndexMeta(numDocs, sumDl, numTerms, numPostings, numBlocks,
+      Analyzer.Version, cfg.k1, cfg.b, cfg.blockSize, cfg.docsPerShard, lineage, cfg.configHash)
+    Json.write(s"$staging/meta.json", meta)
+    Json.deleteRecursively(doctfDir)
+    Json.deleteRecursively(tfDir)
+    Json.deleteRecursively(postingsDir)
+    Json.atomicMove(staging, indexDir)
+    meta
+  }
+
+}
+
+object IndexBuilder {
+  /** Thrown by the test-only kill switch in [[IndexBuilder.build]]. */
+  final class BuildKilled(stage: Int) extends RuntimeException(s"killed after stage $stage")
+
+  /** Streaming block packer: consecutive rows that share (termId, shard) are
+    * cut into blocks of ≤ blockSize; O(blockSize) memory regardless of how
+    * long a hot term's run is. Input partitions hold disjoint
+    * (termId, docId) ranges, so emitted blocks never overlap. */
+  def packBlocks(blockSize: Int, docsPerShard: Long, p: Bm25Params, avgdl: Double)(it: Iterator[Posting]): Iterator[PostingBlock] =
+    new Iterator[PostingBlock] {
+      private val docBuf = new Array[Long](blockSize)
+      private val tfBuf = new Array[Long](blockSize)
+      private val dlBuf = new Array[Long](blockSize)
+      private var n = 0
+      private var curTerm = -1L
+      private var curShard = -1L
+      private var pending: PostingBlock = _
+
+      private def flush(): PostingBlock = {
+        val maxTfn = {
+          var m = 0.0
+          var i = 0
+          while (i < n) {
+            val t = BM25.tfNorm(tfBuf(i), dlBuf(i), avgdl, p)
+            if (t > m) m = t
+            i += 1
+          }
+          BM25.upperBoundFloat(m)
+        }
+        val blk = PostingBlock(curShard, curTerm, docBuf(0), docBuf(n - 1), n,
+          Codec.encodeDeltas(java.util.Arrays.copyOf(docBuf, n)),
+          Codec.encode(java.util.Arrays.copyOf(tfBuf, n)),
+          Codec.encode(java.util.Arrays.copyOf(dlBuf, n)),
+          maxTfn)
+        n = 0
+        blk
+      }
+
+      private def advance(): Unit = {
+        while (pending == null && it.hasNext) {
+          val r = it.next()
+          val shard = r.docId / docsPerShard
+          if (n > 0 && (r.termId != curTerm || shard != curShard || n == blockSize)) {
+            pending = flush()
+          }
+          curTerm = r.termId
+          curShard = shard
+          docBuf(n) = r.docId; tfBuf(n) = r.tf; dlBuf(n) = r.dl; n += 1
+        }
+        if (pending == null && n > 0 && !it.hasNext) pending = flush()
+      }
+
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): PostingBlock = {
+        advance()
+        val r = pending; pending = null; r
+      }
+    }
+}

@@ -1,0 +1,43 @@
+package graft.index
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Tiny JSON + filesystem helpers for index metadata and checkpoint
+  * manifests (Jackson ships with Spark; local FS is the sandbox stand-in
+  * for the object store the reference writes markers to). */
+object Json {
+  private val mapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m
+  }
+
+  def write[T](path: String, value: T): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    // write-then-rename so a manifest is never observed half-written
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter.writeValueAsString(value))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def read[T](path: String, clazz: Class[T]): T =
+    mapper.readValue(Files.readString(Paths.get(path)), clazz)
+
+  def exists(path: String): Boolean = Files.exists(Paths.get(path))
+
+  def deleteRecursively(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
+  def atomicMove(from: String, to: String): Unit = {
+    deleteRecursively(to)
+    Files.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.index
+
+/** On-disk index data model.
+  *
+  * The index replaces the reference's Elasticsearch sink (reference:
+  * `hail_scripts/elasticsearch/hail_elasticsearch_client.py:97-199` bulk
+  * export; `elasticsearch_client_v7.py:47-105` index DDL): instead of
+  * shipping rows to ES and letting Lucene build postings, we build the
+  * postings ourselves as Datasets stored columnar (Parquet locally; the
+  * writer is format-pluggable for Iceberg in production).
+  *
+  * Layout under `indexDir/`:
+  *   - `docs/`   — one row per document: identity, lineage sha256, length
+  *   - `terms/`  — term dictionary with dense termId + collection stats
+  *   - `blocks/` — delta+varint posting blocks (≤ blockSize docs each),
+  *                 term-major, never spanning a shard boundary
+  *   - `meta.json` — corpus stats + config + lineage (the reference's
+  *                 globals→`_meta` path: `hail_elasticsearch_client.py:177-181`)
+  */
+final case class IndexConfig(
+    buildPartitions: Int = 32,
+    /** docs per shard; shard = docId / docsPerShard. A shard is the unit of
+      * query-time parallelism (the ES shard analogue — sizing rule in the
+      * reference: `luigi_pipeline/lib/hail_tasks.py:274-278`). */
+    docsPerShard: Long = 1L << 16,
+    blockSize: Int = 128,
+    k1: Double = 1.2,
+    b: Double = 0.75,
+    /** resume granularity for the posting-build stage (termId-range buckets,
+      * the Luigi-task-marker analogue: `luigi_pipeline/lib/hail_tasks.py:70-74`) */
+    buildBuckets: Int = 4) {
+
+  /** Stable fingerprint of everything that affects index bytes; a stage
+    * checkpoint from a different config must never be resumed. */
+  def configHash: String = {
+    val s = s"${graft.analysis.Analyzer.Version}|$docsPerShard|$blockSize|$k1|$b"
+    java.lang.Long.toHexString(
+      s.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
+  }
+}
+
+/** One row per indexed document (identity + lineage, no content). */
+final case class DocEntry(
+    docId: Long,
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    sha256: String,
+    dl: Long)
+
+/** Term dictionary entry: dense termId assigned by global term sort order
+  * (so ascending termId == ascending lexicographic term — the dictionary-
+  * encoding pattern of the reference: `hail_scripts/reference_data/combine.py:63-86`). */
+final case class TermStat(termId: Long, term: String, df: Long, cf: Long)
+
+/** A posting block: ≤ blockSize (docId, tf, dl) triples for one term within
+  * one shard. docIds are delta+varint encoded; tf/dl plain varint. maxTfn is
+  * an admissible (rounded-up) upper bound on the BM25 tf-normalization of
+  * any posting in the block — the block-max metadata WAND skips with. */
+final case class PostingBlock(
+    shard: Long,
+    termId: Long,
+    firstDoc: Long,
+    lastDoc: Long,
+    n: Int,
+    docs: Array[Byte],
+    tfs: Array[Byte],
+    dls: Array[Byte],
+    maxTfn: Float) {
+
+  def docIds: Array[Long] = Codec.decodeDeltas(docs, n)
+  def tfValues: Array[Long] = Codec.decode(tfs, n)
+  def dlValues: Array[Long] = Codec.decode(dls, n)
+}
+
+/** Index-level metadata (the `_meta` / globals analogue). */
+final case class IndexMeta(
+    numDocs: Long,
+    sumDl: Long,
+    numTerms: Long,
+    numPostings: Long,
+    numBlocks: Long,
+    analyzer: String,
+    k1: Double,
+    b: Double,
+    blockSize: Int,
+    docsPerShard: Long,
+    /** xor of xxhash64(sha256(content)) over all docs — order-independent
+      * corpus fingerprint, re-verified against the source (the validation
+      * semi-join analogue: `luigi_pipeline/lib/hail_tasks.py:96-120`). */
+    lineage: Long,
+    configHash: String) {
+  def avgdl: Double = sumDl.toDouble / numDocs.toDouble
+}
+
+/** Per-stage / per-bucket checkpoint manifest (the `_SUCCESS` marker
+  * analogue, enriched with counts + lineage per the north rule). */
+final case class StageManifest(
+    stage: String,
+    rows: Long,
+    terms: Long,
+    postings: Long,
+    lineage: Long,
+    configHash: String)

@@ -1,0 +1,78 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+
+/** Brute-force BM25 top-k as a plain declarative DataFrame plan — the
+  * correctness oracle the engine must be rank-identical to (docIDs and
+  * scores), playing the role of the mocked-Elasticsearch golden rows in the
+  * reference's tests (`luigi_pipeline/tests/test_seqr_sv_loading.py:411-520`).
+  *
+  * Fully independent of the index: recomputes N, avgdl, df and tf from the
+  * raw corpus. The only shared artifacts with the engine are the analyzer
+  * and the BM25 constants — deliberately, since those define the contract.
+  *
+  * Determinism contract with the engine (bit-identical doubles):
+  *  - idf values are computed driver-side with the same [[BM25.idf]]
+  *    function and injected as literals (no dependence on Catalyst's log);
+  *  - the tf-normalization Column expression mirrors [[BM25.tfNorm]]'s
+  *    association order exactly;
+  *  - per-document contributions are summed in ascending term order via
+  *    `aggregate(array_sort(...))`, the same order the engine uses
+  *    (ascending dense termId == ascending term).
+  */
+object Oracle {
+
+  /** Top-k over a corpus with columns (repo, path, commit, content).
+    * Returns (repo, path, commit, score) ordered (score desc, identity asc). */
+  def bm25(corpus: DataFrame, query: String, k: Int, p: Bm25Params = BM25.Default): DataFrame = {
+    val qTerms = Analyzer.queryTerms(query).toSeq
+    val docTok = corpus
+      .select(col("repo"), col("path"), col("commit"),
+        Analyzer.analyze(col("content")).as("toks"))
+      .select(col("repo"), col("path"), col("commit"),
+        size(col("toks")).cast("long").as("dl"), col("toks"))
+      .persist()
+    try {
+      val statsRow = docTok.agg(count("*").as("n"), sum("dl").as("sumDl")).head()
+      val n = statsRow.getAs[Long]("n")
+      val avgdl = statsRow.getAs[Long]("sumDl").toDouble / n.toDouble
+
+      val tfq = docTok
+        .select(col("repo"), col("path"), col("commit"), col("dl"),
+          explode(col("toks")).as("term"))
+        .filter(if (qTerms.isEmpty) lit(false) else col("term").isin(qTerms: _*))
+        .groupBy("repo", "path", "commit", "dl", "term")
+        .agg(count(lit(1)).as("tf"))
+
+      val dfByTerm: Map[String, Long] = tfq.groupBy("term").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val idfByTerm: Map[String, Double] =
+        dfByTerm.map { case (t, df) => t -> BM25.idf(n, df) }
+
+      if (idfByTerm.isEmpty)
+        return corpus.sparkSession.emptyDataFrame
+          .select(lit("").as("repo"), lit("").as("path"), lit("").as("commit"),
+            lit(0.0).as("score"))
+          .limit(0)
+
+      // mirrors BM25.tfNorm: tf / (tf + k1 * ((1-b) + (b*dl)/avgdl))
+      val tfd = col("tf").cast("double")
+      val tfn = tfd / (tfd + lit(p.k1) * (lit(1.0 - p.b) + lit(p.b) * col("dl").cast("double") / lit(avgdl)))
+      val contrib = element_at(typedLit(idfByTerm), col("term")) * tfn
+
+      tfq
+        .select(col("repo"), col("path"), col("commit"),
+          struct(col("term"), contrib.as("c")).as("tc"))
+        .groupBy("repo", "path", "commit")
+        .agg(aggregate(
+          array_sort(collect_list(col("tc"))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("c")).as("score"))
+        .orderBy(desc("score"), asc("repo"), asc("path"), asc("commit"))
+        .limit(k)
+    } finally docTok.unpersist()
+  }
+}

@@ -1,0 +1,290 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.index.{IndexMeta, Json, PostingBlock}
+
+/** One ranked search hit. */
+final case class ScoredDoc(docId: Long, score: Double)
+
+/** Top-k BM25 query engine over a built index — the replacement for the
+  * Elasticsearch query side the reference delegates to (BM25 `k1=1.2,
+  * b=0.75` is the ES 6/7 default similarity; deployment at
+  * `gcloud_dataproc/create_es_loading_nodes.py:100-120`).
+  *
+  * Query plan (all Catalyst until the per-shard kernel):
+  *  1. query terms → term dictionary lookup (tiny collect — the broadcast
+  *     dictionary pattern, reference J10 `sv_mt_schema.py:155-158`);
+  *  2. posting blocks filtered by `termId` — Parquet row-group min/max
+  *     skipping applies because blocks are written termId-sorted;
+  *  3. `groupByKey(shard)` → per-shard block-max WAND (document-at-a-time
+  *     with block skipping, Ding & Suel–style) producing a local top-k.
+  *     A shard holds ≤ docsPerShard docs, so per-task memory is bounded by
+  *     queryTerms × docsPerShard/blockSize blocks regardless of corpus size;
+  *  4. global `orderBy(score desc, docId asc).limit(k)` — Spark's
+  *     TakeOrderedAndProject merges the per-shard heaps without collecting
+  *     more than k rows to the driver.
+  *
+  * Determinism: per-document scores are summed in ascending termId order
+  * (== ascending term order, since termIds are dense in term sort order), so
+  * scores are bit-identical to the brute-force oracle, which sums in the
+  * same order via `aggregate(array_sort(...))`.
+  */
+class Searcher(spark: SparkSession, indexDir: String) {
+  import spark.implicits._
+
+  val meta: IndexMeta = Json.read(s"$indexDir/meta.json", classOf[IndexMeta])
+  private val p = Bm25Params(meta.k1, meta.b)
+
+  /** (termId, df) for each query term present in the dictionary. */
+  def lookupTerms(terms: Seq[String]): Array[(Long, Long)] =
+    if (terms.isEmpty) Array.empty
+    else spark.read.parquet(s"$indexDir/terms")
+      .filter(col("term").isin(terms: _*))
+      .select("termId", "df")
+      .as[(Long, Long)]
+      .collect()
+      .sortBy(_._1)
+
+  /** Top-k BM25 search; returns at most k rows ordered (score desc, docId asc). */
+  def search(query: String, k: Int): Array[ScoredDoc] = {
+    val qTerms = Analyzer.queryTerms(query)
+    val stats = lookupTerms(qTerms.toSeq)
+    if (stats.isEmpty) return Array.empty
+    val n = meta.numDocs
+    val avgdl = meta.avgdl
+    val idfById: Map[Long, Double] =
+      stats.map { case (tid, df) => tid -> BM25.idf(n, df) }.toMap
+    val termIds = stats.map(_._1)
+    val params = p
+
+    val perShard = spark.read.parquet(s"$indexDir/blocks")
+      .filter(col("termId").isin(termIds.map(Long.box): _*))
+      .select("shard", "termId", "firstDoc", "lastDoc", "n", "docs", "tfs", "dls", "maxTfn")
+      .as[PostingBlock]
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, blocks) =>
+        Wand.topK(blocks, idfById, avgdl, params, k)
+      }
+
+    perShard
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+      .as[ScoredDoc]
+      .collect()
+  }
+
+  /** Same as [[search]] but joined back to document identity. */
+  def searchWithIdentity(query: String, k: Int): DataFrame = {
+    val hits = search(query, k).toSeq.toDF("docId", "score")
+    val docs = spark.read.parquet(s"$indexDir/docs")
+    hits.join(broadcast(docs).hint("broadcast"), Seq("docId"), "left")
+      .select("docId", "repo", "path", "commit", "score")
+      .orderBy(desc("score"), asc("docId"))
+  }
+}
+
+/** Block-max WAND kernel: document-at-a-time top-k over the posting blocks
+  * of one shard. Pure JVM code, runs inside `flatMapGroups`. */
+object Wand {
+
+  /** Cursor over one term's blocks (sorted by firstDoc) within a shard.
+    * Blocks are decoded lazily — a shallow (block-level) advance never
+    * decodes, which is what makes block-max skipping cheap. */
+  private final class TermCursor(
+      val termId: Long,
+      val idf: Double,
+      blocks: Array[PostingBlock],
+      avgdl: Double,
+      p: Bm25Params) {
+
+    val termUB: Double = {
+      var m = 0.0
+      var i = 0
+      while (i < blocks.length) {
+        if (blocks(i).maxTfn > m) m = blocks(i).maxTfn.toDouble
+        i += 1
+      }
+      idf * m
+    }
+
+    private var bi = 0
+    private var docIds: Array[Long] = _
+    private var tfs: Array[Long] = _
+    private var dls: Array[Long] = _
+    private var pi = 0
+    var curDoc: Long = _
+    decodeAndSeek(Long.MinValue)
+
+    def exhausted: Boolean = bi >= blocks.length
+
+    /** Upper bound for the block the cursor currently points at. */
+    def blockUB: Double = if (exhausted) 0.0 else idf * blocks(bi).maxTfn
+
+    /** Last docId of the current block (shallow — no decode needed). */
+    def blockLast: Long = if (exhausted) Long.MaxValue else blocks(bi).lastDoc
+
+    /** Move the block pointer (not the posting pointer) so the current
+      * block may contain d: first block with lastDoc >= d. */
+    def shallowAdvance(d: Long): Unit = {
+      while (bi < blocks.length && blocks(bi).lastDoc < d) {
+        bi += 1
+        docIds = null
+      }
+      if (exhausted) curDoc = Long.MaxValue
+    }
+
+    private def decodeAndSeek(d: Long): Unit = {
+      if (exhausted) { curDoc = Long.MaxValue; return }
+      if (docIds == null) {
+        val b = blocks(bi)
+        docIds = b.docIds; tfs = b.tfValues; dls = b.dlValues
+        pi = 0
+      }
+      while (pi < docIds.length && docIds(pi) < d) pi += 1
+      if (pi >= docIds.length) {
+        bi += 1; docIds = null
+        decodeAndSeek(d)
+      } else curDoc = docIds(pi)
+    }
+
+    /** Advance to the first posting with docId >= d. */
+    def advanceTo(d: Long): Unit = {
+      shallowAdvance(d)
+      decodeAndSeek(d)
+    }
+
+    /** Advance past the current posting. */
+    def next(): Unit = {
+      pi += 1
+      if (pi >= docIds.length) {
+        bi += 1; docIds = null
+        decodeAndSeek(Long.MinValue)
+      } else curDoc = docIds(pi)
+    }
+
+    /** BM25 contribution of the current posting. */
+    def score: Double = idf * BM25.tfNorm(tfs(pi), dls(pi), avgdl, p)
+  }
+
+  /** Worst-hit-first comparator: smaller score is worse; on equal score the
+    * larger docId is worse (tie-break is docId ascending). */
+  private val worstFirst = new java.util.Comparator[ScoredDoc] {
+    def compare(a: ScoredDoc, b: ScoredDoc): Int = {
+      val c = java.lang.Double.compare(a.score, b.score)
+      if (c != 0) c else java.lang.Long.compare(b.docId, a.docId)
+    }
+  }
+
+  def topK(
+      blocks: Iterator[PostingBlock],
+      idfByTermId: Map[Long, Double],
+      avgdl: Double,
+      p: Bm25Params,
+      k: Int): Iterator[ScoredDoc] = {
+
+    val byTerm = blocks.toArray.groupBy(_.termId)
+    val cursors: Array[TermCursor] = byTerm.iterator.map { case (tid, blks) =>
+      new TermCursor(tid, idfByTermId(tid), blks.sortBy(_.firstDoc), avgdl, p)
+    }.toArray
+    if (cursors.isEmpty) return Iterator.empty
+
+    val heap = new java.util.PriorityQueue[ScoredDoc](k, worstFirst)
+    // scratch for in-termId-order summation at full evaluation
+    val matched = new Array[TermCursor](cursors.length)
+
+    var live = cursors.count(!_.exhausted)
+    while (live > 0) {
+      // sort live cursors to the front by curDoc (insertion sort; tiny n)
+      java.util.Arrays.sort(cursors, new java.util.Comparator[TermCursor] {
+        def compare(a: TermCursor, b: TermCursor): Int =
+          java.lang.Long.compare(a.curDoc, b.curDoc)
+      })
+      val theta = if (heap.size < k) -1.0 else heap.peek().score
+
+      // find pivot: smallest prefix whose term upper bounds can beat theta
+      var acc = 0.0
+      var pvt = -1
+      var i = 0
+      while (pvt < 0 && i < cursors.length) {
+        if (cursors(i).curDoc != Long.MaxValue) {
+          acc += cursors(i).termUB
+          if (acc > theta) pvt = i
+        } else i = cursors.length // exhausted tail
+        i += 1
+      }
+      if (pvt < 0) return drain(heap)
+      val pivotDoc = cursors(pvt).curDoc
+      if (pivotDoc == Long.MaxValue) return drain(heap)
+      // fold cursors sitting on the same doc into the pivot group, so the
+      // block-max check sees every term that can contribute to pivotDoc and
+      // the skip bound is strictly past it (termination guarantee)
+      while (pvt + 1 < cursors.length && cursors(pvt + 1).curDoc == pivotDoc) pvt += 1
+
+      // block-max refinement: shallow-advance blocks, re-check with block UBs
+      var ubSum = 0.0
+      var j = 0
+      while (j <= pvt) {
+        cursors(j).shallowAdvance(pivotDoc)
+        ubSum += cursors(j).blockUB
+        j += 1
+      }
+      if (ubSum <= theta) {
+        // whole aligned block range cannot beat theta — jump past it
+        var d = Long.MaxValue
+        j = 0
+        while (j <= pvt) {
+          val bl = cursors(j).blockLast
+          if (bl < d) d = bl
+          j += 1
+        }
+        val next = if (d == Long.MaxValue) Long.MaxValue else d + 1
+        val bound =
+          if (pvt + 1 < cursors.length && cursors(pvt + 1).curDoc < next)
+            cursors(pvt + 1).curDoc
+          else next
+        j = 0
+        while (j <= pvt) {
+          if (cursors(j).curDoc < bound) cursors(j).advanceTo(bound)
+          j += 1
+        }
+      } else if (cursors(0).curDoc == pivotDoc) {
+        // full evaluation: all cursors on pivotDoc, summed in termId order
+        var m = 0
+        j = 0
+        while (j < cursors.length && cursors(j).curDoc == pivotDoc) {
+          matched(m) = cursors(j); m += 1; j += 1
+        }
+        java.util.Arrays.sort(matched, 0, m, new java.util.Comparator[TermCursor] {
+          def compare(a: TermCursor, b: TermCursor): Int =
+            java.lang.Long.compare(a.termId, b.termId)
+        })
+        var s = 0.0
+        j = 0
+        while (j < m) { s += matched(j).score; j += 1 }
+        if (heap.size < k) heap.add(ScoredDoc(pivotDoc, s))
+        else if (s > heap.peek().score) { heap.poll(); heap.add(ScoredDoc(pivotDoc, s)) }
+        j = 0
+        while (j < m) { matched(j).next(); j += 1 }
+      } else {
+        // advance the lagging cursors up to the pivot
+        j = 0
+        while (j < pvt) {
+          if (cursors(j).curDoc < pivotDoc) cursors(j).advanceTo(pivotDoc)
+          j += 1
+        }
+      }
+      live = cursors.count(!_.exhausted)
+    }
+    drain(heap)
+  }
+
+  private def drain(heap: java.util.PriorityQueue[ScoredDoc]): Iterator[ScoredDoc] = {
+    val out = new Array[ScoredDoc](heap.size)
+    var i = 0
+    while (!heap.isEmpty) { out(i) = heap.poll(); i += 1 }
+    out.iterator
+  }
+}

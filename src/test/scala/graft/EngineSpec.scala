@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, IndexConfig, PostingBlock}
+import graft.search.{Oracle, Searcher}
+
+/** End-to-end engine tests: build over the deterministic synthesized corpus,
+  * then assert rank-identical top-k (docIDs AND bit-identical BM25 scores)
+  * against the brute-force DataFrame oracle for the frozen reference query
+  * set, plus lineage / dense-id / resume-equivalence invariants
+  * (SURVEY.md §5 modes 3 and 5; north-rule correctness gate). */
+class EngineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val NumFiles = 400L
+  private val Seed = 7L
+  // small shards/blocks so multi-shard + multi-block + block-skip paths run
+  private val cfg = IndexConfig(
+    buildPartitions = 8, docsPerShard = 64L, blockSize = 16, buildBuckets = 3)
+
+  private lazy val corpus = CorpusGen.generate(spark, NumFiles, Seed, partitions = 8).toDF()
+
+  private lazy val workDir = Files.createTempDirectory("graft-engine").toString
+  private lazy val indexDir = {
+    val dir = s"$workDir/index"
+    new IndexBuilder(spark, cfg).build(corpus, dir, resume = false)
+    dir
+  }
+  private lazy val searcher = new Searcher(spark, indexDir)
+
+  /** The frozen reference query set: rare terms, stop terms, camelCase
+    * subtokens, snake_case, multi-term, no-hit — k ∈ {10, 100}. */
+  private val QuerySet: Seq[(String, Int)] = Seq(
+    ("index", 10), ("merge", 10), ("codec", 10),
+    ("def", 10),                    // per-language stop term (heavy df)
+    ("if else return", 10),         // several stop terms at once
+    ("getIndexValue", 10),          // camelCase → whole + subtokens
+    ("parse_json_config", 10),      // snake_case → whole + subtokens
+    ("index query score", 10),
+    ("shard block batch stream", 10),
+    ("http tcp udp", 10),
+    ("zzz_not_a_term", 10),         // no hits
+    ("merge zzz_not_a_term", 10),   // partial hit
+    ("val class object", 100),
+    ("query", 100),
+    ("buffer cache pool queue stack", 25),
+    ("error fail retry timeout", 10))
+
+  private def engineHits(q: String, k: Int): Seq[(String, String, String, Double)] = {
+    val hits = searcher.search(q, k)
+    val docs = spark.read.parquet(s"$indexDir/docs")
+      .select("docId", "repo", "path", "commit").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    hits.toSeq.map(h => { val d = docs(h.docId); (d._1, d._2, d._3, h.score) })
+  }
+
+  private def oracleHits(q: String, k: Int): Seq[(String, String, String, Double)] =
+    Oracle.bm25(corpus, q, k).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+
+  test("meta sanity: docs, avgdl, analyzer version") {
+    val m = searcher.meta
+    assert(m.numDocs == NumFiles)
+    assert(m.avgdl > 0)
+    assert(m.analyzer == graft.analysis.Analyzer.Version)
+    assert(m.numPostings > 0 && m.numTerms > 0 && m.numBlocks > 0)
+  }
+
+  test("dense docIds: 0..N-1, ordered by (repo, path, commit)") {
+    val docs = spark.read.parquet(s"$indexDir/docs")
+      .select("docId", "repo", "path", "commit").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getString(3))))
+    assert(docs.map(_._1).sorted.toSeq == (0L until NumFiles).toSeq)
+    val byId = docs.sortBy(_._1).map(_._2).toSeq
+    assert(byId == byId.sorted, "docId order must equal identity sort order")
+  }
+
+  test("lineage: per-row sha256 equality vs source + xor fingerprint") {
+    val srcSha = corpus.select(col("repo"), col("path"), col("commit"),
+      sha2(col("content"), 256).as("sha"))
+    val idxSha = spark.read.parquet(s"$indexDir/docs")
+      .select(col("repo"), col("path"), col("commit"), col("sha256"))
+    val mismatches = srcSha.join(idxSha, Seq("repo", "path", "commit"))
+      .filter(col("sha") =!= col("sha256")).count()
+    assert(mismatches == 0L)
+    val xor = srcSha.agg(expr("bit_xor(xxhash64(sha))")).head().getLong(0)
+    assert(xor == searcher.meta.lineage)
+  }
+
+  test("block invariants: sorted docIds, within-shard, admissible maxTfn") {
+    import spark.implicits._
+    val blocks = spark.read.parquet(s"$indexDir/blocks")
+      .select("shard", "termId", "firstDoc", "lastDoc", "n", "docs", "tfs", "dls", "maxTfn")
+      .as[PostingBlock].collect()
+    val (avgdl, p) = (searcher.meta.avgdl, graft.search.Bm25Params(cfg.k1, cfg.b))
+    blocks.foreach { b =>
+      val ids = b.docIds
+      assert(ids.length == b.n && b.n <= cfg.blockSize)
+      assert(ids.head == b.firstDoc && ids.last == b.lastDoc)
+      assert(ids.zip(ids.tail).forall { case (a, c) => a < c }, "strictly increasing")
+      assert(ids.forall(_ / cfg.docsPerShard == b.shard), "no shard-spanning block")
+      val tfs = b.tfValues; val dls = b.dlValues
+      val maxTfn = (0 until b.n).map(i => graft.search.BM25.tfNorm(tfs(i), dls(i), avgdl, p)).max
+      assert(b.maxTfn.toDouble >= maxTfn, "block-max bound must be admissible")
+    }
+    // every (termId, docId) appears exactly once across blocks
+    val all = blocks.flatMap(b => b.docIds.map(d => (b.termId, d)))
+    assert(all.length == all.distinct.length)
+    assert(all.length.toLong == searcher.meta.numPostings)
+  }
+
+  test("frozen query set: rank-identical docIDs and bit-identical scores vs oracle") {
+    for ((q, k) <- QuerySet) {
+      val eng = engineHits(q, k)
+      val ora = oracleHits(q, k)
+      assert(eng.map(t => (t._1, t._2, t._3)) == ora.map(t => (t._1, t._2, t._3)),
+        s"doc ranking mismatch for query '$q' (k=$k)\nengine=${eng.take(5)}\noracle=${ora.take(5)}")
+      eng.zip(ora).zipWithIndex.foreach { case ((e, o), i) =>
+        assert(java.lang.Double.doubleToLongBits(e._4) == java.lang.Double.doubleToLongBits(o._4),
+          s"score not bit-identical for query '$q' rank $i: engine=${e._4} oracle=${o._4}")
+      }
+    }
+  }
+
+  test("no-hit query returns empty") {
+    assert(searcher.search("qqqqzzzz", 10).isEmpty)
+  }
+
+  test("k larger than corpus returns all matching docs, still rank-identical") {
+    val eng = engineHits("merge", 1000)
+    val ora = oracleHits("merge", 1000)
+    assert(eng == ora)
+  }
+
+  test("kill/resume equivalence: crash after each stage, resume, identical index") {
+    import spark.implicits._
+    def logical(dir: String): Set[(Long, Long, Long, Long)] =
+      spark.read.parquet(s"$dir/blocks")
+        .select("shard", "termId", "firstDoc", "lastDoc", "n", "docs", "tfs", "dls", "maxTfn")
+        .as[PostingBlock].collect()
+        .flatMap { b =>
+          val ids = b.docIds; val tfs = b.tfValues; val dls = b.dlValues
+          (0 until b.n).map(i => (b.termId, ids(i), tfs(i), dls(i)))
+        }.toSet
+    val freshPostings = logical(indexDir)
+    val freshMeta = searcher.meta
+
+    for (killAt <- Seq(0, 2, 5)) {
+      val dir2 = s"$workDir/resume-$killAt"
+      val b = new IndexBuilder(spark, cfg)
+      intercept[IndexBuilder.BuildKilled] {
+        b.build(corpus, dir2, resume = false, killAfterStage = killAt)
+      }
+      val meta2 = b.build(corpus, dir2, resume = true)
+      // numBlocks is physical layout (block cut points follow read-split
+      // geometry); the index contract is the LOGICAL content, which must be
+      // identical — queries are bit-identical either way
+      assert(meta2.copy(numBlocks = 0L) == freshMeta.copy(numBlocks = 0L),
+        s"meta mismatch after resume from stage $killAt")
+      assert(logical(dir2) == freshPostings, s"postings mismatch after resume from stage $killAt")
+    }
+  }
+
+  test("stale checkpoints from a different config are not resumed") {
+    val dir3 = s"$workDir/reconfig"
+    val b1 = new IndexBuilder(spark, cfg)
+    intercept[IndexBuilder.BuildKilled] {
+      b1.build(corpus, dir3, resume = false, killAfterStage = 2)
+    }
+    // different blockSize → different configHash → full rebuild, same logical result
+    val cfg2 = cfg.copy(blockSize = 32)
+    val meta = new IndexBuilder(spark, cfg2).build(corpus, dir3, resume = true)
+    assert(meta.blockSize == 32)
+    assert(meta.numPostings == searcher.meta.numPostings)
+  }
+}
