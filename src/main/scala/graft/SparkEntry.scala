@@ -384,6 +384,18 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // LSH-bucketed ANN (scale path; exact-vs-LSH recall is asserted in
+    // ModulesSpec — rows-only here since bucket membership is not
+    // SQL-portable)
+    "td13_ann_lsh" -> ((s, d) => {
+      import s.implicits._
+      val vecs = graft.search.Ann.fromDf(t(s, d, "embeddings"))
+      val query = vecs.filter(_.id == 0L).head().v
+      graft.search.Ann.lshTopK(vecs.filter(_.id != 0L), query, 20, planes = 16, bands = 8)
+        .toSeq.toDF("vec_id", "cos_raw")
+        .select(col("vec_id"), round(col("cos_raw"), 3).as("cos"))
+    }),
+
     // multimodal plumbing: opaque binary payload + typed metadata
     "td12_multimodal_meta" -> ((s, d) =>
       t(s, d, "documents")

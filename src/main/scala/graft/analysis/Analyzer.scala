@@ -40,11 +40,65 @@ object Analyzer {
   private val camelAwP = Pattern.compile(CamelAcronymWord)
   private val subSplitP = Pattern.compile(SubSplit)
 
-  /** Subtokens of a single identifier, lowercased, in order. */
-  def subtokens(ident: String): Array[String] = {
-    val spaced1 = camelLuP.matcher(ident).replaceAll("$1 $2")
-    val spaced2 = camelAwP.matcher(spaced1).replaceAll("$1 $2")
-    subSplitP.split(spaced2.toLowerCase).filter(_.nonEmpty)
+  // --- hand-rolled scanner (hot build path) ---------------------------------
+  // Regex-free equivalent of the Column form below: java.util.regex.Pattern
+  // .split was measured to ANTI-scale across executor threads in this
+  // environment (flat ~5k ops/s from 1 to 32 threads), so the per-document
+  // path scans chars directly. Semantics are pinned to the Column form by
+  // the AnalyzerSpec agreement test. Identifier chars are ASCII by
+  // construction ([A-Za-z0-9_]), so manual lowercasing is exact.
+
+  @inline private def isIdentChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+  @inline private def isUpper(c: Char): Boolean = c >= 'A' && c <= 'Z'
+  @inline private def isLowerOrDigit(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+  @inline private def toLower(c: Char): Char =
+    if (isUpper(c)) (c + 32).toChar else c
+
+  private def lowerSlice(s: String, from: Int, until: Int): String = {
+    val a = new Array[Char](until - from)
+    var i = from
+    while (i < until) { a(i - from) = toLower(s.charAt(i)); i += 1 }
+    new String(a)
+  }
+
+  /** Camel boundary BEFORE position j of identifier `s` (0 < j < len):
+    * lower/digit→Upper, or Upper→Upper+lower (acronym end) — the same split
+    * points the two regex passes produce. */
+  @inline private def camelBoundary(s: String, j: Int, len: Int): Boolean = {
+    val prev = s.charAt(j - 1); val c = s.charAt(j)
+    (isLowerOrDigit(prev) && isUpper(c)) ||
+      (isUpper(prev) && isUpper(c) && j + 1 < len && {
+        val nx = s.charAt(j + 1); nx >= 'a' && nx <= 'z'
+      })
+  }
+
+  /** Emit the lowercased whole identifier `s[start,end)`, plus its subtokens
+    * when it splits into more than one. */
+  private def emitIdent(s: String, start: Int, end: Int, out: scala.collection.mutable.ArrayBuilder[String]): Unit = {
+    out += lowerSlice(s, start, end)
+    // find subtoken pieces: split at '_' runs and camel boundaries
+    var pieceStart = -1
+    var first = -1
+    var firstEnd = -1
+    var count = 0
+    var j = start
+    while (j <= end) {
+      val atSep = j == end || s.charAt(j) == '_'
+      if (pieceStart < 0) {
+        if (!atSep) pieceStart = j
+      } else if (atSep || (j > pieceStart && camelBoundary(s, j, end))) {
+        count += 1
+        if (count == 1) { first = pieceStart; firstEnd = j }
+        else {
+          if (count == 2) out += lowerSlice(s, first, firstEnd)
+          out += lowerSlice(s, pieceStart, j)
+        }
+        pieceStart = if (atSep) -1 else j
+      }
+      j += 1
+    }
   }
 
   /** Full analysis of a document: for each identifier emit the lowercased
@@ -52,17 +106,25 @@ object Analyzer {
     * Document order is preserved (whole token before its subtokens). */
   def tokenize(content: String): Array[String] = {
     if (content == null) return Array.empty
-    val idents = identSplitP.split(content).filter(_.nonEmpty)
     val out = Array.newBuilder[String]
+    val n = content.length
+    out.sizeHint(n / 6)
     var i = 0
-    while (i < idents.length) {
-      val t = idents(i)
-      val subs = subtokens(t)
-      out += t.toLowerCase
-      if (subs.length > 1) out ++= subs
-      i += 1
+    while (i < n) {
+      while (i < n && !isIdentChar(content.charAt(i))) i += 1
+      val start = i
+      while (i < n && isIdentChar(content.charAt(i))) i += 1
+      if (i > start) emitIdent(content, start, i, out)
     }
     out.result()
+  }
+
+  /** Subtokens of a single identifier, lowercased, in order (reference
+    * implementation, regex-based — used for tests and query parsing). */
+  def subtokens(ident: String): Array[String] = {
+    val spaced1 = camelLuP.matcher(ident).replaceAll("$1 $2")
+    val spaced2 = camelAwP.matcher(spaced1).replaceAll("$1 $2")
+    subSplitP.split(spaced2.toLowerCase).filter(_.nonEmpty)
   }
 
   /** Column form of [[subtokens]] (array&lt;string&gt;). */

@@ -78,7 +78,9 @@ object CorpusGen {
     md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }
 
-  def genFile(i: Long, seed: Long): SourceFile = {
+  def genFile(i: Long, seed: Long): SourceFile = genFile(i, seed, 1)
+
+  def genFile(i: Long, seed: Long, tokensScale: Int): SourceFile = {
     val rng = new java.util.Random(splitmix64(seed ^ (i * 0x9E3779B97F4A7C15L)))
     def nextInt(n: Int): Int = rng.nextInt(n)
     val lang = Langs(nextInt(Langs.length))
@@ -99,7 +101,7 @@ object CorpusGen {
       else ws.mkString("_") // snake_case
     }
 
-    val nTokens = 40 + nextInt(360)
+    val nTokens = (40 + nextInt(360)) * tokensScale
     val sb = new StringBuilder
     var t = 0
     while (t < nTokens) {
@@ -119,8 +121,9 @@ object CorpusGen {
       spark: SparkSession,
       nFiles: Long,
       seed: Long = 42L,
-      partitions: Int = 32): Dataset[SourceFile] = {
+      partitions: Int = 32,
+      tokensScale: Int = 1): Dataset[SourceFile] = {
     import spark.implicits._
-    spark.range(0L, nFiles, 1L, partitions).map(i => genFile(i, seed))
+    spark.range(0L, nFiles, 1L, partitions).map(i => genFile(i, seed, tokensScale))
   }
 }

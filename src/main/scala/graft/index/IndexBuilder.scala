@@ -65,6 +65,15 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
 
   private def manifestPath(dir: String) = s"$dir/_manifest.json"
 
+  /** opt-in stage timing (GRAFT_BUILD_TIMING=1) → stderr */
+  private val timing = sys.env.contains("GRAFT_BUILD_TIMING")
+  private def stage[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (timing) System.err.println(f"[build-timing] $name%-12s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
   private def loadIfDone(dir: String, lineage: Long): Option[StageManifest] =
     if (!Json.exists(manifestPath(dir))) None
     else {
@@ -94,12 +103,13 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
 
     // ---- stage 0: single tokenize pass over content → columnar doc/tf rows
     val doctfDir = s"$staging/_doctf"
-    if (loadIfDone(doctfDir, 0L).isEmpty) {
+    if (loadIfDone(doctfDir, 0L).isEmpty) stage("doctf") {
       val doctf = corpus
         .select("repo", "path", "commit", "lang", "content")
         .as[(String, String, String, String, String)]
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("SHA-256")
+          val hex = "0123456789abcdef".toCharArray
           it.map { case (repo, path, commit, lang, content) =>
             val toks = Analyzer.tokenize(content)
             val tfMap = new java.util.HashMap[String, Long]()
@@ -108,6 +118,12 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
               tfMap.merge(toks(i), 1L, (a, b) => a + b)
               i += 1
             }
+            // keyword-field filter terms (the ES `keyword` mapping analogue,
+            // reference `elasticsearch_utils.py:39-48`): posting-listed like
+            // content terms but never scored, and excluded from dl. The
+            // tokenizer strips ':' so these can't collide with content terms.
+            tfMap.put(s"lang:$lang", 1L)
+            tfMap.put(s"repo:$repo", 1L)
             val terms = new Array[TermTf](tfMap.size)
             val eit = tfMap.entrySet().iterator()
             var j = 0
@@ -117,7 +133,15 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
               j += 1
             }
             md.reset()
-            val sha = md.digest(content.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+            val dig = md.digest(content.getBytes("UTF-8"))
+            val shaChars = new Array[Char](64)
+            var h = 0
+            while (h < 32) {
+              shaChars(2 * h) = hex((dig(h) >> 4) & 0xf)
+              shaChars(2 * h + 1) = hex(dig(h) & 0xf)
+              h += 1
+            }
+            val sha = new String(shaChars)
             DocTf(repo, path, commit, lang, sha, toks.length.toLong, terms)
           }
         }
@@ -129,7 +153,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
 
     // ---- stage 1: docs (identity, sha256 lineage, doc length, dense docId)
     val docsDir = s"$staging/docs"
-    val docsManifest = loadIfDone(docsDir, 0L).getOrElse {
+    val docsManifest = loadIfDone(docsDir, 0L).getOrElse(stage("docs") {
       val withStats = spark.read.parquet(doctfDir)
         .select("repo", "path", "commit", "lang", "sha256", "dl")
       val ided = DenseIds.assign(withStats, Seq("repo", "path", "commit"), "docId", cfg.buildPartitions)
@@ -145,7 +169,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         row.getAs[Long]("lineage"), cfg.configHash)
       Json.write(manifestPath(docsDir), m)
       m
-    }
+    })
     kill(1)
     val numDocs = docsManifest.rows
     val sumDl = docsManifest.postings // sumDl carried in `postings` slot for the docs stage
@@ -157,7 +181,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     // joined to docs on identity (sort-merge on the small projections; the
     // 100 TB content column never reaches this shuffle)
     val tfDir = s"$staging/_tf"
-    val tfManifest = loadIfDone(tfDir, lineage).getOrElse {
+    val tfManifest = loadIfDone(tfDir, lineage).getOrElse(stage("tf") {
       val tf = spark.read.parquet(doctfDir)
         .select(col("repo"), col("path"), col("commit"), explode(col("terms")).as("t"))
         .select(col("repo"), col("path"), col("commit"),
@@ -169,13 +193,13 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       val m = StageManifest("tf", row.getAs[Long]("n"), 0L, row.getAs[Long]("n"), lineage, cfg.configHash)
       Json.write(manifestPath(tfDir), m)
       m
-    }
+    })
     kill(2)
     val numPostings = tfManifest.postings
 
     // ---- stage 3: term dictionary with dense termId (ascending term order)
     val termsDir = s"$staging/terms"
-    val termsManifest = loadIfDone(termsDir, lineage).getOrElse {
+    val termsManifest = loadIfDone(termsDir, lineage).getOrElse(stage("terms") {
       val stats = spark.read.parquet(tfDir)
         .groupBy("term")
         .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
@@ -186,13 +210,13 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       val m = StageManifest("terms", n, n, 0L, lineage, cfg.configHash)
       Json.write(manifestPath(termsDir), m)
       m
-    }
+    })
     kill(3)
     val numTerms = termsManifest.terms
 
     // ---- stage 4: flat postings keyed by dense termId, range-laid-out
     val postingsDir = s"$staging/_postings"
-    loadIfDone(postingsDir, lineage).getOrElse {
+    loadIfDone(postingsDir, lineage).getOrElse(stage("postings") {
       val terms = spark.read.parquet(termsDir).select("term", "termId")
       spark.read.parquet(tfDir)
         .join(terms, Seq("term"))
@@ -203,7 +227,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       val m = StageManifest("postings", numPostings, numTerms, numPostings, lineage, cfg.configHash)
       Json.write(manifestPath(postingsDir), m)
       m
-    }
+    })
 
     kill(4)
     // ---- stage 5: delta+varint posting blocks, built per termId-range bucket
@@ -214,7 +238,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       val lo = b * bucketWidth
       val hi = if (b == cfg.buildBuckets - 1) Long.MaxValue else (b + 1) * bucketWidth
       val bDir = f"$blocksDir/bucket=$b%04d"
-      val m = loadIfDone(bDir, lineage).getOrElse {
+      val m = loadIfDone(bDir, lineage).getOrElse(stage(s"blocks/$b") {
         val part = spark.read.parquet(postingsDir)
           .filter(col("termId") >= lo && col("termId") < hi)
           .as[Posting]
@@ -233,7 +257,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
           row.getAs[Long]("terms"), row.getAs[Long]("postings"), lineage, cfg.configHash)
         Json.write(manifestPath(bDir), mm)
         mm
-      }
+      })
       numBlocks += m.rows
       kill(5 + b)
     }

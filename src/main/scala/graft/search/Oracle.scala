@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
@@ -25,14 +25,25 @@ import graft.analysis.Analyzer
   */
 object Oracle {
 
-  /** Top-k over a corpus with columns (repo, path, commit, content).
-    * Returns (repo, path, commit, score) ordered (score desc, identity asc). */
+  /** Top-k over a corpus with columns (repo, path, commit, lang, content).
+    * Returns (repo, path, commit, score) ordered (score desc, identity asc).
+    * Understands the engine's keyword-filter syntax (`lang:x` / `repo:y`
+    * whitespace tokens): filters restrict which docs may be scored, while
+    * N, avgdl and df stay index-wide — matching ES keyword-filter
+    * semantics and the engine's non-scoring required cursors. */
   def bm25(corpus: DataFrame, query: String, k: Int, p: Bm25Params = BM25.Default): DataFrame = {
-    val qTerms = Analyzer.queryTerms(query).toSeq
+    val parts = query.trim.split("\\s+").filter(_.nonEmpty)
+    val (filterToks, contentToks) =
+      parts.partition(t => t.startsWith("lang:") || t.startsWith("repo:"))
+    val qTerms = Analyzer.queryTerms(contentToks.mkString(" ")).toSeq
+    val filterPred: Column = filterToks.distinct.map { f =>
+      val Array(field, value) = f.split(":", 2)
+      col(field) === value
+    }.foldLeft(lit(true))(_ && _)
     val docTok = corpus
-      .select(col("repo"), col("path"), col("commit"),
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
         Analyzer.analyze(col("content")).as("toks"))
-      .select(col("repo"), col("path"), col("commit"),
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
         size(col("toks")).cast("long").as("dl"), col("toks"))
       .persist()
     try {
@@ -41,10 +52,10 @@ object Oracle {
       val avgdl = statsRow.getAs[Long]("sumDl").toDouble / n.toDouble
 
       val tfq = docTok
-        .select(col("repo"), col("path"), col("commit"), col("dl"),
+        .select(col("repo"), col("path"), col("commit"), col("lang"), col("dl"),
           explode(col("toks")).as("term"))
         .filter(if (qTerms.isEmpty) lit(false) else col("term").isin(qTerms: _*))
-        .groupBy("repo", "path", "commit", "dl", "term")
+        .groupBy("repo", "path", "commit", "lang", "dl", "term")
         .agg(count(lit(1)).as("tf"))
 
       val dfByTerm: Map[String, Long] = tfq.groupBy("term").count()
@@ -64,6 +75,7 @@ object Oracle {
       val contrib = element_at(typedLit(idfByTerm), col("term")) * tfn
 
       tfq
+        .filter(filterPred) // keyword filters gate candidates, not stats
         .select(col("repo"), col("path"), col("commit"),
           struct(col("term"), contrib.as("c")).as("tc"))
         .groupBy("repo", "path", "commit")

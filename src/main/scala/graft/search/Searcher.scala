@@ -38,35 +38,66 @@ class Searcher(spark: SparkSession, indexDir: String) {
   val meta: IndexMeta = Json.read(s"$indexDir/meta.json", classOf[IndexMeta])
   private val p = Bm25Params(meta.k1, meta.b)
 
+  private val termsDf = spark.read.parquet(s"$indexDir/terms")
+  private val blocksDf = spark.read.parquet(s"$indexDir/blocks")
+    .select("shard", "termId", "firstDoc", "lastDoc", "n", "docs", "tfs", "dls", "maxTfn")
+
+  /** Pin the dictionary and posting blocks in executor memory — the ES
+    * page-cache analogue for a served index. Call once before a query
+    * workload; without it every query re-scans Parquet. */
+  def warm(): this.type = {
+    termsDf.persist(); blocksDf.persist()
+    termsDf.count(); blocksDf.count()
+    this
+  }
+
+  def cool(): Unit = { termsDf.unpersist(); blocksDf.unpersist() }
+
   /** (termId, df) for each query term present in the dictionary. */
   def lookupTerms(terms: Seq[String]): Array[(Long, Long)] =
     if (terms.isEmpty) Array.empty
-    else spark.read.parquet(s"$indexDir/terms")
+    else termsDf
       .filter(col("term").isin(terms: _*))
       .select("termId", "df")
       .as[(Long, Long)]
       .collect()
       .sortBy(_._1)
 
-  /** Top-k BM25 search; returns at most k rows ordered (score desc, docId asc). */
+  /** Split a raw query into (content terms, keyword filter terms). Filter
+    * syntax mirrors the reference query set's lang-tagged field match
+    * (`lang:scala foo` — FIXTURES.md §2): whitespace tokens starting with
+    * `lang:` or `repo:` are non-scored required filters (ES `keyword`
+    * semantics); everything else is analyzed content. */
+  def parseQuery(query: String): (Array[String], Array[String]) = {
+    val parts = query.trim.split("\\s+").filter(_.nonEmpty)
+    val (filters, content) =
+      parts.partition(t => t.startsWith("lang:") || t.startsWith("repo:"))
+    (Analyzer.queryTerms(content.mkString(" ")), filters.distinct.sorted)
+  }
+
+  /** Top-k BM25 search; returns at most k rows ordered (score desc, docId asc).
+    * Keyword filters (see [[parseQuery]]) are conjunctive and non-scoring. */
   def search(query: String, k: Int): Array[ScoredDoc] = {
-    val qTerms = Analyzer.queryTerms(query)
+    val (qTerms, qFilters) = parseQuery(query)
     val stats = lookupTerms(qTerms.toSeq)
     if (stats.isEmpty) return Array.empty
+    val filterStats = lookupTerms(qFilters.toSeq)
+    // a filter term absent from the dictionary matches no document at all
+    if (filterStats.length < qFilters.length) return Array.empty
     val n = meta.numDocs
     val avgdl = meta.avgdl
     val idfById: Map[Long, Double] =
       stats.map { case (tid, df) => tid -> BM25.idf(n, df) }.toMap
-    val termIds = stats.map(_._1)
+    val filterIds: Set[Long] = filterStats.map(_._1).toSet
+    val termIds = stats.map(_._1) ++ filterIds
     val params = p
 
-    val perShard = spark.read.parquet(s"$indexDir/blocks")
+    val perShard = blocksDf
       .filter(col("termId").isin(termIds.map(Long.box): _*))
-      .select("shard", "termId", "firstDoc", "lastDoc", "n", "docs", "tfs", "dls", "maxTfn")
       .as[PostingBlock]
       .groupByKey(_.shard)
       .flatMapGroups { (_, blocks) =>
-        Wand.topK(blocks, idfById, avgdl, params, k)
+        Wand.topK(blocks, idfById, filterIds, avgdl, params, k)
       }
 
     perShard
@@ -181,15 +212,36 @@ object Wand {
   def topK(
       blocks: Iterator[PostingBlock],
       idfByTermId: Map[Long, Double],
+      filterTermIds: Set[Long],
       avgdl: Double,
       p: Bm25Params,
       k: Int): Iterator[ScoredDoc] = {
 
     val byTerm = blocks.toArray.groupBy(_.termId)
-    val cursors: Array[TermCursor] = byTerm.iterator.map { case (tid, blks) =>
-      new TermCursor(tid, idfByTermId(tid), blks.sortBy(_.firstDoc), avgdl, p)
-    }.toArray
+    // required non-scoring cursors (keyword filters); conjunctive
+    val filters: Array[TermCursor] = filterTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks => new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p))
+    }
+    // a required filter with no postings in this shard → nothing can match
+    if (filters.length < filterTermIds.size) return Iterator.empty
+    val cursors: Array[TermCursor] = byTerm.iterator
+      .filter { case (tid, _) => !filterTermIds.contains(tid) }
+      .map { case (tid, blks) =>
+        new TermCursor(tid, idfByTermId(tid), blks.sortBy(_.firstDoc), avgdl, p)
+      }.toArray
     if (cursors.isEmpty) return Iterator.empty
+
+    /** true iff every filter cursor contains `d`. */
+    def passesFilters(d: Long): Boolean = {
+      var i = 0
+      while (i < filters.length) {
+        val f = filters(i)
+        if (f.curDoc < d) f.advanceTo(d)
+        if (f.curDoc != d) return false
+        i += 1
+      }
+      true
+    }
 
     val heap = new java.util.PriorityQueue[ScoredDoc](k, worstFirst)
     // scratch for in-termId-order summation at full evaluation
@@ -257,15 +309,17 @@ object Wand {
         while (j < cursors.length && cursors(j).curDoc == pivotDoc) {
           matched(m) = cursors(j); m += 1; j += 1
         }
-        java.util.Arrays.sort(matched, 0, m, new java.util.Comparator[TermCursor] {
-          def compare(a: TermCursor, b: TermCursor): Int =
-            java.lang.Long.compare(a.termId, b.termId)
-        })
-        var s = 0.0
-        j = 0
-        while (j < m) { s += matched(j).score; j += 1 }
-        if (heap.size < k) heap.add(ScoredDoc(pivotDoc, s))
-        else if (s > heap.peek().score) { heap.poll(); heap.add(ScoredDoc(pivotDoc, s)) }
+        if (passesFilters(pivotDoc)) {
+          java.util.Arrays.sort(matched, 0, m, new java.util.Comparator[TermCursor] {
+            def compare(a: TermCursor, b: TermCursor): Int =
+              java.lang.Long.compare(a.termId, b.termId)
+          })
+          var s = 0.0
+          j = 0
+          while (j < m) { s += matched(j).score; j += 1 }
+          if (heap.size < k) heap.add(ScoredDoc(pivotDoc, s))
+          else if (s > heap.peek().score) { heap.poll(); heap.add(ScoredDoc(pivotDoc, s)) }
+        }
         j = 0
         while (j < m) { matched(j).next(); j += 1 }
       } else {

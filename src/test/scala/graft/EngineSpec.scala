@@ -50,7 +50,12 @@ class EngineSpec extends AnyFunSuite {
     ("val class object", 100),
     ("query", 100),
     ("buffer cache pool queue stack", 25),
-    ("error fail retry timeout", 10))
+    ("error fail retry timeout", 10),
+    ("lang:scala index", 10),          // keyword filter + content term
+    ("lang:md the", 10),               // filter + stop term
+    ("lang:go func return query", 10), // filter + multi-term
+    ("lang:rs lang:go merge", 10),     // contradictory filters → empty
+    ("lang:cobol merge", 10))          // filter value absent from corpus
 
   private def engineHits(q: String, k: Int): Seq[(String, String, String, Double)] = {
     val hits = searcher.search(q, k)
@@ -130,6 +135,22 @@ class EngineSpec extends AnyFunSuite {
 
   test("no-hit query returns empty") {
     assert(searcher.search("qqqqzzzz", 10).isEmpty)
+  }
+
+  test("keyword filter restricts hits to the filtered language") {
+    val hits = searcher.search("lang:scala def val", 50)
+    assert(hits.nonEmpty)
+    val langs = spark.read.parquet(s"$indexDir/docs")
+      .select("docId", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hits.forall(h => langs(h.docId) == "scala"))
+    // repo filter composes with lang filter
+    val someRepo = spark.read.parquet(s"$indexDir/docs")
+      .filter(col("lang") === "java").select("repo").head().getString(0)
+    val rHits = searcher.search(s"repo:$someRepo lang:java class", 50)
+    val docs = spark.read.parquet(s"$indexDir/docs")
+      .select("docId", "repo", "lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rHits.forall(h => docs(h.docId) == (someRepo, "java")))
   }
 
   test("k larger than corpus returns all matching docs, still rank-identical") {

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal._
+import graft.search.Ann
+import graft.sources.CorpusIO
+
+class ModulesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("multimodal: batch shape, schema and deterministic stub features") {
+    import spark.implicits._
+    val rows = (0L until 25L).map { i =>
+      val mt = if (i % 3 == 0) "video" else if (i % 3 == 1) "image" else "audio"
+      MediaRow(i, Array.tabulate(100 + i.toInt)(j => (i + j).toByte),
+        MediaMeta(mt, 64, 48, durationMs = 5000 * i, codec = "fake"))
+    }
+    val ds = rows.toDS().repartition(3)
+    val feats = Multimodal.extractFeatures(ds, StubDecoder, batchSize = 4)
+      .collect().sortBy(_.docId)
+    assert(feats.length == 25)
+    assert(feats.forall(_.decoderVersion == "stub-decoder-1"))
+    assert(feats.forall(f => math.abs(f.histogram.sum - 1.0f) < 1e-3))
+    assert(feats.forall(f => f.byteLen == 100 + f.docId))
+    // video rows get 1-per-second sampled frame indices, capped at 16
+    val v6 = feats(6) // docId 6 → video, 30s
+    assert(v6.frames.toSeq == (0L until 16L).map(_ * 1000L))
+    val img = feats(1)
+    assert(img.frames.isEmpty)
+    // determinism: second run identical
+    val again = Multimodal.extractFeatures(ds, StubDecoder, batchSize = 7)
+      .collect().sortBy(_.docId)
+    assert(again.map(_.histogram.toSeq).toSeq == feats.map(_.histogram.toSeq).toSeq)
+  }
+
+  test("ann: lsh candidates re-rank exactly and reach high recall on clustered data") {
+    import spark.implicits._
+    // 8 tight gaussian clusters in 32d, 40 points each (seeded)
+    val rng = new java.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(32)(rng.nextGaussian().toFloat * 3f))
+    val vecs = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      Ann.Vec(i.toLong, c.map(x => x + rng.nextGaussian().toFloat * 0.2f))
+    }
+    val ds = vecs.toDS().repartition(4)
+    val query = centers(3).map(x => x + rng.nextGaussian().toFloat * 0.2f)
+
+    val exact = Ann.bruteTopK(ds, query, 10)
+    assert(exact.length == 10)
+    // all exact top-10 are from cluster 3
+    assert(exact.forall(s => s.id % 8 == 3))
+
+    val approx = Ann.lshTopK(ds, query, 10, planes = 16, bands = 4, seed = 42L)
+    val recall = approx.map(_.id).toSet.intersect(exact.map(_.id).toSet).size / 10.0
+    assert(recall >= 0.8, s"LSH recall too low: $recall")
+    // candidates are re-ranked exactly: scores of overlapping ids match
+    val exactById = exact.map(s => s.id -> s.cos).toMap
+    approx.filter(s => exactById.contains(s.id))
+      .foreach(s => assert(s.cos == exactById(s.id)))
+  }
+
+  test("sources: corpus parquet roundtrip + typed TSV import/export") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
+    val corpus = graft.corpus.CorpusGen.generate(spark, 20, seed = 3, partitions = 2)
+    corpus.toDF().write.mode("overwrite").parquet(s"$dir/corpus")
+    val back = CorpusIO.readCorpus(spark, s"$dir/corpus")
+    assert(back.schema == CorpusIO.CorpusSchema)
+    assert(back.count() == 20)
+
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    CorpusIO.writeTsv(df, s"$dir/tsv")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val tsv = CorpusIO.readTsv(spark, s"$dir/tsv", schema)
+    assert(tsv.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+      == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+
+    assertThrows[IllegalArgumentException](CorpusIO.readCorpus(spark, dir, "orc"))
+  }
+}
