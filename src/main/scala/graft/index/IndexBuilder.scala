@@ -87,8 +87,8 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     *
     * `killAfterStage` simulates a mid-build crash for the resume-equivalence
     * test (SURVEY.md §5 mode 2): the build throws [[BuildKilled]] right
-    * after completing stage N (0=doctf, 1=docs, 2=tf, 3=terms, 4=postings,
-    * 5+b = block bucket b). A subsequent `build(resume = true)` must produce
+    * after completing stage N (0=doctf, 1=docs, 2=tf, 3=terms,
+    * 4+b = block bucket b). A subsequent `build(resume = true)` must produce
     * an index logically identical to an uninterrupted fresh build. */
   def build(
       corpus: DataFrame,
@@ -214,33 +214,33 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     kill(3)
     val numTerms = termsManifest.terms
 
-    // ---- stage 4: flat postings keyed by dense termId, range-laid-out
-    val postingsDir = s"$staging/_postings"
-    loadIfDone(postingsDir, lineage).getOrElse(stage("postings") {
-      val terms = spark.read.parquet(termsDir).select("term", "termId")
-      spark.read.parquet(tfDir)
-        .join(terms, Seq("term"))
-        .select("termId", "docId", "tf", "dl")
-        .repartitionByRange(cfg.buildPartitions, col("termId"), col("docId"))
-        .sortWithinPartitions("termId", "docId")
-        .write.mode("overwrite").parquet(postingsDir)
-      val m = StageManifest("postings", numPostings, numTerms, numPostings, lineage, cfg.configHash)
-      Json.write(manifestPath(postingsDir), m)
-      m
-    })
-
-    kill(4)
-    // ---- stage 5: delta+varint posting blocks, built per termId-range bucket
+    // ---- stage 4: posting blocks, fused join→range-shuffle→sort→pack per
+    // termId-range bucket. The flat postings are never materialized: each
+    // bucket re-scans the (columnar, term-pruned) tf table but shuffles only
+    // its own termId slice, so total shuffle volume equals one full pass and
+    // the largest intermediate write+read of the old two-stage layout is
+    // gone. Buckets remain the resume unit.
     val blocksDir = s"$staging/blocks"
     val bucketWidth = math.max(1L, (numTerms + cfg.buildBuckets - 1) / cfg.buildBuckets)
     var numBlocks = 0L
+    val termDict = spark.read.parquet(termsDir).select("term", "termId")
+    val tfFlat = spark.read.parquet(tfDir)
+      .join(termDict, Seq("term"))
+      .select("termId", "docId", "tf", "dl")
     (0 until cfg.buildBuckets).foreach { b =>
       val lo = b * bucketWidth
       val hi = if (b == cfg.buildBuckets - 1) Long.MaxValue else (b + 1) * bucketWidth
       val bDir = f"$blocksDir/bucket=$b%04d"
       val m = loadIfDone(bDir, lineage).getOrElse(stage(s"blocks/$b") {
-        val part = spark.read.parquet(postingsDir)
+        // hash-partition on (termId, shard): no range-sampling pre-pass, and
+        // skew is BOUNDED BY CONSTRUCTION — a stop term present in every doc
+        // still contributes at most docsPerShard postings per group, spread
+        // across as many groups as there are shards. Blocks never span a
+        // shard, so a (termId, shard) group is exactly the packer's unit.
+        val part = tfFlat
           .filter(col("termId") >= lo && col("termId") < hi)
+          .repartition(cfg.buildPartitions, col("termId"), expr(s"docId div ${cfg.docsPerShard}"))
+          .sortWithinPartitions("termId", "docId")
           .as[Posting]
         // bind to locals so the closure captures serializable values, not `this`
         val (bs, dps, params) = (cfg.blockSize, cfg.docsPerShard, p)
@@ -259,7 +259,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         mm
       })
       numBlocks += m.rows
-      kill(5 + b)
+      kill(4 + b)
     }
 
     // ---- stage 6: metadata + atomic publish (build-then-publish, the
@@ -269,7 +269,6 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     Json.write(s"$staging/meta.json", meta)
     Json.deleteRecursively(doctfDir)
     Json.deleteRecursively(tfDir)
-    Json.deleteRecursively(postingsDir)
     Json.atomicMove(staging, indexDir)
     meta
   }
