@@ -1,0 +1,55 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Post-publish index maintenance.
+  *
+  * [[updateDocFields]] is the engine analogue of the reference's ES
+  * `update`/`upsert` write operations keyed by docId
+  * (`hail_scripts/elasticsearch/hail_elasticsearch_client.py:98-116`,
+  * constants `elasticsearch_utils.py:15-21`): the seqr pipeline re-exports
+  * refreshed annotation fields onto existing documents without reloading
+  * the callset. Here: stored columns on the `docs` table are patched by
+  * document identity; the posting lists — the analyzed-text side — are
+  * untouched, so queries and scores are unaffected.
+  */
+object IndexMaintenance {
+
+  private val KeyCols = Seq("repo", "path", "commit")
+  /** columns that define index structure — never patchable */
+  private val Structural = Set("docId", "sha256", "dl", "lang")
+
+  /** Patch/add stored document fields. `updates` must carry the identity
+    * key columns plus the fields to set; rows for unknown documents are
+    * ignored (ES `update` semantics — no upsert of unindexed docs). The
+    * docs table is rewritten atomically; a second identical call is a
+    * no-op in effect (idempotent). */
+  def updateDocFields(spark: SparkSession, indexDir: String, updates: DataFrame): Unit = {
+    val updCols = updates.columns.filterNot(KeyCols.contains).toSeq
+    require(updCols.nonEmpty, "no update columns given")
+    val bad = updCols.filter(Structural.contains)
+    require(bad.isEmpty,
+      s"structural columns cannot be patched (rebuild instead): ${bad.mkString(",")}")
+
+    val docsDir = s"$indexDir/docs"
+    val docs = spark.read.parquet(docsDir)
+    val renamed = updCols.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"__upd_$c"))
+    val joined = docs.join(renamed, KeyCols, "left")
+    val patched = updCols.foldLeft(joined) { (d, c) =>
+      if (docs.columns.contains(c))
+        d.withColumn(c, coalesce(col(s"__upd_$c"), col(c))).drop(s"__upd_$c")
+      else d.withColumnRenamed(s"__upd_$c", c)
+    }
+
+    val tmp = s"$indexDir/_docs.updating"
+    patched.write.mode("overwrite").parquet(tmp)
+    // verify row count before swapping in (guards a bad many-to-one join)
+    val before = docs.count()
+    val after = spark.read.parquet(tmp).count()
+    require(after == before,
+      s"update would change doc count ($before -> $after); updates must be unique per document")
+    Json.deleteRecursively(docsDir)
+    Json.atomicMove(tmp, docsDir)
+  }
+}

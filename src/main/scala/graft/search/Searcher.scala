@@ -107,11 +107,12 @@ class Searcher(spark: SparkSession, indexDir: String) {
       .collect()
   }
 
-  /** Same as [[search]] but joined back to document identity. */
+  /** Same as [[search]] but joined back to document identity. The ≤k hits
+    * are the broadcast side — the docs table is the 10^12-row side. */
   def searchWithIdentity(query: String, k: Int): DataFrame = {
     val hits = search(query, k).toSeq.toDF("docId", "score")
     val docs = spark.read.parquet(s"$indexDir/docs")
-    hits.join(broadcast(docs).hint("broadcast"), Seq("docId"), "left")
+    docs.join(broadcast(hits), Seq("docId"))
       .select("docId", "repo", "path", "commit", "score")
       .orderBy(desc("score"), asc("docId"))
   }

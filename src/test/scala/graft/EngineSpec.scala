@@ -200,4 +200,31 @@ class EngineSpec extends AnyFunSuite {
     assert(meta.blockSize == 32)
     assert(meta.numPostings == searcher.meta.numPostings)
   }
+
+  test("updateDocFields patches stored fields without touching postings (ES update-op analogue)") {
+    import spark.implicits._
+    val dir = s"$workDir/maint"
+    new index.IndexBuilder(spark, cfg).build(corpus, dir, resume = false)
+    val before = new Searcher(spark, dir).search("merge", 10).toSeq
+    val someDocs = spark.read.parquet(s"$dir/docs")
+      .select("repo", "path", "commit").limit(5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val updates = someDocs.toSeq.toDF("repo", "path", "commit")
+      .withColumn("stars", org.apache.spark.sql.functions.lit(5))
+    index.IndexMaintenance.updateDocFields(spark, dir, updates)
+    val docs2 = spark.read.parquet(s"$dir/docs")
+    assert(docs2.columns.contains("stars"))
+    assert(docs2.filter(org.apache.spark.sql.functions.col("stars") === 5).count() == 5)
+    assert(docs2.filter(org.apache.spark.sql.functions.col("stars").isNull).count() ==
+      NumFiles - 5)
+    // postings untouched: identical search results
+    val after = new Searcher(spark, dir).search("merge", 10).toSeq
+    assert(after == before)
+    // structural fields refuse to patch
+    intercept[IllegalArgumentException] {
+      index.IndexMaintenance.updateDocFields(spark, dir,
+        someDocs.toSeq.toDF("repo", "path", "commit")
+          .withColumn("dl", org.apache.spark.sql.functions.lit(0L)))
+    }
+  }
 }
