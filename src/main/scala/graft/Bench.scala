@@ -104,6 +104,11 @@ object Bench {
     BenchQueries.foreach(q => searcher.search(q, 10)) // warm-up
     val lat = for (_ <- 1 to 5; q <- BenchQueries)
       yield timed(searcher.search(q, 10))._2 * 1000.0
+    // batched serving shape: whole query set in one distributed pass
+    val batchQ = BenchQueries.map(q => (q, 10))
+    searcher.searchMany(batchQ) // warm-up
+    val batchSecs = (1 to 3).map(_ => timed(searcher.searchMany(batchQ))._2).min
+    val batchQps = BenchQueries.length / batchSecs
     Json.deleteRecursively(benchDir)
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -114,7 +119,8 @@ object Bench {
       s"""{"build_files_per_sec_c$nCores":${r2(tputN)},"build_files_per_sec_c$n4Cores":${r2(tput4N)},""" +
       s""""scaling_efficiency":${r2(efficiency)},"build_files":$benchFiles,""" +
       s""""scaling_samples":$sampleJson,""" +
-      s""""query_p50_ms":${r2(pct(lat, 0.5))},"query_p99_ms":${r2(pct(lat, 0.99))}}"""
+      s""""query_p50_ms":${r2(pct(lat, 0.5))},"query_p99_ms":${r2(pct(lat, 0.99))},""" +
+      s""""batch_queries_per_sec":${r2(batchQps)}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","engine":$engine}""")
     spark.stop()
   }

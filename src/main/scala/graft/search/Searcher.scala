@@ -107,6 +107,65 @@ class Searcher(spark: SparkSession, indexDir: String) {
       .collect()
   }
 
+  /** Batch search: the whole query set runs as ONE distributed pass over
+    * the posting blocks (union of all queries' terms → one scan+shuffle;
+    * every query's WAND runs per shard; per-shard top-k heaps merge in a
+    * tiny second stage). Amortizes Spark's per-job dispatch floor across
+    * the batch — the serving shape for query workloads at scale. Results
+    * are identical to calling [[search]] per query (tested). */
+  def searchMany(queries: Seq[(String, Int)]): Seq[Array[ScoredDoc]] = {
+    val n = meta.numDocs
+    val avgdl = meta.avgdl
+    val params = p
+
+    import Searcher.Plan
+    val allTerms = queries.flatMap { case (q, _) =>
+      val (t, f) = parseQuery(q); t.toSeq ++ f.toSeq
+    }.distinct
+    val statsByTerm: Map[String, (Long, Long)] =
+      if (allTerms.isEmpty) Map.empty
+      else termsDf.filter(col("term").isin(allTerms: _*))
+        .select("term", "termId", "df")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val plans: Seq[Option[Plan]] = queries.zipWithIndex.map { case ((q, k), i) =>
+      val (qTerms, qFilters) = parseQuery(q)
+      val content = qTerms.flatMap(t => statsByTerm.get(t).map { case (tid, df) => tid -> BM25.idf(n, df) })
+      val filters = qFilters.flatMap(f => statsByTerm.get(f).map(_._1))
+      if (content.isEmpty || filters.length < qFilters.length) None
+      else Some(Plan(i, content.toMap, filters.toSet, k))
+    }
+    val live = plans.flatten
+    if (live.isEmpty) return queries.map(_ => Array.empty[ScoredDoc])
+
+    val neededIds = live.flatMap(pl => pl.idfById.keys ++ pl.filterIds).distinct
+    val perShard = blocksDf
+      .filter(col("termId").isin(neededIds.map(Long.box): _*))
+      .as[PostingBlock]
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, blocks) =>
+        val arr = blocks.toArray
+        live.iterator.flatMap { pl =>
+          val subset = arr.iterator.filter(b =>
+            pl.idfById.contains(b.termId) || pl.filterIds.contains(b.termId))
+          Wand.topK(subset, pl.idfById, pl.filterIds, avgdl, params, pl.k)
+            .map(sd => (pl.qIdx, sd.docId, sd.score))
+        }
+      }
+
+    val kByIdx = live.map(pl => pl.qIdx -> pl.k).toMap
+    val merged: Map[Int, Array[ScoredDoc]] = perShard
+      .groupByKey(_._1)
+      .mapGroups { (qIdx, it) =>
+        val top = it.map(t => ScoredDoc(t._2, t._3)).toArray
+          .sortBy(sd => (-sd.score, sd.docId))
+          .take(kByIdx(qIdx))
+        (qIdx, top)
+      }
+      .collect().toMap
+    queries.indices.map(i => merged.getOrElse(i, Array.empty[ScoredDoc]))
+  }
+
   /** Same as [[search]] but joined back to document identity. The ≤k hits
     * are the broadcast side — the docs table is the 10^12-row side. */
   def searchWithIdentity(query: String, k: Int): DataFrame = {
@@ -116,6 +175,12 @@ class Searcher(spark: SparkSession, indexDir: String) {
       .select("docId", "repo", "path", "commit", "score")
       .orderBy(desc("score"), asc("docId"))
   }
+}
+
+object Searcher {
+  /** One query's compiled form inside [[Searcher.searchMany]]'s executors. */
+  private[search] final case class Plan(
+      qIdx: Int, idfById: Map[Long, Double], filterIds: Set[Long], k: Int)
 }
 
 /** Block-max WAND kernel: document-at-a-time top-k over the posting blocks

@@ -227,4 +227,12 @@ class EngineSpec extends AnyFunSuite {
           .withColumn("dl", org.apache.spark.sql.functions.lit(0L)))
     }
   }
+
+  test("searchMany batch results are identical to per-query search") {
+    val batch = searcher.searchMany(QuerySet)
+    QuerySet.zip(batch).foreach { case ((q, k), got) =>
+      val want = searcher.search(q, k)
+      assert(got.toSeq == want.toSeq, s"batch mismatch for '$q'")
+    }
+  }
 }
