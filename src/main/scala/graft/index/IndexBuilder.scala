@@ -42,15 +42,16 @@ final case class TermTf(term: String, tf: Long)
   *  - `content` is scanned and tokenized exactly ONCE (stage 0); everything
   *    after operates on the much smaller (identity, term, tf) projection.
   *    No shuffle ever moves `content`;
-  *  - the wide shuffles are: docId range-sort (identity cols only), the
-  *    tf explode+join (tf rows only), the term groupBy, and the final
-  *    `repartitionByRange(termId, docId)` — each on a minimal projection;
-  *  - stop-term skew cannot overload a task: range partitioning on the
-  *    composite `(termId, docId)` key splits a hot term's postings across
-  *    partitions (the sampled range bounds see the skew), and the packer is
-  *    streaming (O(blockSize) memory), so a run of any length packs fine —
-  *    this subsumes manual salting while keeping block-max bounds exact
-  *    (the reference needed `use_new_shuffle` for the same class of problem:
+  *  - exactly three wide operations touch the full posting volume: the
+  *    stage-0 docId range-sort (tokenized rows, content dropped), the term
+  *    groupBy, and the (termId, shard) pack shuffle. docs and tf are pure
+  *    column-pruned projections of stage 0 — there is NO identity join;
+  *  - stop-term skew cannot overload a task: the pack shuffle hashes on
+  *    `(termId, shard)`, so a stop term present in EVERY document still
+  *    contributes at most docsPerShard postings per task, spread over as
+  *    many tasks as there are shards — the bound holds by construction,
+  *    no sampling or salting heuristics (the reference needed
+  *    `use_new_shuffle` for the same class of problem:
   *    `luigi_pipeline/seqr_loading.py:115`);
   *  - blocks never span a shard (shard = docId / docsPerShard), so
   *    query-time WAND parallelizes per shard like ES shards
@@ -102,6 +103,9 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     Json.deleteRecursively(indexDir)
 
     // ---- stage 0: single tokenize pass over content → columnar doc/tf rows
+    // with dense docIds assigned in the same shuffle. Downstream stages are
+    // pure projections of this table (Parquet column pruning: docs never
+    // reads `terms`, tf never reads `sha256`) — no identity join anywhere.
     val doctfDir = s"$staging/_doctf"
     if (loadIfDone(doctfDir, 0L).isEmpty) stage("doctf") {
       val doctf = corpus
@@ -145,22 +149,27 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
             DocTf(repo, path, commit, lang, sha, toks.length.toLong, terms)
           }
         }
-      doctf.write.mode("overwrite").parquet(doctfDir)
+      // cache the tokenized rows so the range-partitioner's sampling pass
+      // (inside DenseIds) reads the cache instead of re-tokenizing 100 TB
+      val raw = doctf.toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ided = DenseIds.assign(raw, Seq("repo", "path", "commit"), "docId", cfg.buildPartitions)
+      ided.df
+        .select("docId", "repo", "path", "commit", "lang", "sha256", "dl", "terms")
+        .write.mode("overwrite").parquet(doctfDir)
+      ided.release()
+      raw.unpersist()
       Json.write(manifestPath(doctfDir),
         StageManifest("doctf", 0L, 0L, 0L, 0L, cfg.configHash))
     }
     kill(0)
 
     // ---- stage 1: docs (identity, sha256 lineage, doc length, dense docId)
+    // — a narrow projection of stage 0 (the `terms` column is pruned away)
     val docsDir = s"$staging/docs"
     val docsManifest = loadIfDone(docsDir, 0L).getOrElse(stage("docs") {
-      val withStats = spark.read.parquet(doctfDir)
-        .select("repo", "path", "commit", "lang", "sha256", "dl")
-      val ided = DenseIds.assign(withStats, Seq("repo", "path", "commit"), "docId", cfg.buildPartitions)
-      ided.df
+      spark.read.parquet(doctfDir)
         .select("docId", "repo", "path", "commit", "lang", "sha256", "dl")
         .write.mode("overwrite").parquet(docsDir)
-      ided.release()
       val row = spark.read.parquet(docsDir)
         .agg(count("*").as("n"), sum("dl").as("sumDl"),
           expr("bit_xor(xxhash64(sha256))").as("lineage"))
@@ -175,19 +184,14 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     val sumDl = docsManifest.postings // sumDl carried in `postings` slot for the docs stage
     val lineage = docsManifest.lineage
     val avgdl = sumDl.toDouble / numDocs.toDouble
-    val docs = spark.read.parquet(docsDir)
 
-    // ---- stage 2: term frequencies (term, docId, tf, dl) — tf rows only,
-    // joined to docs on identity (sort-merge on the small projections; the
-    // 100 TB content column never reaches this shuffle)
+    // ---- stage 2: term frequencies (term, docId, tf, dl) — a flat explode
+    // of stage 0's pruned (docId, dl, terms) columns; no join, no shuffle
     val tfDir = s"$staging/_tf"
     val tfManifest = loadIfDone(tfDir, lineage).getOrElse(stage("tf") {
       val tf = spark.read.parquet(doctfDir)
-        .select(col("repo"), col("path"), col("commit"), explode(col("terms")).as("t"))
-        .select(col("repo"), col("path"), col("commit"),
-          col("t.term").as("term"), col("t.tf").as("tf"))
-        .join(docs.select("repo", "path", "commit", "docId", "dl"), Seq("repo", "path", "commit"))
-        .select("term", "docId", "tf", "dl")
+        .select(col("docId"), col("dl"), explode(col("terms")).as("t"))
+        .select(col("t.term").as("term"), col("docId"), col("t.tf").as("tf"), col("dl"))
       tf.write.mode("overwrite").parquet(tfDir)
       val row = spark.read.parquet(tfDir).agg(count("*").as("n")).head()
       val m = StageManifest("tf", row.getAs[Long]("n"), 0L, row.getAs[Long]("n"), lineage, cfg.configHash)
