@@ -53,7 +53,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "24000").toLong
+    val benchFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "36000").toLong
     val tmp = System.getProperty("java.io.tmpdir")
 
     // ---- phase A: harness queries at the driver's SF dir
