@@ -12,9 +12,9 @@ import graft.search.Searcher
   *              query p50/p99 ms}}
   *
   * The engine section evidences the north rule's two-cluster-size scaling
-  * criterion in-sandbox: the identical build job runs at local[8] and
-  * local[32] on the same synthesized corpus; efficiency =
-  * throughput(32) / (4 × throughput(8)).
+  * criterion in-sandbox: the identical build job runs at local[N] and
+  * local[4N] (default 2 and 8 — see the phase-B comment for why) on the
+  * same synthesized corpus; efficiency = tput(4N) / (4 × tput(N)).
   */
 object Bench {
 

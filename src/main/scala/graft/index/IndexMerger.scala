@@ -1,0 +1,107 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Segment merge: combine two published indexes into one WITHOUT touching
+  * `content` — no re-tokenization, the expensive pass at 100 TB.
+  *
+  * This is the engine analogue of the reference's incremental reference-data
+  * update (drop one dataset's struct, outer-join its fresh version —
+  * `hail_scripts/reference_data/combine.py:141-154`) combined with its
+  * post-load `forcemerge` compaction
+  * (`hail_elasticsearch_client.py:213`): the intended workflow for a corpus
+  * delta is "build a small index over the changed/new files, then merge it
+  * onto the big index".
+  *
+  * Semantics: document identity is `(repo, path, commit)`; where both
+  * segments contain the same identity, the NEWER segment (`dirB`) wins — ES
+  * upsert semantics (`es.write.operation=upsert`,
+  * `hail_elasticsearch_client.py:98-116`). The merged index is logically
+  * identical to a fresh build over the merged corpus (tested): same dense
+  * docIds (global identity sort), same dictionary, same postings, and
+  * bit-identical BM25 scores (N/avgdl/df are recomputed for the union).
+  *
+  * Plan shape (all narrow or minimally-projected wide ops):
+  *  1. docs_B ∪ (docs_A anti docs_B) → dense re-id by identity sort;
+  *  2. each side's blocks → decode → (term via that side's dictionary,
+  *     newDocId via the id mapping) — flat postings, no content;
+  *  3. the existing builder's dictionary/pack stages run unchanged on the
+  *     synthesized checkpoint layout (stages 0-2 are marked complete).
+  */
+object IndexMerger {
+
+  private val KeyCols = Seq("repo", "path", "commit")
+
+  def merge(
+      spark: SparkSession,
+      dirA: String,
+      dirB: String,
+      outDir: String,
+      cfg: IndexConfig = IndexConfig()): IndexMeta = {
+    import spark.implicits._
+
+    val staging = outDir + ".staging"
+    Json.deleteRecursively(staging)
+
+    val docsA = spark.read.parquet(s"$dirA/docs")
+    val docsB = spark.read.parquet(s"$dirB/docs")
+
+    // ---- merged docs with fresh dense ids (identity-sorted, B wins)
+    val keep = docsB.withColumn("src", lit("B"))
+      .unionByName(
+        docsA.join(docsB.select(KeyCols.map(col): _*), KeyCols, "left_anti")
+          .withColumn("src", lit("A")))
+      .withColumnRenamed("docId", "oldDocId")
+    val ided = DenseIds.assign(keep, KeyCols, "docId", cfg.buildPartitions)
+    val docsDir = s"$staging/docs"
+    ided.df
+      .select("docId", "repo", "path", "commit", "lang", "sha256", "dl")
+      .write.mode("overwrite").parquet(docsDir)
+    val mapping = ided.df.select("src", "oldDocId", "docId", "dl")
+    mapping.write.mode("overwrite").parquet(s"$staging/_idmap")
+    ided.release()
+    val row = spark.read.parquet(docsDir)
+      .agg(count("*").as("n"), sum("dl").as("sumDl"),
+        expr("bit_xor(xxhash64(sha256))").as("lineage"))
+      .head()
+    val lineage = row.getAs[Long]("lineage")
+    Json.write(s"$docsDir/_manifest.json",
+      StageManifest("docs", row.getAs[Long]("n"), 0L, row.getAs[Long]("sumDl"),
+        lineage, cfg.configHash))
+
+    // ---- flat postings from both segments, re-keyed to the new docIds
+    val idmap = spark.read.parquet(s"$staging/_idmap")
+    def sidePostings(dir: String, src: String): DataFrame = {
+      val blocks = spark.read.parquet(s"$dir/blocks")
+        .select("shard", "termId", "firstDoc", "lastDoc", "n", "docs", "tfs", "dls", "maxTfn")
+        .as[PostingBlock]
+      val flat = blocks.flatMap { b =>
+        val ids = b.docIds; val tfs = b.tfValues
+        (0 until b.n).iterator.map(i => (b.termId, ids(i), tfs(i)))
+      }.toDF("termId", "oldDocId", "tf")
+      val dict = spark.read.parquet(s"$dir/terms").select("termId", "term")
+      flat
+        .join(dict, Seq("termId"))
+        .join(idmap.filter(col("src") === src), Seq("oldDocId"))
+        .select("term", "docId", "tf", "dl")
+    }
+    val tfDir = s"$staging/_tf"
+    sidePostings(dirA, "A").unionByName(sidePostings(dirB, "B"))
+      .write.mode("overwrite").parquet(tfDir)
+    val tfN = spark.read.parquet(tfDir).count()
+    Json.write(s"$tfDir/_manifest.json",
+      StageManifest("tf", tfN, 0L, tfN, lineage, cfg.configHash))
+
+    // mark stage 0 complete (there is no doctf — stages 1-2 are prebuilt)
+    Json.write(s"$staging/_doctf/_manifest.json",
+      StageManifest("doctf", 0L, 0L, 0L, 0L, cfg.configHash))
+    Json.deleteRecursively(s"$staging/_idmap")
+
+    // ---- dictionary + pack + publish via the normal builder (resume path)
+    val emptyCorpus = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.sources.CorpusIO.CorpusSchema)
+    new IndexBuilder(spark, cfg).build(emptyCorpus, outDir, resume = true)
+  }
+}
