@@ -264,6 +264,34 @@ object SparkEntry {
         .withColumnRenamed("info.mkt.nation", "info_mkt_nation")
     }),
 
+    // rollup (hierarchical aggregation; beyond the reference's inventory)
+    "q26_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("cnt"))),
+
+    // set operations (§2.7): intersect / except at table level
+    "q27_intersect" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+        .intersect(
+          t(s, d, "orders").filter(col("o_totalprice") > 200000).select(col("o_custkey").as("k")))),
+    "q28_except" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+        .except(
+          t(s, d, "orders").filter(col("o_totalprice") > 400000).select(col("o_custkey").as("k")))),
+
+    // exact interpolated percentiles
+    "q29_percentile" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))),
+
     // ---- training-data operators over `documents` / `embeddings` ----
 
     // token counting
@@ -553,6 +581,19 @@ object SparkEntry {
         """SELECT c_custkey, c_name AS info_name, c_mktsegment AS info_mkt_segment,
           | c_nationkey AS info_mkt_nation FROM customer""".stripMargin,
 
+      "q26_rollup" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+          | round(sum(l_quantity),2) AS sum_qty, count(*) AS cnt
+          | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+      "q27_intersect" ->
+        """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+          | INTERSECT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000""".stripMargin,
+      "q28_except" ->
+        """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+          | EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000""".stripMargin,
+      "q29_percentile" ->
+        """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5),2) AS p50,
+          | round(quantile_cont(o_totalprice, 0.9),2) AS p90 FROM orders GROUP BY 1""".stripMargin,
       "td1_tokens" ->
         s"""SELECT doc_id, cast(len(tk) as bigint) AS n_tokens, cast(len(list_distinct(tk)) as bigint) AS n_distinct
            | FROM (SELECT doc_id, $tokExpr AS tk FROM documents)""".stripMargin,
