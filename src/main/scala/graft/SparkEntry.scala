@@ -292,6 +292,13 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
           round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))),
 
+    // A6 — collect_set + dedupe/flatten union (hl_agg_collect_set_union)
+    "q30_collect_set" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(concat_ws(",",
+          sort_array(collect_set((col("user_id") % 10).cast("string")))).as("user_buckets"))),
+
     // ---- training-data operators over `documents` / `embeddings` ----
 
     // token counting
@@ -594,6 +601,10 @@ object SparkEntry {
       "q29_percentile" ->
         """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5),2) AS p50,
           | round(quantile_cont(o_totalprice, 0.9),2) AS p90 FROM orders GROUP BY 1""".stripMargin,
+      "q30_collect_set" ->
+        """SELECT event_type,
+          | array_to_string(list_sort(list_distinct(list(cast(user_id % 10 as varchar)))), ',') AS user_buckets
+          | FROM events GROUP BY 1""".stripMargin,
       "td1_tokens" ->
         s"""SELECT doc_id, cast(len(tk) as bigint) AS n_tokens, cast(len(list_distinct(tk)) as bigint) AS n_distinct
            | FROM (SELECT doc_id, $tokExpr AS tk FROM documents)""".stripMargin,
