@@ -64,6 +64,35 @@ object SparkEntry {
        |SELECT doc_id, $aggs FROM ex GROUP BY doc_id""".stripMargin
   }
 
+  /** MinHash-LSH candidate pairs (2 bands × 4 rows): the scale-safe
+    * candidate generator shared by td7 (the pairs themselves) and td8
+    * (exact Jaccard verification gated on these candidates — never an
+    * unblocked shingle self-join). */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashDf(s, dir).select(
+      col("doc_id"),
+      md5(concat_ws("|", col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("band0"),
+      md5(concat_ws("|", col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("band1"))
+    val a = sig.select(col("doc_id").as("doc_a"), col("band0"), col("band1"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("band0").as("b0"), col("band1").as("b1"))
+    a.join(b, col("band0") === col("b0") && col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
+      .unionByName(
+        a.join(b, col("band1") === col("b1") && col("doc_a") < col("doc_b")).select("doc_a", "doc_b"))
+      .distinct()
+  }
+
+  private val lshCandidatesSql =
+    s"""WITH mh AS ($minhashSql),
+       |sig AS (SELECT doc_id,
+       |  md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band0,
+       |  md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS band1 FROM mh)
+       |SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+       |    ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+       |    ON a.band1 = b.band1 AND a.doc_id < b.doc_id)""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg_pricing")(spark, "/root/testdata/sf0.001")
@@ -347,36 +376,24 @@ object SparkEntry {
     "td6_minhash" -> ((s, d) => minhashDf(s, d)),
 
     // LSH candidate pairs: 2 bands × 4 rows
-    "td7_lsh_pairs" -> ((s, d) => {
-      val sig = minhashDf(s, d).select(
-        col("doc_id"),
-        md5(concat_ws("|", col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("band0"),
-        md5(concat_ws("|", col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("band1"))
-      val a = sig.select(col("doc_id").as("doc_a"), col("band0"), col("band1"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("band0").as("b0"), col("band1").as("b1"))
-      a.join(b, col("band0") === col("b0") && col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
-        .unionByName(
-          a.join(b, col("band1") === col("b1") && col("doc_a") < col("doc_b")).select("doc_a", "doc_b"))
-        .distinct()
-    }),
+    "td7_lsh_pairs" -> ((s, d) => lshCandidates(s, d)),
 
-    // exact n-gram Jaccard over shingle-sharing pairs
+    // exact n-gram Jaccard, verified ONLY over the LSH candidate pairs —
+    // the scale shape: O(candidates), never O(Σ df²) of an unblocked
+    // shingle self-join. Exactness within the candidate set is preserved
+    // (array_intersect over the full distinct-shingle sets).
     "td8_jaccard" -> ((s, d) => {
-      val sh = t(s, d, "documents")
+      val shs = t(s, d, "documents")
         .select(col("doc_id"), toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= 3)
-        .select(col("doc_id"), explode(array_distinct(shingles(col("tk")))).as("sh"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val pairs = sh.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh2")),
-          col("sh") === col("sh2") && col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+        .select(col("doc_id"), array_distinct(shingles(col("tk"))).as("shs"))
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      lshCandidates(s, d)
+        .join(shs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
+        .join(shs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          round(col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+          round(inter.cast("double") /
+            (size(col("sa")) + size(col("sb")) - inter).cast("double"), 4).as("jaccard"))
     }),
 
     // SimHash (16-bit, md5-nibble hyperplanes over distinct tokens)
@@ -391,16 +408,29 @@ object SparkEntry {
           concat((1 to 16).map(j => when(col(s"s$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
     }),
 
-    // embedding-cosine near-dup pairs (label-blocked)
+    // embedding-cosine near-dup pairs over sign-LSH band blocks (random-
+    // hyperplane LSH with axis-aligned planes: band key = sign bits of 8
+    // dims; 2 bands). Exact cosine is computed only within candidate
+    // buckets — O(candidates), not O(n²/labels). Bucket count scales with
+    // n by widening the band (more sign bits), the documented scale knob.
     "td10_cos_pairs" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("vec_b"), col("label").as("lb"), col("v").as("vb"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      def bandKey(from: Int): Column = concat((from until from + 8).map(i =>
+        when(element_at(col("v"), i + 1) >= 0, "1").otherwise("0")): _*)
+      val keyed = e.select(col("vec_id"), col("v"), bandKey(0).as("b0"), bandKey(8).as("b1"))
+      val a = keyed.select(col("vec_id").as("vec_a"), col("b0"), col("b1"))
+      val b = keyed.select(col("vec_id").as("vec_b"), col("b0").as("c0"), col("b1").as("c1"))
+      val cand = a.join(b, col("b0") === col("c0") && col("vec_a") < col("vec_b")).select("vec_a", "vec_b")
+        .unionByName(
+          a.join(b, col("b1") === col("c1") && col("vec_a") < col("vec_b")).select("vec_a", "vec_b"))
+        .distinct()
       val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
       val na = sqrt(aggregate(transform(col("va"), x => x * x), lit(0.0), (acc, x) => acc + x))
       val nb = sqrt(aggregate(transform(col("vb"), x => x * x), lit(0.0), (acc, x) => acc + x))
-      a.join(b, col("label") === col("lb") && col("vec_a") < col("vec_b"))
+      cand
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
         .select(col("vec_a"), col("vec_b"), round(dot / (na * nb), 3).as("cos"))
         .filter(col("cos") >= 0.25)
     }),
@@ -463,25 +493,33 @@ object SparkEntry {
         .limit(50)
     }),
 
-    // term dictionary with dense ids (the engine's stage-3 semantics)
+    // term dictionary with dense ids (the engine's stage-3 semantics),
+    // expressed through the scalable DenseIds partition-offset plan —
+    // NOT a global single-task Window.orderBy (the serial bottleneck the
+    // engine's own DenseIds exists to avoid).
     "fts2_term_dict" -> ((s, d) => {
       val tf = t(s, d, "documents")
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      tf.groupBy("term")
+      val stats = tf.groupBy("term")
         .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-        .select(col("term"),
-          (row_number().over(Window.orderBy("term")) - 1).cast("long").as("term_id"),
-          col("df"), col("cf"))
+      graft.index.DenseIds.assign(stats, Seq("term"), "term_id", 8)
+        .df.select("term", "term_id", "df", "cf")
     }),
 
-    // the real engine end-to-end: index build + block-max WAND top-k
-    // (rank/score identity vs the brute-force oracle is asserted in the
-    // ScalaTest suite; the driver records rows>0 here)
+    // the real engine end-to-end: index build + block-max WAND top-k,
+    // joined back to document identity so the DuckDB brute-force BM25
+    // oracle (same plan as fts1, k=50) verifies rows+schema+hash. Scores
+    // are rounded to 4dp (cross-engine last-ulp ln() noise); rank/score
+    // bit-identity vs the Spark brute-force oracle is additionally
+    // asserted in the ScalaTest suite.
     "fts3_wand" -> ((s, d) => {
       import s.implicits._
+      // constant repo + zero-padded doc_id path ⇒ dense docId order equals
+      // doc_id order, so the engine's (score desc, docId asc) tie-break
+      // matches the oracle's (score desc, doc_id asc) exactly
       val corpus = t(s, d, "documents").select(
-        col("source").as("repo"),
+        lit("docs").as("repo"),
         lpad(col("doc_id").cast("string"), 8, "0").as("path"),
         md5(col("text")).as("commit"),
         col("lang"), col("text").as("content"))
@@ -489,9 +527,11 @@ object SparkEntry {
       val builder = new IndexBuilder(s, IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2))
       builder.build(corpus, idxDir, resume = false)
       val searcher = new Searcher(s, idxDir)
-      searcher.search("spark query merge", 20).toSeq
-        .toDF("doc_id_dense", "score_raw")
-        .select(col("doc_id_dense"), round(col("score_raw"), 6).as("score"))
+      val hits = searcher.search("spark query merge", 50).toSeq.toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
     })
   )
 
@@ -624,29 +664,15 @@ object SparkEntry {
       "td5_dedup_exact" ->
         "SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies FROM documents GROUP BY 1",
       "td6_minhash" -> minhashSql,
-      "td7_lsh_pairs" ->
-        s"""WITH mh AS ($minhashSql),
-           |sig AS (SELECT doc_id,
-           |  md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band0,
-           |  md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS band1 FROM mh)
-           |SELECT DISTINCT doc_a, doc_b FROM (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
-           |    ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-           |  UNION ALL
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
-           |    ON a.band1 = b.band1 AND a.doc_id < b.doc_id)""".stripMargin,
+      "td7_lsh_pairs" -> lshCandidatesSql,
       "td8_jaccard" ->
-        s"""WITH shing AS ($shinglesSql),
-           |ex AS (SELECT doc_id, unnest(list_distinct(sh)) AS sh FROM shing),
-           |sz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
-           |pairs AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-           |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           |  GROUP BY 1,2)
+        s"""WITH cand AS ($lshCandidatesSql),
+           |shing AS ($shinglesSql),
+           |shs AS (SELECT doc_id, list_distinct(sh) AS shs FROM shing)
            |SELECT doc_a, doc_b,
-           |  round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
-           |FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-           |WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5""".stripMargin,
+           |  round(len(list_intersect(sa.shs, sb.shs)) * 1.0 /
+           |        (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 4) AS jaccard
+           |FROM cand JOIN shs sa ON sa.doc_id = doc_a JOIN shs sb ON sb.doc_id = doc_b""".stripMargin,
       "td9_simhash" -> {
         val highs = "('8','9','a','b','c','d','e','f')"
         val sums = (1 to 16).map(j =>
@@ -656,12 +682,21 @@ object SparkEntry {
            |agg AS (SELECT doc_id, $sums FROM ex GROUP BY doc_id)
            |SELECT doc_id, $bits AS simhash FROM agg""".stripMargin
       },
-      "td10_cos_pairs" ->
-        """WITH e AS (SELECT vec_id, label, cast(embedding as DOUBLE[]) AS v FROM embeddings)
-          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          |  round(list_cosine_similarity(a.v, b.v), 3) AS cos
-          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-          |WHERE round(list_cosine_similarity(a.v, b.v), 3) >= 0.25""".stripMargin,
+      "td10_cos_pairs" -> {
+        def key(from: Int) = (from + 1 to from + 8)
+          .map(i => s"CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+        s"""WITH e AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v FROM embeddings),
+           |k AS (SELECT vec_id, v, ${key(0)} AS b0, ${key(8)} AS b1 FROM e),
+           |cand AS (SELECT DISTINCT vec_a, vec_b FROM (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM k a JOIN k b
+           |    ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+           |  UNION ALL
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM k a JOIN k b
+           |    ON a.b1 = b.b1 AND a.vec_id < b.vec_id))
+           |SELECT vec_a, vec_b, round(list_cosine_similarity(ea.v, eb.v), 3) AS cos
+           |FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+           |WHERE round(list_cosine_similarity(ea.v, eb.v), 3) >= 0.25""".stripMargin
+      },
       "td11_ann_topk" ->
         """WITH e AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v FROM embeddings),
           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
@@ -673,6 +708,20 @@ object SparkEntry {
           | md5(text) AS payload_md5, source FROM documents""".stripMargin,
 
       "fts1_bm25_brute" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('spark','query','merge') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      "fts3_wand" ->
         s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
            |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
            |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),

@@ -1,6 +1,5 @@
 package graft.index
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -21,6 +20,13 @@ import org.apache.spark.storage.StorageLevel
   * Range partition indices are ordered by key, so offsets in pid order give
   * a globally dense, sorted id. The sorted intermediate is persisted so the
   * shuffle/sort runs once, not twice.
+  *
+  * The partition id is materialized as a column with `spark_partition_id()`
+  * (bound to the RDD partition index at this stage) rather than read from
+  * `TaskContext` inside the closure: a downstream narrow `coalesce` runs
+  * many parent partitions inside one task, where the task's partition id
+  * would be the same for all of them and the offsets would silently
+  * collapse to partition 0's.
   */
 object DenseIds {
 
@@ -35,10 +41,10 @@ object DenseIds {
     val sorted = df
       .repartitionByRange(numPartitions, cols: _*)
       .sortWithinPartitions(cols: _*)
+      .withColumn("_pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val counts: Array[Row] =
-      sorted.groupBy(spark_partition_id().as("_pid")).count().collect()
+    val counts: Array[Row] = sorted.groupBy(col("_pid")).count().collect()
     val byPid = counts.map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = new Array[Long](numPartitions)
     var acc = 0L
@@ -46,14 +52,18 @@ object DenseIds {
     // a pid with no rows never appears in `counts`; its offset is unused
     val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
 
-    val outSchema = sorted.schema.add(idCol, LongType, nullable = false)
+    val pidIdx = sorted.schema.fieldIndex("_pid")
+    val outSchema = df.schema.add(idCol, LongType, nullable = false)
     val out = sorted.mapPartitions { it =>
-      val base = bc.value(TaskContext.getPartitionId())
+      val off = bc.value
+      var curPid = -1
       var i = 0L
       it.map { r =>
-        val id = base + i
+        val pid = r.getInt(pidIdx)
+        if (pid != curPid) { curPid = pid; i = 0L }
+        val id = off(pid) + i
         i += 1
-        Row.fromSeq(r.toSeq :+ id)
+        Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ id)
       }
     }(Encoders.row(outSchema))
     WithId(out, () => { sorted.unpersist(); () })
