@@ -93,6 +93,19 @@ object SparkEntry {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
        |    ON a.band1 = b.band1 AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** The three struct-wrapped side datasets of the J2/J3 full-outer combine
+    * queries (each dataset = one struct column keyed by `k`, the reference's
+    * name-clash-free wrap: combine.py:120). */
+  private def fullOuterSides(s: SparkSession, d: String): Seq[DataFrame] = Seq(
+    t(s, d, "customer").select(col("c_custkey").as("k"),
+      struct(col("c_name").as("name"), col("c_mktsegment").as("segment")).as("cust")),
+    t(s, d, "orders").groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n"), round(max("o_totalprice"), 2).as("mx"))
+      .select(col("k"), struct(col("n").as("n_orders"), col("mx").as("max_price")).as("ord")),
+    t(s, d, "events").groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"), struct(col("n").as("n_events")).as("ev")))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg_pricing")(spark, "/root/testdata/sf0.001")
@@ -327,6 +340,94 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(concat_ws(",",
           sort_array(collect_set((col("user_id") % 10).cast("string")))).as("user_buckets"))),
+
+    // J2 — multi-way FULL-OUTER join of struct-wrapped datasets on a shared
+    // key, the reference's flagship combine step (reduce over datasets each
+    // pre-wrapped as one struct column — combine.py:131-138). Flattened for
+    // the SQL oracle; the struct wrap + reduce is the exercised shape.
+    "q31_join_full_outer" -> ((s, d) => {
+      val sides = fullOuterSides(s, d)
+      sides.reduce(_.join(_, Seq("k"), "full_outer"))
+        .select(col("k"), col("cust.name").as("name"), col("cust.segment").as("segment"),
+          col("ord.n_orders").as("n_orders"), col("ord.max_price").as("max_price"),
+          col("ev.n_events").as("n_events"))
+    }),
+
+    // J3 — incremental re-join: drop one dataset's struct, outer-join its
+    // fresh version, keep rows where ANY dataset struct is non-null
+    // (combine.py:141-154) — the index-update/recompute pattern.
+    "q32_join_incremental" -> ((s, d) => {
+      val Seq(cust, ord, ev) = fullOuterSides(s, d)
+      val base = Seq(cust, ord, ev).reduce(_.join(_, Seq("k"), "full_outer"))
+      val freshOrd = t(s, d, "orders").filter(col("o_totalprice") > 100000)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n"), round(max("o_totalprice"), 2).as("mx"))
+        .select(col("k"), struct(col("n").as("n_orders"), col("mx").as("max_price")).as("ord"))
+      base.drop("ord")
+        .join(freshOrd, Seq("k"), "full_outer")
+        .filter(Seq("cust", "ev", "ord").map(col(_).isNotNull).reduce(_ || _))
+        .select(col("k"), col("cust.name").as("name"), col("cust.segment").as("segment"),
+          col("ord.n_orders").as("n_orders"), col("ord.max_price").as("max_price"),
+          col("ev.n_events").as("n_events"))
+    }),
+
+    // F6 — printf-style formatting (gcnv_mt_schema.py:60)
+    "q33_format" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        format_string("%s_%s_%03d", col("p_brand"), col("p_type"), col("p_size")).as("part_tag"))),
+
+    // F7 — parse-numerics with null-on-garbage (config.py:50-54 parse_float)
+    "q34_try_cast" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        expr("try_cast(element_at(split(c_name, '#'), 2) as bigint)").as("name_num"),
+        expr("try_cast(c_mktsegment as bigint)").as("bad_num"))),
+
+    // F15/F18 — in-expression dict build + JSON stringify: group_by →
+    // map_values fold → stringified map (clinvar.py:98-115, vep.py:270-294)
+    "q35_map_json" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"), (col("user_id") % 5).cast("string").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(to_json(map_from_entries(sort_array(collect_list(struct(col("b"), col("c"))))))
+          .as("bucket_counts_json"))),
+
+    // A10 — deterministic sampling. df.sample(fraction, seed) is seeded but
+    // not portable across engines; the oracle-able scale-safe equivalent is
+    // hash-Bernoulli sampling on the key (same semantics: fixed fraction,
+    // reproducible, embarrassingly parallel).
+    "q36_sample_hash" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "2a")
+        .select("o_orderkey", "o_custkey")),
+
+    // F19 — multi-value field parse: split(';').find(p != '.')
+    // (config.py:24-25 predictor parsing)
+    "q37_multi_value_parse" -> ((s, d) => {
+      val multi = concat_ws(";", lit("."), col("p_brand"), lit("."), col("p_type"))
+      t(s, d, "part").select(
+        col("p_partkey"),
+        element_at(filter(split(multi, ";"), x => x =!= "."), 1).as("first_real"))
+    }),
+
+    // P3/P4/P6 — config-driven filter, then the reference's shuffle-free
+    // length-split pattern: branch on split-arity, transmute each branch,
+    // union back (seqr_loading.py:150-161: split-multi only on the
+    // multiallelic minority)
+    "q38_split_branches" -> ((s, d) => {
+      val cfgFilter = "p_size >= 5" // config-driven predicate (P4)
+      val base = t(s, d, "part").filter(expr(cfgFilter))
+        .select(col("p_partkey"), split(col("p_name"), " ").as("words"))
+      val bi = base.filter(size(col("words")) <= 3)
+        .withColumns(Map("n_words" -> size(col("words")).cast("long"),
+          "branch" -> lit("short"))).drop("words") // transmute (P6)
+      val multi = base.filter(size(col("words")) > 3)
+        .withColumns(Map("n_words" -> size(col("words")).cast("long"),
+          "branch" -> lit("long"))).drop("words")
+      bi.unionByName(multi)
+    }),
 
     // ---- training-data operators over `documents` / `embeddings` ----
 
@@ -645,6 +746,47 @@ object SparkEntry {
         """SELECT event_type,
           | array_to_string(list_sort(list_distinct(list(cast(user_id % 10 as varchar)))), ',') AS user_buckets
           | FROM events GROUP BY 1""".stripMargin,
+      "q31_join_full_outer" ->
+        """WITH c AS (SELECT c_custkey AS k, c_name AS name, c_mktsegment AS segment FROM customer),
+          |o AS (SELECT o_custkey AS k, count(*) AS n_orders, round(max(o_totalprice),2) AS max_price
+          |      FROM orders GROUP BY 1),
+          |e AS (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1),
+          |co AS (SELECT coalesce(c.k, o.k) AS k, name, segment, n_orders, max_price
+          |       FROM c FULL OUTER JOIN o ON c.k = o.k)
+          |SELECT coalesce(co.k, e.k) AS k, name, segment, n_orders, max_price, n_events
+          |FROM co FULL OUTER JOIN e ON co.k = e.k""".stripMargin,
+      "q32_join_incremental" ->
+        """WITH c AS (SELECT c_custkey AS k, c_name AS name, c_mktsegment AS segment FROM customer),
+          |e AS (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1),
+          |o2 AS (SELECT o_custkey AS k, count(*) AS n_orders, round(max(o_totalprice),2) AS max_price
+          |       FROM orders WHERE o_totalprice > 100000 GROUP BY 1),
+          |base AS (SELECT coalesce(c.k, e.k) AS k, name, segment, n_events,
+          |                (c.k IS NOT NULL) AS has_c, (e.k IS NOT NULL) AS has_e
+          |         FROM c FULL OUTER JOIN e ON c.k = e.k)
+          |SELECT coalesce(base.k, o2.k) AS k, name, segment, n_orders, max_price, n_events
+          |FROM base FULL OUTER JOIN o2 ON base.k = o2.k
+          |WHERE coalesce(has_c, false) OR coalesce(has_e, false) OR o2.k IS NOT NULL""".stripMargin,
+      "q33_format" ->
+        "SELECT p_partkey, printf('%s_%s_%03d', p_brand, p_type, p_size) AS part_tag FROM part",
+      "q34_try_cast" ->
+        """SELECT c_custkey, try_cast(split_part(c_name, '#', 2) as bigint) AS name_num,
+          | try_cast(c_mktsegment as bigint) AS bad_num FROM customer""".stripMargin,
+      "q35_map_json" ->
+        """SELECT event_type,
+          | '{' || string_agg('"' || b || '":' || c, ',' ORDER BY b) || '}' AS bucket_counts_json
+          |FROM (SELECT event_type, cast(user_id % 5 as varchar) AS b, count(*) AS c
+          |      FROM events GROUP BY 1,2) GROUP BY event_type""".stripMargin,
+      "q36_sample_hash" ->
+        """SELECT o_orderkey, o_custkey FROM orders
+          | WHERE substring(md5(cast(o_orderkey as varchar)), 1, 2) < '2a'""".stripMargin,
+      "q37_multi_value_parse" ->
+        """SELECT p_partkey,
+          | list_filter(string_split('.' || ';' || p_brand || ';' || '.' || ';' || p_type, ';'),
+          |   x -> x <> '.')[1] AS first_real FROM part""".stripMargin,
+      "q38_split_branches" ->
+        """SELECT p_partkey, cast(len(string_split(p_name, ' ')) as bigint) AS n_words,
+          | CASE WHEN len(string_split(p_name, ' ')) <= 3 THEN 'short' ELSE 'long' END AS branch
+          |FROM part WHERE p_size >= 5""".stripMargin,
       "td1_tokens" ->
         s"""SELECT doc_id, cast(len(tk) as bigint) AS n_tokens, cast(len(list_distinct(tk)) as bigint) AS n_distinct
            | FROM (SELECT doc_id, $tokExpr AS tk FROM documents)""".stripMargin,
