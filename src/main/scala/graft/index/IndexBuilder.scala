@@ -42,10 +42,13 @@ final case class TermTf(term: String, tf: Long)
   *  - `content` is scanned and tokenized exactly ONCE (stage 0); everything
   *    after operates on the much smaller (identity, term, tf) projection.
   *    No shuffle ever moves `content`;
-  *  - exactly three wide operations touch the full posting volume: the
-  *    stage-0 docId range-sort (tokenized rows, content dropped), the term
-  *    groupBy, and the (termId, shard) pack shuffle. docs and tf are pure
-  *    column-pruned projections of stage 0 — there is NO identity join;
+  *  - exactly four wide operations touch the full posting volume, each
+  *    ONCE: the stage-0 docId range-sort (tokenized rows — the one
+  *    content-scale shuffle, traded for eliminating any identity join),
+  *    the term groupBy, the tf↔dictionary termId-encode join (stage 4,
+  *    written bucket-partitioned so the per-bucket pack reads only its own
+  *    slice), and the (termId, shard) pack shuffle. docs and tf are pure
+  *    column-pruned projections of stage 0;
   *  - stop-term skew cannot overload a task: the pack shuffle hashes on
   *    `(termId, shard)`, so a stop term present in EVERY document still
   *    contributes at most docsPerShard postings per task, spread over as
@@ -88,8 +91,8 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     *
     * `killAfterStage` simulates a mid-build crash for the resume-equivalence
     * test (SURVEY.md §5 mode 2): the build throws [[BuildKilled]] right
-    * after completing stage N (0=doctf, 1=docs, 2=tf, 3=terms,
-    * 4+b = block bucket b). A subsequent `build(resume = true)` must produce
+    * after completing stage N (0=doctf, 1=docs, 2=tf, 3=terms, 4=tfenc,
+    * 5+b = block bucket b). A subsequent `build(resume = true)` must produce
     * an index logically identical to an uninterrupted fresh build. */
   def build(
       corpus: DataFrame,
@@ -100,14 +103,28 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       if (n >= killAfterStage) throw new IndexBuilder.BuildKilled(n)
     val staging = indexDir + ".staging"
     if (!resume) Json.deleteRecursively(staging)
-    Json.deleteRecursively(indexDir)
+    // the published index (if any) stays live until the atomic publish at
+    // the end replaces it — a failed rebuild must never destroy the old
+    // index (the reference's build-then-publish contract, staged loading
+    // at `elasticsearch_client_v7.py:107-147`)
+
+    // cheap input fingerprint for resume-staleness: hash of the corpus file
+    // listing. Catches files added/removed between a killed run and its
+    // resume (immutable-file sources — the normal object-store layout);
+    // empty (0 = unchecked) for non-file inputs, where resume is only valid
+    // over an unchanged corpus.
+    val inputFp: Long = {
+      val files = corpus.inputFiles
+      if (files.isEmpty) 0L
+      else files.sorted.foldLeft(1125899906842597L)((h, f) => 31 * h + f.hashCode)
+    }
 
     // ---- stage 0: single tokenize pass over content → columnar doc/tf rows
     // with dense docIds assigned in the same shuffle. Downstream stages are
     // pure projections of this table (Parquet column pruning: docs never
     // reads `terms`, tf never reads `sha256`) — no identity join anywhere.
     val doctfDir = s"$staging/_doctf"
-    if (loadIfDone(doctfDir, 0L).isEmpty) stage("doctf") {
+    if (loadIfDone(doctfDir, inputFp).isEmpty) stage("doctf") {
       val doctf = corpus
         .select("repo", "path", "commit", "lang", "content")
         .as[(String, String, String, String, String)]
@@ -159,7 +176,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       ided.release()
       raw.unpersist()
       Json.write(manifestPath(doctfDir),
-        StageManifest("doctf", 0L, 0L, 0L, 0L, cfg.configHash))
+        StageManifest("doctf", 0L, 0L, 0L, inputFp, cfg.configHash))
     }
     kill(0)
 
@@ -218,22 +235,33 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     kill(3)
     val numTerms = termsManifest.terms
 
-    // ---- stage 4: posting blocks, fused join→range-shuffle→sort→pack per
-    // termId-range bucket. The flat postings are never materialized: each
-    // bucket re-scans the (columnar, term-pruned) tf table but shuffles only
-    // its own termId slice, so total shuffle volume equals one full pass and
-    // the largest intermediate write+read of the old two-stage layout is
-    // gone. Buckets remain the resume unit.
-    val blocksDir = s"$staging/blocks"
+    // ---- stage 4: termId-encode the flat postings ONCE, written
+    // partitioned by termId-range bucket. The tf↔dictionary join (the only
+    // term-string shuffle) runs exactly once regardless of buildBuckets —
+    // filtering tfFlat per bucket cannot prune the tf side (termId exists
+    // only after the join), so the old fused per-bucket join re-shuffled
+    // the FULL tf table buildBuckets times. Each pack bucket now reads
+    // only its own `bucket=` partition directory.
     val bucketWidth = math.max(1L, (numTerms + cfg.buildBuckets - 1) / cfg.buildBuckets)
+    val tfencDir = s"$staging/_tfenc"
+    if (loadIfDone(tfencDir, lineage).isEmpty) stage("tfenc") {
+      val termDict = spark.read.parquet(termsDir).select("term", "termId")
+      spark.read.parquet(tfDir)
+        .join(termDict, Seq("term"))
+        .select(col("termId"), col("docId"), col("tf"), col("dl"),
+          expr(s"cast(termId div $bucketWidth as int)").as("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tfencDir)
+      Json.write(manifestPath(tfencDir),
+        StageManifest("tfenc", numPostings, 0L, numPostings, lineage, cfg.configHash))
+    }
+    kill(4)
+
+    // ---- stage 5: range-shuffle→sort→pack per bucket; each bucket
+    // shuffles only its own termId slice, so total pack-shuffle volume is
+    // one full pass. Buckets remain the resume unit.
+    val blocksDir = s"$staging/blocks"
     var numBlocks = 0L
-    val termDict = spark.read.parquet(termsDir).select("term", "termId")
-    val tfFlat = spark.read.parquet(tfDir)
-      .join(termDict, Seq("term"))
-      .select("termId", "docId", "tf", "dl")
     (0 until cfg.buildBuckets).foreach { b =>
-      val lo = b * bucketWidth
-      val hi = if (b == cfg.buildBuckets - 1) Long.MaxValue else (b + 1) * bucketWidth
       val bDir = f"$blocksDir/bucket=$b%04d"
       val m = loadIfDone(bDir, lineage).getOrElse(stage(s"blocks/$b") {
         // hash-partition on (termId, shard): no range-sampling pre-pass, and
@@ -241,8 +269,13 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         // still contributes at most docsPerShard postings per group, spread
         // across as many groups as there are shards. Blocks never span a
         // shard, so a (termId, shard) group is exactly the packer's unit.
-        val part = tfFlat
-          .filter(col("termId") >= lo && col("termId") < hi)
+        // a bucket past the term range (numTerms < buildBuckets) has no
+        // partition directory — pack an empty slice
+        val slice =
+          if (Json.exists(s"$tfencDir/bucket=$b"))
+            spark.read.parquet(s"$tfencDir/bucket=$b").select("termId", "docId", "tf", "dl")
+          else spark.emptyDataset[Posting].toDF()
+        val part = slice
           .repartition(cfg.buildPartitions, col("termId"), expr(s"docId div ${cfg.docsPerShard}"))
           .sortWithinPartitions("termId", "docId")
           .as[Posting]
@@ -263,7 +296,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         mm
       })
       numBlocks += m.rows
-      kill(4 + b)
+      kill(5 + b)
     }
 
     // ---- stage 6: metadata + atomic publish (build-then-publish, the
@@ -273,6 +306,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     Json.write(s"$staging/meta.json", meta)
     Json.deleteRecursively(doctfDir)
     Json.deleteRecursively(tfDir)
+    Json.deleteRecursively(tfencDir)
     Json.atomicMove(staging, indexDir)
     meta
   }

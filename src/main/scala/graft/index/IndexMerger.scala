@@ -41,6 +41,17 @@ object IndexMerger {
       cfg: IndexConfig = IndexConfig()): IndexMeta = {
     import spark.implicits._
 
+    // refuse to mix incompatible segments: different analyzer versions,
+    // BM25 constants, block sizes or shard widths would silently corrupt
+    // the merged postings (ADVICE: fail fast on configHash mismatch)
+    for (d <- Seq(dirA, dirB)) {
+      val m = Json.read(s"$d/meta.json", classOf[IndexMeta])
+      require(m.configHash == cfg.configHash,
+        s"segment $d was built with configHash ${m.configHash}, merge cfg is ${cfg.configHash}")
+      require(m.analyzer == graft.analysis.Analyzer.Version,
+        s"segment $d was built with analyzer ${m.analyzer}, current is ${graft.analysis.Analyzer.Version}")
+    }
+
     val staging = outDir + ".staging"
     Json.deleteRecursively(staging)
 
