@@ -332,21 +332,22 @@ object IndexBuilder {
       private var pending: PostingBlock = _
 
       private def flush(): PostingBlock = {
-        val maxTfn = {
-          var m = 0.0
-          var i = 0
-          while (i < n) {
-            val t = BM25.tfNorm(tfBuf(i), dlBuf(i), avgdl, p)
-            if (t > m) m = t
-            i += 1
-          }
-          BM25.upperBoundFloat(m)
+        var maxTfnD = 0.0
+        var maxTf = 0L
+        var minDl = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          val t = BM25.tfNorm(tfBuf(i), dlBuf(i), avgdl, p)
+          if (t > maxTfnD) maxTfnD = t
+          if (tfBuf(i) > maxTf) maxTf = tfBuf(i)
+          if (dlBuf(i) < minDl) minDl = dlBuf(i)
+          i += 1
         }
         val blk = PostingBlock(curShard, curTerm, docBuf(0), docBuf(n - 1), n,
           Codec.encodeDeltas(java.util.Arrays.copyOf(docBuf, n)),
           Codec.encode(java.util.Arrays.copyOf(tfBuf, n)),
           Codec.encode(java.util.Arrays.copyOf(dlBuf, n)),
-          maxTfn)
+          BM25.upperBoundFloat(maxTfnD), maxTf, minDl)
         n = 0
         blk
       }

@@ -85,7 +85,7 @@ object IndexMerger {
     val idmap = spark.read.parquet(s"$staging/_idmap")
     def sidePostings(dir: String, src: String): DataFrame = {
       val blocks = spark.read.parquet(s"$dir/blocks")
-        .select("shard", "termId", "firstDoc", "lastDoc", "n", "docs", "tfs", "dls", "maxTfn")
+        .select(PostingBlock.columns.map(col): _*)
         .as[PostingBlock]
       val flat = blocks.flatMap { b =>
         val ids = b.docIds; val tfs = b.tfValues

@@ -57,7 +57,11 @@ final case class TermStat(termId: Long, term: String, df: Long, cf: Long)
 /** A posting block: ≤ blockSize (docId, tf, dl) triples for one term within
   * one shard. docIds are delta+varint encoded; tf/dl plain varint. maxTfn is
   * an admissible (rounded-up) upper bound on the BM25 tf-normalization of
-  * any posting in the block — the block-max metadata WAND skips with. */
+  * any posting in the block — the block-max metadata WAND skips with —
+  * EXACT only for the avgdl the block was built with. maxTf/minDl give an
+  * avgdl-independent admissible bound (tfNorm is monotone increasing in tf
+  * and decreasing in dl), which is what multi-segment queries use: global
+  * avgdl differs from each segment's build-time avgdl. */
 final case class PostingBlock(
     shard: Long,
     termId: Long,
@@ -67,11 +71,20 @@ final case class PostingBlock(
     docs: Array[Byte],
     tfs: Array[Byte],
     dls: Array[Byte],
-    maxTfn: Float) {
+    maxTfn: Float,
+    maxTf: Long,
+    minDl: Long) {
 
   def docIds: Array[Long] = Codec.decodeDeltas(docs, n)
   def tfValues: Array[Long] = Codec.decode(tfs, n)
   def dlValues: Array[Long] = Codec.decode(dls, n)
+}
+
+object PostingBlock {
+  /** Canonical column order for `.select(...).as[PostingBlock]` readers. */
+  val columns: Seq[String] = Seq(
+    "shard", "termId", "firstDoc", "lastDoc", "n", "docs", "tfs", "dls",
+    "maxTfn", "maxTf", "minDl")
 }
 
 /** Index-level metadata (the `_meta` / globals analogue). */

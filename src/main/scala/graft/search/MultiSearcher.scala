@@ -1,0 +1,101 @@
+package graft.search
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexMeta, Json, PostingBlock, SegmentedIndex, SegmentsManifest}
+
+/** Top-k BM25 over a segmented index ([[graft.index.SegmentedIndex]]):
+  * query-time multi-segment WAND with EXACT global statistics.
+  *
+  * Segments hold disjoint document identities (the SegmentedIndex
+  * invariant), so N, avgdl and per-term df are exact sums over segment
+  * dictionaries, and per-document scores — summed in ascending termId
+  * order, which inside every segment equals ascending term order — are
+  * bit-identical to a fresh single-index build over the union corpus
+  * (tested). The cross-segment tie-break is document identity, which in a
+  * fresh build IS the docId order, so rankings match exactly too.
+  *
+  * Per-segment block-max bounds: each segment's stored maxTfn was computed
+  * with that segment's own avgdl; under the global avgdl the kernel derives
+  * admissible bounds from (maxTf, minDl) instead (see
+  * [[PostingBlock]] / Wand `exactBounds`). A segment whose build-time avgdl
+  * happens to equal the global one (e.g. single-segment index) keeps the
+  * tight stored bounds.
+  *
+  * Each segment contributes at most k hits (shard-local top-k, segment
+  * top-k, ≤k-row broadcast identity join); the driver merges ≤ S·k rows.
+  * A served deployment would run the segments as one unioned plan and
+  * broadcast the dictionaries; at S ≤ maxSegments the per-segment jobs are
+  * equivalent and simpler.
+  */
+class MultiSearcher(spark: SparkSession, dir: String) {
+  import spark.implicits._
+
+  private val segIndex = new SegmentedIndex(spark, dir)
+  val manifest: SegmentsManifest = segIndex.manifest.getOrElse(
+    throw new IllegalStateException(s"no segments.json under $dir"))
+  private val segs: Seq[(String, IndexMeta)] = manifest.segments.map { e =>
+    val d = segIndex.segmentDir(e.name)
+    (d, Json.read(s"$d/meta.json", classOf[IndexMeta]))
+  }
+  require(segs.nonEmpty, s"segmented index at $dir has no segments")
+
+  val numDocs: Long = segs.map(_._2.numDocs).sum
+  val sumDl: Long = segs.map(_._2.sumDl).sum
+  def avgdl: Double = sumDl.toDouble / numDocs.toDouble
+  private val p = Bm25Params(segs.head._2.k1, segs.head._2.b)
+
+  /** Top-k, ordered (score desc, identity asc); identity-keyed results. */
+  def search(query: String, k: Int): Array[ScoredHit] = {
+    val (qTerms, qFilters) = Searcher.parseQuery(query)
+    if (qTerms.isEmpty) return Array.empty
+    val lookup = (qTerms ++ qFilters).distinct.toSeq
+
+    // per-segment dictionary lookups → exact global df by summation
+    val found: Seq[Map[String, (Long, Long)]] = segs.map { case (d, _) =>
+      spark.read.parquet(s"$d/terms")
+        .filter(col("term").isin(lookup: _*))
+        .select("term", "termId", "df")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val globalDf: Map[String, Long] =
+      qTerms.map(t => t -> found.map(_.get(t).map(_._2).getOrElse(0L)).sum).toMap
+    val idfByTerm: Map[String, Double] = globalDf.collect {
+      case (t, df) if df > 0 => t -> BM25.idf(numDocs, df)
+    }
+    if (idfByTerm.isEmpty) return Array.empty
+    val gAvgdl = avgdl
+    val (kk, params) = (k, p)
+
+    val hits: Seq[ScoredHit] = segs.zip(found).flatMap { case ((d, m), dict) =>
+      val content = qTerms.flatMap(t =>
+        dict.get(t).collect { case (tid, df) if df > 0 => tid -> idfByTerm(t) })
+      val filterIds = qFilters.flatMap(f => dict.get(f).map(_._1)).toSet
+      // a required filter term absent from this segment → no doc here matches
+      if (content.isEmpty || filterIds.size < qFilters.length) Nil
+      else {
+        val idfById = content.toMap
+        val termIds = (idfById.keys ++ filterIds).toSeq
+        val exact = m.avgdl == gAvgdl
+        val top = spark.read.parquet(s"$d/blocks")
+          .select(PostingBlock.columns.map(col): _*)
+          .filter(col("termId").isin(termIds.map(Long.box): _*))
+          .as[PostingBlock]
+          .groupByKey(_.shard)
+          .flatMapGroups { (_, blocks) =>
+            Wand.topK(blocks, idfById, filterIds, gAvgdl, params, kk, exact)
+          }
+          .orderBy(desc("score"), asc("docId"))
+          .limit(kk)
+          .toDF("docId", "score")
+        spark.read.parquet(s"$d/docs")
+          .join(broadcast(top), Seq("docId"))
+          .select("repo", "path", "commit", "score")
+          .as[ScoredHit]
+          .collect()
+      }
+    }
+    hits.sortBy(h => (-h.score, h.repo, h.path, h.commit)).take(k).toArray
+  }
+}

@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.analysis.Analyzer
 import graft.index.{IndexMeta, Json, PostingBlock}
 
+/** One ranked search hit with document identity (multi-segment results are
+  * identity-keyed — per-segment docIds are not globally comparable). */
+final case class ScoredHit(repo: String, path: String, commit: String, score: Double)
+
 /** One ranked search hit. */
 final case class ScoredDoc(docId: Long, score: Double)
 
@@ -40,7 +44,7 @@ class Searcher(spark: SparkSession, indexDir: String) {
 
   private val termsDf = spark.read.parquet(s"$indexDir/terms")
   private val blocksDf = spark.read.parquet(s"$indexDir/blocks")
-    .select("shard", "termId", "firstDoc", "lastDoc", "n", "docs", "tfs", "dls", "maxTfn")
+    .select(PostingBlock.columns.map(col): _*)
 
   /** Pin the dictionary and posting blocks in executor memory — the ES
     * page-cache analogue for a served index. Call once before a query
@@ -63,17 +67,10 @@ class Searcher(spark: SparkSession, indexDir: String) {
       .collect()
       .sortBy(_._1)
 
-  /** Split a raw query into (content terms, keyword filter terms). Filter
-    * syntax mirrors the reference query set's lang-tagged field match
-    * (`lang:scala foo` — FIXTURES.md §2): whitespace tokens starting with
-    * `lang:` or `repo:` are non-scored required filters (ES `keyword`
-    * semantics); everything else is analyzed content. */
-  def parseQuery(query: String): (Array[String], Array[String]) = {
-    val parts = query.trim.split("\\s+").filter(_.nonEmpty)
-    val (filters, content) =
-      parts.partition(t => t.startsWith("lang:") || t.startsWith("repo:"))
-    (Analyzer.queryTerms(content.mkString(" ")), filters.distinct.sorted)
-  }
+  /** Split a raw query into (content terms, keyword filter terms) — see
+    * [[Searcher.parseQuery]]. */
+  def parseQuery(query: String): (Array[String], Array[String]) =
+    Searcher.parseQuery(query)
 
   /** Top-k BM25 search; returns at most k rows ordered (score desc, docId asc).
     * Keyword filters (see [[parseQuery]]) are conjunctive and non-scoring. */
@@ -181,6 +178,18 @@ object Searcher {
   /** One query's compiled form inside [[Searcher.searchMany]]'s executors. */
   private[search] final case class Plan(
       qIdx: Int, idfById: Map[Long, Double], filterIds: Set[Long], k: Int)
+
+  /** Split a raw query into (content terms, keyword filter terms). Filter
+    * syntax mirrors the reference query set's lang-tagged field match
+    * (`lang:scala foo` — FIXTURES.md §2): whitespace tokens starting with
+    * `lang:` or `repo:` are non-scored required filters (ES `keyword`
+    * semantics); everything else is analyzed content. */
+  def parseQuery(query: String): (Array[String], Array[String]) = {
+    val parts = query.trim.split("\\s+").filter(_.nonEmpty)
+    val (filters, content) =
+      parts.partition(t => t.startsWith("lang:") || t.startsWith("repo:"))
+    (Analyzer.queryTerms(content.mkString(" ")), filters.distinct.sorted)
+  }
 }
 
 /** Block-max WAND kernel: document-at-a-time top-k over the posting blocks
@@ -189,19 +198,40 @@ object Wand {
 
   /** Cursor over one term's blocks (sorted by firstDoc) within a shard.
     * Blocks are decoded lazily — a shallow (block-level) advance never
-    * decodes, which is what makes block-max skipping cheap. */
+    * decodes, which is what makes block-max skipping cheap.
+    *
+    * `exactBounds=false` is the multi-segment mode: the stored maxTfn was
+    * computed with the segment's build-time avgdl and is NOT admissible
+    * under the query's global avgdl, so bounds are derived from the
+    * avgdl-independent (maxTf, minDl) pair instead (tfNorm is monotone
+    * ↑tf ↓dl; a 2-ulp pad absorbs double-eval noise). Looser bounds mean
+    * less skipping, never wrong results; compaction restores tight bounds. */
   private final class TermCursor(
       val termId: Long,
       val idf: Double,
       blocks: Array[PostingBlock],
       avgdl: Double,
-      p: Bm25Params) {
+      p: Bm25Params,
+      exactBounds: Boolean) {
+
+    private val blockBound: Array[Double] = {
+      val a = new Array[Double](blocks.length)
+      var i = 0
+      while (i < blocks.length) {
+        a(i) =
+          if (exactBounds) blocks(i).maxTfn.toDouble
+          else math.nextUp(math.nextUp(
+            BM25.tfNorm(blocks(i).maxTf, blocks(i).minDl, avgdl, p)))
+        i += 1
+      }
+      a
+    }
 
     val termUB: Double = {
       var m = 0.0
       var i = 0
-      while (i < blocks.length) {
-        if (blocks(i).maxTfn > m) m = blocks(i).maxTfn.toDouble
+      while (i < blockBound.length) {
+        if (blockBound(i) > m) m = blockBound(i)
         i += 1
       }
       idf * m
@@ -218,7 +248,7 @@ object Wand {
     def exhausted: Boolean = bi >= blocks.length
 
     /** Upper bound for the block the cursor currently points at. */
-    def blockUB: Double = if (exhausted) 0.0 else idf * blocks(bi).maxTfn
+    def blockUB: Double = if (exhausted) 0.0 else idf * blockBound(bi)
 
     /** Last docId of the current block (shallow — no decode needed). */
     def blockLast: Long = if (exhausted) Long.MaxValue else blocks(bi).lastDoc
@@ -281,19 +311,20 @@ object Wand {
       filterTermIds: Set[Long],
       avgdl: Double,
       p: Bm25Params,
-      k: Int): Iterator[ScoredDoc] = {
+      k: Int,
+      exactBounds: Boolean = true): Iterator[ScoredDoc] = {
 
     val byTerm = blocks.toArray.groupBy(_.termId)
     // required non-scoring cursors (keyword filters); conjunctive
     val filters: Array[TermCursor] = filterTermIds.toArray.sorted.flatMap { tid =>
-      byTerm.get(tid).map(blks => new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p))
+      byTerm.get(tid).map(blks => new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p, exactBounds))
     }
     // a required filter with no postings in this shard → nothing can match
     if (filters.length < filterTermIds.size) return Iterator.empty
     val cursors: Array[TermCursor] = byTerm.iterator
       .filter { case (tid, _) => !filterTermIds.contains(tid) }
       .map { case (tid, blks) =>
-        new TermCursor(tid, idfByTermId(tid), blks.sortBy(_.firstDoc), avgdl, p)
+        new TermCursor(tid, idfByTermId(tid), blks.sortBy(_.firstDoc), avgdl, p, exactBounds)
       }.toArray
     if (cursors.isEmpty) return Iterator.empty
 

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.index.{IndexBuilder, IndexConfig, IndexMerger, Json}
+import graft.index.{IndexConfig, SegmentedIndex}
 import graft.sources.CorpusIO
 
 /** Incremental index ingest via Structured Streaming.
@@ -13,18 +13,28 @@ import graft.sources.CorpusIO
   * re-runs and docId-keyed upserts. This is the Spark-native composition of
   * those semantics: a file-source stream over the corpus directory,
   * `Trigger.AvailableNow` (process everything present, then stop — the
-  * Luigi-task-per-invocation analogue), and `foreachBatch` building a DELTA
-  * index per micro-batch and merging it onto the published index through
-  * [[IndexMerger]] (upsert semantics — newer batch wins a document
-  * identity). The stream checkpoint gives exactly-once file processing
-  * across invocations: re-running after new files arrive indexes only the
-  * new files, and the result is logically identical to a fresh build over
-  * everything (tested).
+  * Luigi-task-per-invocation analogue), and `foreachBatch` feeding each
+  * micro-batch into a [[SegmentedIndex]]: the batch becomes its own segment
+  * (O(batch) work — per-batch cost does NOT scale with index size),
+  * identity overlaps trigger an eager merge of only the affected segments
+  * (upsert semantics — newest batch wins), and tiered compaction bounds the
+  * segment count. Queries run through
+  * [[graft.search.MultiSearcher]] with exact global stats.
+  *
+  * Exactly-once: the stream checkpoint gives at-least-once `foreachBatch`
+  * delivery; the segment manifest records the last published batchId, so a
+  * replayed batch (crash between publish and checkpoint commit) is
+  * skipped. Crash at any earlier point leaves the manifest untouched and
+  * only orphan segment dirs, which ingest cleanup removes — readers always
+  * see a complete index (no delete-then-move window).
   */
 class StreamingIndexer(
     spark: SparkSession,
     indexDir: String,
-    cfg: IndexConfig = IndexConfig()) {
+    cfg: IndexConfig = IndexConfig(),
+    maxSegments: Int = 4) {
+
+  val index = new SegmentedIndex(spark, indexDir, cfg, maxSegments)
 
   /** One ingest pass: index all unprocessed files under `sourceDir`, then
     * stop. Call again after more files land — the checkpoint skips
@@ -38,27 +48,8 @@ class StreamingIndexer(
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId)
+        if (!batch.isEmpty) index.ingest(batch, batchId)
       }
       .start()
-  }
-
-  /** Build a delta segment from `batch` and publish: first batch becomes
-    * the index; later batches merge onto it (build-then-publish — readers
-    * only ever see a complete index). */
-  private[streaming] def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (batch.isEmpty) return
-    val builder = new IndexBuilder(spark, cfg)
-    if (!Json.exists(s"$indexDir/meta.json")) {
-      builder.build(batch, indexDir, resume = false)
-    } else {
-      val deltaDir = s"$indexDir.delta-$batchId"
-      builder.build(batch, deltaDir, resume = false)
-      val nextDir = s"$indexDir.next-$batchId"
-      IndexMerger.merge(spark, indexDir, deltaDir, nextDir, cfg)
-      Json.deleteRecursively(indexDir)
-      Json.atomicMove(nextDir, indexDir)
-      Json.deleteRecursively(deltaDir)
-    }
   }
 }

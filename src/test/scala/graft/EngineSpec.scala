@@ -101,7 +101,7 @@ class EngineSpec extends AnyFunSuite {
   test("block invariants: sorted docIds, within-shard, admissible maxTfn") {
     import spark.implicits._
     val blocks = spark.read.parquet(s"$indexDir/blocks")
-      .select("shard", "termId", "firstDoc", "lastDoc", "n", "docs", "tfs", "dls", "maxTfn")
+      .select(graft.index.PostingBlock.columns.map(col): _*)
       .as[PostingBlock].collect()
     val (avgdl, p) = (searcher.meta.avgdl, graft.search.Bm25Params(cfg.k1, cfg.b))
     blocks.foreach { b =>
@@ -163,7 +163,7 @@ class EngineSpec extends AnyFunSuite {
     import spark.implicits._
     def logical(dir: String): Set[(Long, Long, Long, Long)] =
       spark.read.parquet(s"$dir/blocks")
-        .select("shard", "termId", "firstDoc", "lastDoc", "n", "docs", "tfs", "dls", "maxTfn")
+        .select(graft.index.PostingBlock.columns.map(col): _*)
         .as[PostingBlock].collect()
         .flatMap { b =>
           val ids = b.docIds; val tfs = b.tfValues; val dls = b.dlValues

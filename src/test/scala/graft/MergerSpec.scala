@@ -47,7 +47,7 @@ class MergerSpec extends AnyFunSuite {
 
     def postings(d: String): Set[(Long, Long, Long)] =
       spark.read.parquet(s"$d/blocks")
-        .select("shard", "termId", "firstDoc", "lastDoc", "n", "docs", "tfs", "dls", "maxTfn")
+        .select(graft.index.PostingBlock.columns.map(col): _*)
         .as[PostingBlock].collect()
         .flatMap { b =>
           val ids = b.docIds; val tfs = b.tfValues

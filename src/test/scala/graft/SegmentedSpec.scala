@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+import graft.index.{IndexConfig, Json, SegmentedIndex}
+import graft.search.{MultiSearcher, Oracle}
+
+/** SegmentedIndex semantics: disjoint-identity segments, eager merge on
+  * identity overlap (upsert — newest wins), tiered compaction, forceMerge,
+  * batch replay guard, orphan cleanup — with multi-segment query results
+  * bit-identical to the brute-force oracle over the union corpus. */
+class SegmentedSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val cfg = IndexConfig(
+    buildPartitions = 4, docsPerShard = 64L, blockSize = 16, buildBuckets = 2)
+
+  private val Queries = Seq("merge index", "def", "freshly updated tokens",
+    "lang:scala query", "query score")
+
+  private def assertMatchesOracle(ms: MultiSearcher, corpus: org.apache.spark.sql.DataFrame): Unit =
+    for (q <- Queries) {
+      val got = ms.search(q, 15).toSeq.map(h => (h.repo, h.path, h.commit, h.score))
+      val want = Oracle.bm25(corpus, q, 15).collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      assert(got == want, s"multi-segment/oracle mismatch for '$q'")
+    }
+
+  test("overlap triggers eager merge; disjoint batches stay separate; oracle bit-identity") {
+    val dir = Files.createTempDirectory("graft-seg").toString
+    val idx = new SegmentedIndex(spark, s"$dir/index", cfg, maxSegments = 4)
+
+    val a = CorpusGen.generate(spark, 200, seed = 7, partitions = 4).toDF()
+    idx.ingest(a)
+    assert(idx.manifest.get.segments.length == 1)
+
+    // batch B: 40 new docs + 5 REPLACING existing A identities → overlap →
+    // the one overlapped segment merges with the delta (upsert: B wins)
+    val replaced = a.orderBy("repo", "path", "commit").limit(5)
+      .withColumn("content", concat(col("content"), lit(" freshly updated tokens")))
+    val b = CorpusGen.generate(spark, 40, seed = 99, partitions = 2).toDF()
+      .unionByName(replaced)
+    idx.ingest(b)
+    assert(idx.manifest.get.segments.length == 1, "overlap must eager-merge")
+
+    // batch C: disjoint → its own segment, no merge
+    val c = CorpusGen.generate(spark, 60, seed = 131, partitions = 2).toDF()
+    idx.ingest(c)
+    assert(idx.manifest.get.segments.length == 2)
+
+    val union = a
+      .join(replaced.select("repo", "path", "commit"), Seq("repo", "path", "commit"), "left_anti")
+      .unionByName(b).unionByName(c)
+    val ms = new MultiSearcher(spark, s"$dir/index")
+    assert(ms.numDocs == 300)
+    assertMatchesOracle(ms, union)
+
+    // updated docs are findable by their new content through the merge
+    assert(ms.search("freshly updated tokens", 10).nonEmpty)
+
+    // ---- tiered compaction: bound the segment count
+    val d4 = CorpusGen.generate(spark, 30, seed = 201, partitions = 2).toDF()
+    val d5 = CorpusGen.generate(spark, 30, seed = 211, partitions = 2).toDF()
+    val tight = new SegmentedIndex(spark, s"$dir/index", cfg, maxSegments = 2)
+    tight.ingest(d4)
+    tight.ingest(d5)
+    assert(tight.manifest.get.segments.length <= 2, "compaction must bound segments")
+    val union2 = union.unionByName(d4).unionByName(d5)
+    val ms2 = new MultiSearcher(spark, s"$dir/index")
+    assert(ms2.numDocs == 360)
+    assertMatchesOracle(ms2, union2)
+
+    // ---- forceMerge → single segment, same results
+    tight.forceMerge()
+    assert(tight.manifest.get.segments.length == 1)
+    assertMatchesOracle(new MultiSearcher(spark, s"$dir/index"), union2)
+  }
+
+  test("batch replay guard and orphan cleanup") {
+    val dir = Files.createTempDirectory("graft-seg2").toString
+    val idx = new SegmentedIndex(spark, s"$dir/index", cfg)
+    val a = CorpusGen.generate(spark, 50, seed = 7, partitions = 2).toDF()
+    val b = CorpusGen.generate(spark, 20, seed = 99, partitions = 2).toDF()
+    idx.ingest(a, batchId = 0L)
+    idx.ingest(b, batchId = 1L)
+    assert(new MultiSearcher(spark, s"$dir/index").numDocs == 70)
+    // replayed batch (crash between publish and stream-checkpoint commit)
+    idx.ingest(b, batchId = 1L)
+    assert(new MultiSearcher(spark, s"$dir/index").numDocs == 70, "replay must be skipped")
+
+    // an orphan segment dir (crash before manifest swap) is collected and
+    // never read
+    val orphan = s"$dir/index/seg-999"
+    Files.createDirectories(java.nio.file.Paths.get(orphan))
+    Files.writeString(java.nio.file.Paths.get(s"$orphan/junk.txt"), "leftover")
+    val c = CorpusGen.generate(spark, 10, seed = 131, partitions = 2).toDF()
+    idx.ingest(c, batchId = 2L)
+    assert(!Json.exists(orphan), "orphan segment dir must be cleaned up")
+    assert(new MultiSearcher(spark, s"$dir/index").numDocs == 80)
+  }
+}

@@ -1,17 +1,20 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.corpus.CorpusGen
-import graft.index.{IndexBuilder, IndexConfig, PostingBlock}
-import graft.search.Searcher
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search.{MultiSearcher, Searcher}
 import graft.streaming.StreamingIndexer
 
-/** Streaming ingest: two AvailableNow passes over a growing corpus
-  * directory index exactly the new files each time (checkpointed), and the
-  * final index is logically identical to a fresh batch build. */
+/** Streaming ingest over the segmented index: three AvailableNow passes
+  * over a growing corpus directory index exactly the new files each time
+  * (checkpointed), per-batch ingest work does NOT scale with index size
+  * (the big first segment's posting files are byte-untouched by later
+  * batches), and multi-segment query results are bit-identical to a fresh
+  * batch build over everything. */
 class StreamingSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -19,8 +22,18 @@ class StreamingSpec extends AnyFunSuite {
   private val cfg = IndexConfig(
     buildPartitions = 4, docsPerShard = 64L, blockSize = 16, buildBuckets = 2)
 
-  test("incremental AvailableNow ingest ≡ fresh batch build") {
-    import spark.implicits._
+  private def blockFiles(segDir: String): Map[String, (Long, Long)] = {
+    val root = Paths.get(s"$segDir/blocks")
+    val out = scala.collection.mutable.Map[String, (Long, Long)]()
+    if (Files.isDirectory(root)) {
+      Files.walk(root).filter(Files.isRegularFile(_)).forEach { (f: Path) =>
+        out += f.toString -> ((Files.size(f), Files.getLastModifiedTime(f).toMillis))
+      }
+    }
+    out.toMap
+  }
+
+  test("3-batch AvailableNow ingest: O(batch) work, bit-identical to fresh build") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val src = s"$dir/src"
     val ckpt = s"$dir/ckpt"
@@ -28,38 +41,47 @@ class StreamingSpec extends AnyFunSuite {
 
     val batch1 = CorpusGen.generate(spark, 150, seed = 7, partitions = 2).toDF()
     val batch2 = CorpusGen.generate(spark, 80, seed = 55, partitions = 2).toDF()
+    val batch3 = CorpusGen.generate(spark, 60, seed = 131, partitions = 2).toDF()
 
     val indexer = new StreamingIndexer(spark, idx, cfg)
 
     batch1.write.mode("append").parquet(src)
-    val q1 = indexer.ingestAvailable(src, ckpt)
-    q1.awaitTermination()
-    assert(new Searcher(spark, idx).meta.numDocs == 150)
+    indexer.ingestAvailable(src, ckpt).awaitTermination()
+    val m1 = new MultiSearcher(spark, idx)
+    assert(m1.numDocs == 150)
+    assert(m1.manifest.segments.length == 1)
+    val seg0 = s"$idx/${m1.manifest.segments.head.name}"
+    val seg0Files = blockFiles(seg0)
+    assert(seg0Files.nonEmpty)
 
     batch2.write.mode("append").parquet(src)
-    val q2 = indexer.ingestAvailable(src, ckpt)
-    q2.awaitTermination()
-    val meta = new Searcher(spark, idx).meta
-    assert(meta.numDocs == 230)
+    indexer.ingestAvailable(src, ckpt).awaitTermination()
+    // the first (big) segment's posting files are byte-identical — batch-2
+    // ingest did not touch, let alone rewrite, the existing index
+    assert(blockFiles(seg0) == seg0Files, "batch 2 must not rewrite segment 0's postings")
+    assert(new MultiSearcher(spark, idx).numDocs == 230)
 
-    // logical identity with a fresh batch build over everything
+    batch3.write.mode("append").parquet(src)
+    indexer.ingestAvailable(src, ckpt).awaitTermination()
+    assert(blockFiles(seg0) == seg0Files, "batch 3 must not rewrite segment 0's postings")
+    val m3 = new MultiSearcher(spark, idx)
+    assert(m3.numDocs == 290)
+    assert(m3.manifest.segments.length == 3)
+
+    // bit-identical query results vs a fresh single build over everything
     val freshDir = s"$dir/fresh"
-    val freshMeta = new IndexBuilder(spark, cfg)
-      .build(batch1.unionByName(batch2), freshDir, resume = false)
-    assert(meta.copy(numBlocks = 0L) == freshMeta.copy(numBlocks = 0L))
-
-    def postings(d: String): Set[(Long, Long, Long)] =
-      spark.read.parquet(s"$d/blocks")
-        .select("shard", "termId", "firstDoc", "lastDoc", "n", "docs", "tfs", "dls", "maxTfn")
-        .as[PostingBlock].collect()
-        .flatMap { b =>
-          val ids = b.docIds; val tfs = b.tfValues
-          (0 until b.n).map(i => (b.termId, ids(i), tfs(i)))
-        }.toSet
-    assert(postings(idx) == postings(freshDir))
-
-    val (si, sf) = (new Searcher(spark, idx), new Searcher(spark, freshDir))
-    for (q <- Seq("merge index query", "def", "lang:scala val"))
-      assert(si.search(q, 15).toSeq == sf.search(q, 15).toSeq)
+    new IndexBuilder(spark, cfg)
+      .build(batch1.unionByName(batch2).unionByName(batch3), freshDir, resume = false)
+    val fresh = new Searcher(spark, freshDir)
+    val freshDocs = spark.read.parquet(s"$freshDir/docs")
+      .select("docId", "repo", "path", "commit").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    for (q <- Seq("merge index query", "def", "lang:scala val", "stream batch", "query")) {
+      val multi = m3.search(q, 15).toSeq
+        .map(h => (h.repo, h.path, h.commit, h.score))
+      val single = fresh.search(q, 15).toSeq
+        .map(h => { val d = freshDocs(h.docId); (d._1, d._2, d._3, h.score) })
+      assert(multi == single, s"multi/fresh mismatch for '$q'")
+    }
   }
 }
