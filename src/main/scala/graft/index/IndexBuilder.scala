@@ -9,20 +9,6 @@ import graft.search.{BM25, Bm25Params}
 /** Flat posting row between tokenize and block packing. */
 final case class Posting(termId: Long, docId: Long, tf: Long, dl: Long)
 
-/** Per-document tokenize output (stage 0): identity + lineage + per-term
-  * frequencies. Stored columnar so downstream stages read only the columns
-  * they need (docs stage never touches `terms`; tf stage never touches
-  * `sha256`). */
-final case class DocTf(
-    repo: String,
-    path: String,
-    commit: String,
-    lang: String,
-    sha256: String,
-    dl: Long,
-    terms: Array[TermTf])
-final case class TermTf(term: String, tf: Long)
-
 /** Staged, resumable inverted-index build.
   *
   * This is the engine-side re-expression of the reference's whole load path
@@ -119,59 +105,93 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       else files.sorted.foldLeft(1125899906842597L)((h, f) => 31 * h + f.hashCode)
     }
 
+    // field plan (schema-derived — the elasticsearch_schema_for_table
+    // analogue): keyword columns become `field:value` filter terms,
+    // storedOnly columns ride along into docs with NO postings
+    // (disable_index). Both sets may extend past the standard five columns.
+    val baseCols = Seq("repo", "path", "commit", "lang", "content")
+    val extraCols = (cfg.fields.keyword ++ cfg.fields.storedOnly)
+      .distinct.filterNot(baseCols.contains)
+    val selCols = baseCols ++ extraCols
+
     // ---- stage 0: single tokenize pass over content → columnar doc/tf rows
     // with dense docIds assigned in the same shuffle. Downstream stages are
     // pure projections of this table (Parquet column pruning: docs never
     // reads `terms`, tf never reads `sha256`) — no identity join anywhere.
+    // (Field-plan requires live inside the stage: a resume/merge path with
+    // prebuilt stages never reads the corpus at all.)
     val doctfDir = s"$staging/_doctf"
     if (loadIfDone(doctfDir, inputFp).isEmpty) stage("doctf") {
-      val doctf = corpus
-        .select("repo", "path", "commit", "lang", "content")
-        .as[(String, String, String, String, String)]
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("SHA-256")
-          val hex = "0123456789abcdef".toCharArray
-          it.map { case (repo, path, commit, lang, content) =>
-            val toks = Analyzer.tokenize(content)
-            val tfMap = new java.util.HashMap[String, Long]()
-            var i = 0
-            while (i < toks.length) {
-              tfMap.merge(toks(i), 1L, (a, b) => a + b)
-              i += 1
-            }
-            // keyword-field filter terms (the ES `keyword` mapping analogue,
-            // reference `elasticsearch_utils.py:39-48`): posting-listed like
-            // content terms but never scored, and excluded from dl. The
-            // tokenizer strips ':' so these can't collide with content terms.
-            tfMap.put(s"lang:$lang", 1L)
-            tfMap.put(s"repo:$repo", 1L)
-            val terms = new Array[TermTf](tfMap.size)
-            val eit = tfMap.entrySet().iterator()
-            var j = 0
-            while (eit.hasNext) {
-              val e = eit.next()
-              terms(j) = TermTf(e.getKey, e.getValue)
-              j += 1
-            }
-            md.reset()
-            val dig = md.digest(content.getBytes("UTF-8"))
-            val shaChars = new Array[Char](64)
-            var h = 0
-            while (h < 32) {
-              shaChars(2 * h) = hex((dig(h) >> 4) & 0xf)
-              shaChars(2 * h + 1) = hex(dig(h) & 0xf)
-              h += 1
-            }
-            val sha = new String(shaChars)
-            DocTf(repo, path, commit, lang, sha, toks.length.toLong, terms)
+      import org.apache.spark.sql.types._
+      for (c <- cfg.fields.keyword ++ cfg.fields.storedOnly)
+        require(corpus.columns.contains(c), s"field-config column '$c' not in corpus schema")
+      for (c <- cfg.fields.keyword)
+        require(corpus.schema(c).dataType == StringType,
+          s"keyword field '$c' must be a string column (tstr→keyword rule)")
+      val inDf = corpus.select(selCols.map(col): _*)
+      val inSchema = inDf.schema
+      val keywordIdx: Array[(String, Int)] =
+        cfg.fields.keyword.map(k => k -> inSchema.fieldIndex(k)).toArray
+      val storedExtra: Array[(String, Int)] =
+        extraCols.map(c => c -> inSchema.fieldIndex(c)).toArray
+      val contentIdx = inSchema.fieldIndex("content")
+      val outSchema = StructType(
+        Seq(
+          StructField("repo", StringType), StructField("path", StringType),
+          StructField("commit", StringType), StructField("lang", StringType),
+          StructField("sha256", StringType), StructField("dl", LongType, nullable = false),
+          StructField("terms", ArrayType(StructType(Seq(
+            StructField("term", StringType), StructField("tf", LongType, nullable = false)))))) ++
+        storedExtra.map { case (c, i) => StructField(c, inSchema(i).dataType) })
+      val doctf = inDf.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val hex = "0123456789abcdef".toCharArray
+        it.map { r =>
+          val content = r.getString(contentIdx)
+          val toks = Analyzer.tokenize(content)
+          val tfMap = new java.util.HashMap[String, Long]()
+          var i = 0
+          while (i < toks.length) {
+            tfMap.merge(toks(i), 1L, (a, b) => a + b)
+            i += 1
           }
+          // keyword-field filter terms (the ES `keyword` mapping analogue,
+          // reference `elasticsearch_utils.py:39-48`): posting-listed like
+          // content terms but never scored, and excluded from dl. The
+          // tokenizer strips ':' so these can't collide with content terms.
+          keywordIdx.foreach { case (name, idx) =>
+            if (!r.isNullAt(idx)) tfMap.put(s"$name:${r.getString(idx)}", 1L)
+          }
+          val terms = new Array[org.apache.spark.sql.Row](tfMap.size)
+          val eit = tfMap.entrySet().iterator()
+          var j = 0
+          while (eit.hasNext) {
+            val e = eit.next()
+            terms(j) = org.apache.spark.sql.Row(e.getKey, e.getValue)
+            j += 1
+          }
+          md.reset()
+          val dig = md.digest(content.getBytes("UTF-8"))
+          val shaChars = new Array[Char](64)
+          var h = 0
+          while (h < 32) {
+            shaChars(2 * h) = hex((dig(h) >> 4) & 0xf)
+            shaChars(2 * h + 1) = hex(dig(h) & 0xf)
+            h += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(
+            Seq(r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+              new String(shaChars), toks.length.toLong, terms.toSeq) ++
+            storedExtra.map { case (_, idx) => r.get(idx) })
         }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
       // cache the tokenized rows so the range-partitioner's sampling pass
       // (inside DenseIds) reads the cache instead of re-tokenizing 100 TB
-      val raw = doctf.toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val raw = doctf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ided = DenseIds.assign(raw, Seq("repo", "path", "commit"), "docId", cfg.buildPartitions)
       ided.df
-        .select("docId", "repo", "path", "commit", "lang", "sha256", "dl", "terms")
+        .select((Seq("docId", "repo", "path", "commit", "lang", "sha256", "dl", "terms") ++
+          storedExtra.map(_._1)).map(col): _*)
         .write.mode("overwrite").parquet(doctfDir)
       ided.release()
       raw.unpersist()
@@ -180,12 +200,14 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     }
     kill(0)
 
-    // ---- stage 1: docs (identity, sha256 lineage, doc length, dense docId)
-    // — a narrow projection of stage 0 (the `terms` column is pruned away)
+    // ---- stage 1: docs (identity, sha256 lineage, doc length, dense docId,
+    // stored metadata columns) — a narrow projection of stage 0 (the
+    // `terms` column is pruned away)
     val docsDir = s"$staging/docs"
     val docsManifest = loadIfDone(docsDir, 0L).getOrElse(stage("docs") {
       spark.read.parquet(doctfDir)
-        .select("docId", "repo", "path", "commit", "lang", "sha256", "dl")
+        .select((Seq("docId", "repo", "path", "commit", "lang", "sha256", "dl") ++
+          extraCols).map(col): _*)
         .write.mode("overwrite").parquet(docsDir)
       val row = spark.read.parquet(docsDir)
         .agg(count("*").as("n"), sum("dl").as("sumDl"),
@@ -302,7 +324,8 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     // ---- stage 6: metadata + atomic publish (build-then-publish, the
     // reference's refresh_interval=-1 → forcemerge → route-off pattern)
     val meta = IndexMeta(numDocs, sumDl, numTerms, numPostings, numBlocks,
-      Analyzer.Version, cfg.k1, cfg.b, cfg.blockSize, cfg.docsPerShard, lineage, cfg.configHash)
+      Analyzer.Version, cfg.k1, cfg.b, cfg.blockSize, cfg.docsPerShard, lineage, cfg.configHash,
+      keywordFields = cfg.fields.keyword)
     Json.write(s"$staging/meta.json", meta)
     Json.deleteRecursively(doctfDir)
     Json.deleteRecursively(tfDir)

@@ -58,16 +58,22 @@ object IndexMerger {
     val docsA = spark.read.parquet(s"$dirA/docs")
     val docsB = spark.read.parquet(s"$dirB/docs")
 
-    // ---- merged docs with fresh dense ids (identity-sorted, B wins)
+    // ---- merged docs with fresh dense ids (identity-sorted, B wins).
+    // Stored columns are carried generically (schema-derived extras /
+    // updateDocFields patches); a column present on one side only is null
+    // on the other.
+    val docCols: Seq[String] =
+      (docsA.columns ++ docsB.columns.filterNot(docsA.columns.contains)).toSeq
     val keep = docsB.withColumn("src", lit("B"))
       .unionByName(
         docsA.join(docsB.select(KeyCols.map(col): _*), KeyCols, "left_anti")
-          .withColumn("src", lit("A")))
+          .withColumn("src", lit("A")),
+        allowMissingColumns = true)
       .withColumnRenamed("docId", "oldDocId")
     val ided = DenseIds.assign(keep, KeyCols, "docId", cfg.buildPartitions)
     val docsDir = s"$staging/docs"
     ided.df
-      .select("docId", "repo", "path", "commit", "lang", "sha256", "dl")
+      .select(docCols.map(col): _*)
       .write.mode("overwrite").parquet(docsDir)
     val mapping = ided.df.select("src", "oldDocId", "docId", "dl")
     mapping.write.mode("overwrite").parquet(s"$staging/_idmap")

@@ -17,6 +17,34 @@ package graft.index
   *   - `meta.json` — corpus stats + config + lineage (the reference's
   *                 globals→`_meta` path: `hail_elasticsearch_client.py:177-181`)
   */
+/** Per-field index configuration, derived from the corpus schema — the
+  * `elasticsearch_schema_for_table` analogue
+  * (`hail_scripts/elasticsearch/elasticsearch_utils.py:70-121`: every tstr
+  * maps to an ES `keyword`) with the `disable_index` knob
+  * (`luigi_pipeline/lib/model/base_mt_schema.py:224-235` → stored column,
+  * no postings).
+  *
+  * `keyword` columns are posting-listed as exact-match `field:value` filter
+  * terms (never scored, excluded from dl); `storedOnly` columns are carried
+  * into the docs table but produce no postings. */
+final case class FieldConfig(
+    keyword: Seq[String] = Seq("lang", "repo"),
+    storedOnly: Seq[String] = Nil)
+
+object FieldConfig {
+  /** Derive from the corpus schema: every string column except the analyzed
+    * `content` and the `storedOnly` overrides becomes a keyword field —
+    * the reference's tstr→keyword rule. */
+  def derive(
+      schema: org.apache.spark.sql.types.StructType,
+      storedOnly: Set[String] = Set.empty): FieldConfig = FieldConfig(
+    keyword = schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType &&
+        f.name != "content" && !storedOnly.contains(f.name) => f.name
+    }.toSeq,
+    storedOnly = storedOnly.toSeq.sorted)
+}
+
 final case class IndexConfig(
     buildPartitions: Int = 32,
     /** docs per shard; shard = docId / docsPerShard. A shard is the unit of
@@ -28,12 +56,14 @@ final case class IndexConfig(
     b: Double = 0.75,
     /** resume granularity for the posting-build stage (termId-range buckets,
       * the Luigi-task-marker analogue: `luigi_pipeline/lib/hail_tasks.py:70-74`) */
-    buildBuckets: Int = 4) {
+    buildBuckets: Int = 4,
+    fields: FieldConfig = FieldConfig()) {
 
   /** Stable fingerprint of everything that affects index bytes; a stage
     * checkpoint from a different config must never be resumed. */
   def configHash: String = {
-    val s = s"${graft.analysis.Analyzer.Version}|$docsPerShard|$blockSize|$k1|$b"
+    val s = s"${graft.analysis.Analyzer.Version}|$docsPerShard|$blockSize|$k1|$b" +
+      s"|k=${fields.keyword.mkString(",")}|s=${fields.storedOnly.mkString(",")}"
     java.lang.Long.toHexString(
       s.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
   }
@@ -103,8 +133,13 @@ final case class IndexMeta(
       * corpus fingerprint, re-verified against the source (the validation
       * semi-join analogue: `luigi_pipeline/lib/hail_tasks.py:96-120`). */
     lineage: Long,
-    configHash: String) {
+    configHash: String,
+    /** which columns are keyword-indexed as `field:value` filter terms
+      * (null-safe default for metas written before this field existed) */
+    keywordFields: Seq[String] = Seq("lang", "repo")) {
   def avgdl: Double = sumDl.toDouble / numDocs.toDouble
+  def keywords: Seq[String] =
+    if (keywordFields == null) Seq("lang", "repo") else keywordFields
 }
 
 /** Per-stage / per-bucket checkpoint manifest (the `_SUCCESS` marker

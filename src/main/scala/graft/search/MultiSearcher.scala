@@ -48,7 +48,7 @@ class MultiSearcher(spark: SparkSession, dir: String) {
 
   /** Top-k, ordered (score desc, identity asc); identity-keyed results. */
   def search(query: String, k: Int): Array[ScoredHit] = {
-    val (qTerms, qFilters) = Searcher.parseQuery(query)
+    val (qTerms, qFilters) = Searcher.parseQuery(query, segs.head._2.keywords.toSet)
     if (qTerms.isEmpty) return Array.empty
     val lookup = (qTerms ++ qFilters).distinct.toSeq
 

@@ -33,18 +33,23 @@ object Oracle {
     * semantics and the engine's non-scoring required cursors. */
   def bm25(corpus: DataFrame, query: String, k: Int, p: Bm25Params = BM25.Default): DataFrame = {
     val parts = query.trim.split("\\s+").filter(_.nonEmpty)
-    val (filterToks, contentToks) =
-      parts.partition(t => t.startsWith("lang:") || t.startsWith("repo:"))
+    // any `col:value` token naming a non-content corpus column is a keyword
+    // filter — the schema-derived rule (FieldConfig.derive) mirrored here
+    val keywordFields = corpus.columns.filterNot(_ == "content").toSet
+    val (filterToks, contentToks) = parts.partition { t =>
+      val i = t.indexOf(':')
+      i > 0 && keywordFields.contains(t.substring(0, i))
+    }
     val qTerms = Analyzer.queryTerms(contentToks.mkString(" ")).toSeq
     val filterPred: Column = filterToks.distinct.map { f =>
       val Array(field, value) = f.split(":", 2)
       col(field) === value
     }.foldLeft(lit(true))(_ && _)
+    // carry every non-content column: any of them may be a keyword filter
+    val metaCols = corpus.columns.filterNot(_ == "content").toSeq
     val docTok = corpus
-      .select(col("repo"), col("path"), col("commit"), col("lang"),
-        Analyzer.analyze(col("content")).as("toks"))
-      .select(col("repo"), col("path"), col("commit"), col("lang"),
-        size(col("toks")).cast("long").as("dl"), col("toks"))
+      .select(metaCols.map(col) :+ Analyzer.analyze(col("content")).as("toks"): _*)
+      .select(metaCols.map(col) :+ size(col("toks")).cast("long").as("dl") :+ col("toks"): _*)
       .persist()
     try {
       val statsRow = docTok.agg(count("*").as("n"), sum("dl").as("sumDl")).head()
@@ -52,10 +57,9 @@ object Oracle {
       val avgdl = statsRow.getAs[Long]("sumDl").toDouble / n.toDouble
 
       val tfq = docTok
-        .select(col("repo"), col("path"), col("commit"), col("lang"), col("dl"),
-          explode(col("toks")).as("term"))
+        .select(metaCols.map(col) :+ col("dl") :+ explode(col("toks")).as("term"): _*)
         .filter(if (qTerms.isEmpty) lit(false) else col("term").isin(qTerms: _*))
-        .groupBy("repo", "path", "commit", "lang", "dl", "term")
+        .groupBy((metaCols :+ "dl" :+ "term").map(col): _*)
         .agg(count(lit(1)).as("tf"))
 
       val dfByTerm: Map[String, Long] = tfq.groupBy("term").count()

@@ -67,10 +67,10 @@ class Searcher(spark: SparkSession, indexDir: String) {
       .collect()
       .sortBy(_._1)
 
-  /** Split a raw query into (content terms, keyword filter terms) — see
-    * [[Searcher.parseQuery]]. */
+  /** Split a raw query into (content terms, keyword filter terms) using
+    * this index's configured keyword fields — see [[Searcher.parseQuery]]. */
   def parseQuery(query: String): (Array[String], Array[String]) =
-    Searcher.parseQuery(query)
+    Searcher.parseQuery(query, meta.keywords.toSet)
 
   /** Top-k BM25 search; returns at most k rows ordered (score desc, docId asc).
     * Keyword filters (see [[parseQuery]]) are conjunctive and non-scoring. */
@@ -181,13 +181,19 @@ object Searcher {
 
   /** Split a raw query into (content terms, keyword filter terms). Filter
     * syntax mirrors the reference query set's lang-tagged field match
-    * (`lang:scala foo` — FIXTURES.md §2): whitespace tokens starting with
-    * `lang:` or `repo:` are non-scored required filters (ES `keyword`
-    * semantics); everything else is analyzed content. */
-  def parseQuery(query: String): (Array[String], Array[String]) = {
+    * (`lang:scala foo` — FIXTURES.md §2): a whitespace token `field:value`
+    * whose prefix is a configured keyword field is a non-scored required
+    * filter (ES `keyword` semantics); everything else is analyzed content.
+    * The keyword field set comes from the index meta (schema-derived at
+    * build — [[graft.index.FieldConfig]]). */
+  def parseQuery(
+      query: String,
+      keywordFields: Set[String] = Set("lang", "repo")): (Array[String], Array[String]) = {
     val parts = query.trim.split("\\s+").filter(_.nonEmpty)
-    val (filters, content) =
-      parts.partition(t => t.startsWith("lang:") || t.startsWith("repo:"))
+    val (filters, content) = parts.partition { t =>
+      val i = t.indexOf(':')
+      i > 0 && keywordFields.contains(t.substring(0, i))
+    }
     (Analyzer.queryTerms(content.mkString(" ")), filters.distinct.sorted)
   }
 }

@@ -228,6 +228,52 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("schema-derived field config: extra keyword column queryable, stored-only has no postings") {
+    import spark.implicits._
+    val dir = s"$workDir/fields"
+    // corpus with two extra metadata columns beyond the standard five
+    val extended = corpus
+      .withColumn("team", concat(lit("team"), (length(col("path")) % 3).cast("string")))
+      .withColumn("notes", concat(lit("note for "), col("path")))
+    val fcfg = cfg.copy(fields = index.FieldConfig(
+      keyword = Seq("lang", "repo", "team"), storedOnly = Seq("notes")))
+    new IndexBuilder(spark, fcfg).build(extended, dir, resume = false)
+
+    val docs = spark.read.parquet(s"$dir/docs")
+    assert(docs.columns.contains("team") && docs.columns.contains("notes"),
+      "keyword and stored-only columns must be stored in docs")
+
+    // `team:x` restricts hits to that team (ES keyword semantics)
+    val s = new Searcher(spark, dir)
+    val hits = s.search("team:team1 def val", 50)
+    assert(hits.nonEmpty)
+    val teamById = docs.select("docId", "team").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hits.forall(h => teamById(h.docId) == "team1"))
+    // and the oracle agrees (its filter rule is schema-derived the same way)
+    val ora = Oracle.bm25(extended, "team:team1 def val", 50).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    val eng = {
+      val byId = docs.select("docId", "repo", "path", "commit").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+      hits.toSeq.map(h => { val d = byId(h.docId); (d._1, d._2, d._3, h.score) })
+    }
+    assert(eng == ora)
+
+    // stored-only column produces no postings (disable_index)
+    val noteTerms = spark.read.parquet(s"$dir/terms")
+      .filter(col("term").startsWith("notes:")).count()
+    assert(noteTerms == 0L, "stored-only column must not be posting-listed")
+    // keyword terms for `team` exist in the dictionary
+    assert(spark.read.parquet(s"$dir/terms")
+      .filter(col("term").startsWith("team:")).count() > 0)
+
+    // FieldConfig.derive applies the tstr→keyword rule over the schema
+    val derived = index.FieldConfig.derive(extended.schema, storedOnly = Set("notes"))
+    assert(derived.keyword.toSet == Set("repo", "path", "commit", "lang", "team"))
+    assert(derived.storedOnly == Seq("notes"))
+  }
+
   test("searchMany batch results are identical to per-query search") {
     val batch = searcher.searchMany(QuerySet)
     QuerySet.zip(batch).foreach { case ((q, k), got) =>
