@@ -72,4 +72,39 @@ object Codec {
     while (i < n) { raw(i) = raw(i - 1) + raw(i) + 1; i += 1 }
     raw
   }
+
+  /** Append a delta-encoded strictly-increasing sequence to `buf` (the
+    * concatenated-lists form used for per-posting positions). */
+  def appendDeltas(buf: ArrayBuffer[Byte], sorted: Array[Long]): Unit = {
+    var i = 0
+    var prev = 0L
+    while (i < sorted.length) {
+      val v = sorted(i)
+      if (i == 0) writeVar(buf, v) else writeVar(buf, v - prev - 1)
+      prev = v
+      i += 1
+    }
+  }
+
+  /** Decode one `n`-element delta sequence starting at byte `offset`;
+    * returns (values, offset just past the sequence). */
+  def decodeDeltasFrom(bytes: Array[Byte], offset: Int, n: Int): (Array[Long], Int) = {
+    val out = new Array[Long](n)
+    var pos = offset
+    var i = 0
+    while (i < n) {
+      var shift = 0
+      var v = 0L
+      var b = 0L
+      do {
+        b = bytes(pos) & 0xffL
+        v |= (b & 0x7f) << shift
+        shift += 7
+        pos += 1
+      } while ((b & 0x80) != 0)
+      out(i) = if (i == 0) v else out(i - 1) + v + 1
+      i += 1
+    }
+    (out, pos)
+  }
 }

@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.analysis.Analyzer
 import graft.search.{BM25, Bm25Params}
 
-/** Flat posting row between tokenize and block packing. */
-final case class Posting(termId: Long, docId: Long, tf: Long, dl: Long)
+/** Flat posting row between tokenize and block packing. `pos` holds the
+  * term's ascending token-stream positions (empty unless the config stores
+  * positions). */
+final case class Posting(termId: Long, docId: Long, tf: Long, dl: Long, pos: Array[Long])
 
 /** Staged, resumable inverted-index build.
   *
@@ -141,18 +143,31 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
           StructField("commit", StringType), StructField("lang", StringType),
           StructField("sha256", StringType), StructField("dl", LongType, nullable = false),
           StructField("terms", ArrayType(StructType(Seq(
-            StructField("term", StringType), StructField("tf", LongType, nullable = false)))))) ++
+            StructField("term", StringType), StructField("tf", LongType, nullable = false),
+            StructField("pos", ArrayType(LongType, containsNull = false))))))) ++
         storedExtra.map { case (c, i) => StructField(c, inSchema(i).dataType) })
+      val withPositions = cfg.storePositions
       val doctf = inDf.mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
         val hex = "0123456789abcdef".toCharArray
+        val emptyPos: Seq[Long] = Seq.empty
         it.map { r =>
           val content = r.getString(contentIdx)
           val toks = Analyzer.tokenize(content)
+          // per-term tf and (when configured) ascending token-stream
+          // positions — position i is the index in the analyzer's emitted
+          // stream, the same stream dl counts
           val tfMap = new java.util.HashMap[String, Long]()
+          val posMap: java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]] =
+            if (withPositions) new java.util.HashMap() else null
           var i = 0
           while (i < toks.length) {
             tfMap.merge(toks(i), 1L, (a, b) => a + b)
+            if (withPositions) {
+              var buf = posMap.get(toks(i))
+              if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Long](4); posMap.put(toks(i), buf) }
+              buf += i.toLong
+            }
             i += 1
           }
           // keyword-field filter terms (the ES `keyword` mapping analogue,
@@ -160,14 +175,22 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
           // content terms but never scored, and excluded from dl. The
           // tokenizer strips ':' so these can't collide with content terms.
           keywordIdx.foreach { case (name, idx) =>
-            if (!r.isNullAt(idx)) tfMap.put(s"$name:${r.getString(idx)}", 1L)
+            if (!r.isNullAt(idx)) {
+              val t = s"$name:${r.getString(idx)}"
+              tfMap.put(t, 1L)
+              if (withPositions) {
+                val buf = new scala.collection.mutable.ArrayBuffer[Long](1); buf += 0L
+                posMap.put(t, buf)
+              }
+            }
           }
           val terms = new Array[org.apache.spark.sql.Row](tfMap.size)
           val eit = tfMap.entrySet().iterator()
           var j = 0
           while (eit.hasNext) {
             val e = eit.next()
-            terms(j) = org.apache.spark.sql.Row(e.getKey, e.getValue)
+            val pos: Seq[Long] = if (withPositions) posMap.get(e.getKey).toSeq else emptyPos
+            terms(j) = org.apache.spark.sql.Row(e.getKey, e.getValue, pos)
             j += 1
           }
           md.reset()
@@ -230,7 +253,8 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     val tfManifest = loadIfDone(tfDir, lineage).getOrElse(stage("tf") {
       val tf = spark.read.parquet(doctfDir)
         .select(col("docId"), col("dl"), explode(col("terms")).as("t"))
-        .select(col("t.term").as("term"), col("docId"), col("t.tf").as("tf"), col("dl"))
+        .select(col("t.term").as("term"), col("docId"), col("t.tf").as("tf"), col("dl"),
+          col("t.pos").as("pos"))
       tf.write.mode("overwrite").parquet(tfDir)
       val row = spark.read.parquet(tfDir).agg(count("*").as("n")).head()
       val m = StageManifest("tf", row.getAs[Long]("n"), 0L, row.getAs[Long]("n"), lineage, cfg.configHash)
@@ -270,7 +294,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       val termDict = spark.read.parquet(termsDir).select("term", "termId")
       spark.read.parquet(tfDir)
         .join(termDict, Seq("term"))
-        .select(col("termId"), col("docId"), col("tf"), col("dl"),
+        .select(col("termId"), col("docId"), col("tf"), col("dl"), col("pos"),
           expr(s"cast(termId div $bucketWidth as int)").as("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(tfencDir)
       Json.write(manifestPath(tfencDir),
@@ -295,16 +319,16 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         // partition directory — pack an empty slice
         val slice =
           if (Json.exists(s"$tfencDir/bucket=$b"))
-            spark.read.parquet(s"$tfencDir/bucket=$b").select("termId", "docId", "tf", "dl")
+            spark.read.parquet(s"$tfencDir/bucket=$b").select("termId", "docId", "tf", "dl", "pos")
           else spark.emptyDataset[Posting].toDF()
         val part = slice
           .repartition(cfg.buildPartitions, col("termId"), expr(s"docId div ${cfg.docsPerShard}"))
           .sortWithinPartitions("termId", "docId")
           .as[Posting]
         // bind to locals so the closure captures serializable values, not `this`
-        val (bs, dps, params) = (cfg.blockSize, cfg.docsPerShard, p)
+        val (bs, dps, params, wPos) = (cfg.blockSize, cfg.docsPerShard, p, cfg.storePositions)
         val packFn: Iterator[Posting] => Iterator[PostingBlock] =
-          IndexBuilder.packBlocks(bs, dps, params, avgdl)
+          IndexBuilder.packBlocks(bs, dps, params, avgdl, wPos)
         val blocks = part.mapPartitions(packFn)
         blocks.write.mode("overwrite").parquet(bDir)
         val row = spark.read.parquet(bDir)
@@ -325,7 +349,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     // reference's refresh_interval=-1 → forcemerge → route-off pattern)
     val meta = IndexMeta(numDocs, sumDl, numTerms, numPostings, numBlocks,
       Analyzer.Version, cfg.k1, cfg.b, cfg.blockSize, cfg.docsPerShard, lineage, cfg.configHash,
-      keywordFields = cfg.fields.keyword)
+      keywordFields = cfg.fields.keyword, hasPositions = cfg.storePositions)
     Json.write(s"$staging/meta.json", meta)
     Json.deleteRecursively(doctfDir)
     Json.deleteRecursively(tfDir)
@@ -344,11 +368,14 @@ object IndexBuilder {
     * cut into blocks of ≤ blockSize; O(blockSize) memory regardless of how
     * long a hot term's run is. Input partitions hold disjoint
     * (termId, docId) ranges, so emitted blocks never overlap. */
-  def packBlocks(blockSize: Int, docsPerShard: Long, p: Bm25Params, avgdl: Double)(it: Iterator[Posting]): Iterator[PostingBlock] =
+  def packBlocks(blockSize: Int, docsPerShard: Long, p: Bm25Params, avgdl: Double,
+      storePositions: Boolean = false)(it: Iterator[Posting]): Iterator[PostingBlock] =
     new Iterator[PostingBlock] {
       private val docBuf = new Array[Long](blockSize)
       private val tfBuf = new Array[Long](blockSize)
       private val dlBuf = new Array[Long](blockSize)
+      private val posBuf = new Array[Array[Long]](blockSize)
+      private val emptyBytes = Array.emptyByteArray
       private var n = 0
       private var curTerm = -1L
       private var curShard = -1L
@@ -366,11 +393,19 @@ object IndexBuilder {
           if (dlBuf(i) < minDl) minDl = dlBuf(i)
           i += 1
         }
+        val poss =
+          if (!storePositions) emptyBytes
+          else {
+            val buf = new scala.collection.mutable.ArrayBuffer[Byte](n * 4)
+            var j = 0
+            while (j < n) { Codec.appendDeltas(buf, posBuf(j)); j += 1 }
+            buf.toArray
+          }
         val blk = PostingBlock(curShard, curTerm, docBuf(0), docBuf(n - 1), n,
           Codec.encodeDeltas(java.util.Arrays.copyOf(docBuf, n)),
           Codec.encode(java.util.Arrays.copyOf(tfBuf, n)),
           Codec.encode(java.util.Arrays.copyOf(dlBuf, n)),
-          BM25.upperBoundFloat(maxTfnD), maxTf, minDl)
+          BM25.upperBoundFloat(maxTfnD), maxTf, minDl, poss)
         n = 0
         blk
       }
@@ -384,7 +419,9 @@ object IndexBuilder {
           }
           curTerm = r.termId
           curShard = shard
-          docBuf(n) = r.docId; tfBuf(n) = r.tf; dlBuf(n) = r.dl; n += 1
+          docBuf(n) = r.docId; tfBuf(n) = r.tf; dlBuf(n) = r.dl
+          if (storePositions) posBuf(n) = r.pos
+          n += 1
         }
         if (pending == null && n > 0 && !it.hasNext) pending = flush()
       }

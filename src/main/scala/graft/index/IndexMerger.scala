@@ -90,18 +90,21 @@ object IndexMerger {
     // ---- flat postings from both segments, re-keyed to the new docIds
     val idmap = spark.read.parquet(s"$staging/_idmap")
     def sidePostings(dir: String, src: String): DataFrame = {
+      val withPos = cfg.storePositions
       val blocks = spark.read.parquet(s"$dir/blocks")
         .select(PostingBlock.columns.map(col): _*)
         .as[PostingBlock]
       val flat = blocks.flatMap { b =>
         val ids = b.docIds; val tfs = b.tfValues
-        (0 until b.n).iterator.map(i => (b.termId, ids(i), tfs(i)))
-      }.toDF("termId", "oldDocId", "tf")
+        val poss = if (withPos) b.positions else null
+        (0 until b.n).iterator.map(i =>
+          (b.termId, ids(i), tfs(i), if (withPos) poss(i) else Array.emptyLongArray))
+      }.toDF("termId", "oldDocId", "tf", "pos")
       val dict = spark.read.parquet(s"$dir/terms").select("termId", "term")
       flat
         .join(dict, Seq("termId"))
         .join(idmap.filter(col("src") === src), Seq("oldDocId"))
-        .select("term", "docId", "tf", "dl")
+        .select("term", "docId", "tf", "dl", "pos")
     }
     val tfDir = s"$staging/_tf"
     sidePostings(dirA, "A").unionByName(sidePostings(dirB, "B"))

@@ -57,13 +57,17 @@ final case class IndexConfig(
     /** resume granularity for the posting-build stage (termId-range buckets,
       * the Luigi-task-marker analogue: `luigi_pipeline/lib/hail_tasks.py:70-74`) */
     buildBuckets: Int = 4,
-    fields: FieldConfig = FieldConfig()) {
+    fields: FieldConfig = FieldConfig(),
+    /** store per-posting term positions (token-stream indices) — enables
+      * `"exact phrase"` queries at the cost of a 4th encoded block column */
+    storePositions: Boolean = false) {
 
   /** Stable fingerprint of everything that affects index bytes; a stage
     * checkpoint from a different config must never be resumed. */
   def configHash: String = {
     val s = s"${graft.analysis.Analyzer.Version}|$docsPerShard|$blockSize|$k1|$b" +
-      s"|k=${fields.keyword.mkString(",")}|s=${fields.storedOnly.mkString(",")}"
+      s"|k=${fields.keyword.mkString(",")}|s=${fields.storedOnly.mkString(",")}" +
+      s"|p=$storePositions"
     java.lang.Long.toHexString(
       s.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
   }
@@ -103,18 +107,38 @@ final case class PostingBlock(
     dls: Array[Byte],
     maxTfn: Float,
     maxTf: Long,
-    minDl: Long) {
+    minDl: Long,
+    /** concatenated per-posting delta+varint position lists (posting i has
+      * exactly tf_i positions); empty unless built with storePositions */
+    poss: Array[Byte]) {
 
   def docIds: Array[Long] = Codec.decodeDeltas(docs, n)
   def tfValues: Array[Long] = Codec.decode(tfs, n)
   def dlValues: Array[Long] = Codec.decode(dls, n)
+
+  /** Per-posting positions (ascending token-stream indices); empty arrays
+    * when the index stores no positions. */
+  def positions: Array[Array[Long]] = {
+    if (poss == null || poss.isEmpty) return Array.fill(n)(Array.emptyLongArray)
+    val tfv = tfValues
+    val out = new Array[Array[Long]](n)
+    var off = 0
+    var i = 0
+    while (i < n) {
+      val (arr, next) = Codec.decodeDeltasFrom(poss, off, tfv(i).toInt)
+      out(i) = arr
+      off = next
+      i += 1
+    }
+    out
+  }
 }
 
 object PostingBlock {
   /** Canonical column order for `.select(...).as[PostingBlock]` readers. */
   val columns: Seq[String] = Seq(
     "shard", "termId", "firstDoc", "lastDoc", "n", "docs", "tfs", "dls",
-    "maxTfn", "maxTf", "minDl")
+    "maxTfn", "maxTf", "minDl", "poss")
 }
 
 /** Index-level metadata (the `_meta` / globals analogue). */
@@ -136,7 +160,9 @@ final case class IndexMeta(
     configHash: String,
     /** which columns are keyword-indexed as `field:value` filter terms
       * (null-safe default for metas written before this field existed) */
-    keywordFields: Seq[String] = Seq("lang", "repo")) {
+    keywordFields: Seq[String] = Seq("lang", "repo"),
+    /** whether posting blocks carry per-posting positions (phrase queries) */
+    hasPositions: Boolean = false) {
   def avgdl: Double = sumDl.toDouble / numDocs.toDouble
   def keywords: Seq[String] =
     if (keywordFields == null) Seq("lang", "repo") else keywordFields

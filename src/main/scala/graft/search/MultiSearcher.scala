@@ -48,6 +48,9 @@ class MultiSearcher(spark: SparkSession, dir: String) {
 
   /** Top-k, ordered (score desc, identity asc); identity-keyed results. */
   def search(query: String, k: Int): Array[ScoredHit] = {
+    if (query.contains('"'))
+      throw new UnsupportedOperationException(
+        "phrase queries over a segmented index are not supported yet — forceMerge() first")
     val (qTerms, qFilters) = Searcher.parseQuery(query, segs.head._2.keywords.toSet)
     if (qTerms.isEmpty) return Array.empty
     val lookup = (qTerms ++ qFilters).distinct.toSeq

@@ -32,7 +32,16 @@ object Oracle {
     * N, avgdl and df stay index-wide — matching ES keyword-filter
     * semantics and the engine's non-scoring required cursors. */
   def bm25(corpus: DataFrame, query: String, k: Int, p: Bm25Params = BM25.Default): DataFrame = {
-    val parts = query.trim.split("\\s+").filter(_.nonEmpty)
+    // `"quoted spans"` are exact-phrase requirements, matched over the same
+    // analyzed token stream the engine stores positions for: the ORDERED
+    // token sequence of the quoted text must appear at consecutive stream
+    // indices. Phrase docs are gated like keyword filters (candidates, not
+    // stats); scoring is the ordinary BM25 sum over the phrase's distinct
+    // terms — the engine's documented phrase semantic.
+    val phraseSeqs: Seq[Seq[String]] = Searcher.PhrasePattern.findAllMatchIn(query)
+      .map(m => Analyzer.tokenize(m.group(1)).toSeq).filter(_.nonEmpty).toSeq
+    val rest = Searcher.PhrasePattern.replaceAllIn(query, " ")
+    val parts = rest.trim.split("\\s+").filter(_.nonEmpty)
     // any `col:value` token naming a non-content corpus column is a keyword
     // filter — the schema-derived rule (FieldConfig.derive) mirrored here
     val keywordFields = corpus.columns.filterNot(_ == "content").toSet
@@ -40,16 +49,27 @@ object Oracle {
       val i = t.indexOf(':')
       i > 0 && keywordFields.contains(t.substring(0, i))
     }
-    val qTerms = Analyzer.queryTerms(contentToks.mkString(" ")).toSeq
+    val qTerms =
+      (Analyzer.queryTerms(contentToks.mkString(" ")) ++ phraseSeqs.flatten).distinct.sorted.toSeq
     val filterPred: Column = filterToks.distinct.map { f =>
       val Array(field, value) = f.split(":", 2)
       col(field) === value
     }.foldLeft(lit(true))(_ && _)
     // carry every non-content column: any of them may be a keyword filter
     val metaCols = corpus.columns.filterNot(_ == "content").toSeq
+    val phraseOk: Column = phraseSeqs.map { ph =>
+      val m = ph.length
+      when(size(col("toks")) >= m,
+        exists(sequence(lit(1), size(col("toks")) - m + 1),
+          i => ph.zipWithIndex.map { case (t, j) =>
+            element_at(col("toks"), i + j) === lit(t)
+          }.reduce(_ && _)))
+        .otherwise(lit(false))
+    }.foldLeft(lit(true))(_ && _)
     val docTok = corpus
       .select(metaCols.map(col) :+ Analyzer.analyze(col("content")).as("toks"): _*)
       .select(metaCols.map(col) :+ size(col("toks")).cast("long").as("dl") :+ col("toks"): _*)
+      .withColumn("_pok", phraseOk)
       .persist()
     try {
       val statsRow = docTok.agg(count("*").as("n"), sum("dl").as("sumDl")).head()
@@ -57,9 +77,9 @@ object Oracle {
       val avgdl = statsRow.getAs[Long]("sumDl").toDouble / n.toDouble
 
       val tfq = docTok
-        .select(metaCols.map(col) :+ col("dl") :+ explode(col("toks")).as("term"): _*)
+        .select(metaCols.map(col) :+ col("_pok") :+ col("dl") :+ explode(col("toks")).as("term"): _*)
         .filter(if (qTerms.isEmpty) lit(false) else col("term").isin(qTerms: _*))
-        .groupBy((metaCols :+ "dl" :+ "term").map(col): _*)
+        .groupBy((metaCols :+ "_pok" :+ "dl" :+ "term").map(col): _*)
         .agg(count(lit(1)).as("tf"))
 
       val dfByTerm: Map[String, Long] = tfq.groupBy("term").count()
@@ -79,7 +99,7 @@ object Oracle {
       val contrib = element_at(typedLit(idfByTerm), col("term")) * tfn
 
       tfq
-        .filter(filterPred) // keyword filters gate candidates, not stats
+        .filter(filterPred && col("_pok")) // filters/phrases gate candidates, not stats
         .select(col("repo"), col("path"), col("commit"),
           struct(col("term"), contrib.as("c")).as("tc"))
         .groupBy("repo", "path", "commit")

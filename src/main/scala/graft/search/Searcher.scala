@@ -67,15 +67,36 @@ class Searcher(spark: SparkSession, indexDir: String) {
       .collect()
       .sortBy(_._1)
 
+  /** term → (termId, df) for each query term present in the dictionary. */
+  def lookupTermStats(terms: Seq[String]): Map[String, (Long, Long)] =
+    if (terms.isEmpty) Map.empty
+    else termsDf
+      .filter(col("term").isin(terms: _*))
+      .select("term", "termId", "df")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
   /** Split a raw query into (content terms, keyword filter terms) using
     * this index's configured keyword fields — see [[Searcher.parseQuery]]. */
   def parseQuery(query: String): (Array[String], Array[String]) =
     Searcher.parseQuery(query, meta.keywords.toSet)
 
   /** Top-k BM25 search; returns at most k rows ordered (score desc, docId asc).
-    * Keyword filters (see [[parseQuery]]) are conjunctive and non-scoring. */
+    * Keyword filters (see [[parseQuery]]) are conjunctive and non-scoring.
+    * `"quoted spans"` are exact-phrase requirements (index must be built
+    * with storePositions): conjunctive on the phrase's terms, verified by
+    * position adjacency over the analyzer's token stream, scored by the
+    * ordinary BM25 sum over the phrase's distinct terms — a documented
+    * departure from Lucene's phrase-frequency scoring, mirrored exactly by
+    * the oracle. Mixing quoted and loose content terms is not supported. */
   def search(query: String, k: Int): Array[ScoredDoc] = {
-    val (qTerms, qFilters) = parseQuery(query)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    if (pq.phrases.nonEmpty) {
+      require(pq.terms.isEmpty, "mixing loose terms with phrase queries is not supported")
+      return searchPhrases(pq.phrases, pq.filters, k)
+    }
+    val qTerms = pq.terms
+    val qFilters = pq.filters
     val stats = lookupTerms(qTerms.toSeq)
     if (stats.isEmpty) return Array.empty
     val filterStats = lookupTerms(qFilters.toSeq)
@@ -95,6 +116,46 @@ class Searcher(spark: SparkSession, indexDir: String) {
       .groupByKey(_.shard)
       .flatMapGroups { (_, blocks) =>
         Wand.topK(blocks, idfById, filterIds, avgdl, params, k)
+      }
+
+    perShard
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+      .as[ScoredDoc]
+      .collect()
+  }
+
+  /** Exact-phrase top-k: conjunctive document-at-a-time over the phrase
+    * terms with inline position verification (no post-hoc filtering that
+    * could under-fill k), then the usual global merge. */
+  private def searchPhrases(
+      phrases: Array[Array[String]],
+      qFilters: Array[String],
+      k: Int): Array[ScoredDoc] = {
+    if (!meta.hasPositions)
+      throw new IllegalStateException(
+        "phrase query on an index built without positions (IndexConfig.storePositions=false)")
+    val phraseTerms = phrases.flatten.distinct
+    val stats = lookupTermStats(phraseTerms.toSeq)
+    // conjunctive: any phrase token absent from the dictionary → no match
+    if (stats.size < phraseTerms.length) return Array.empty
+    val filterStats = lookupTerms(qFilters.toSeq)
+    if (filterStats.length < qFilters.length) return Array.empty
+    val n = meta.numDocs
+    val avgdl = meta.avgdl
+    val idfById: Map[Long, Double] =
+      stats.values.map { case (tid, df) => tid -> BM25.idf(n, df) }.toMap
+    val filterIds: Set[Long] = filterStats.map(_._1).toSet
+    val phraseIdSeqs: Array[Array[Long]] = phrases.map(_.map(t => stats(t)._1))
+    val termIds = idfById.keys.toArray ++ filterIds
+    val params = p
+
+    val perShard = blocksDf
+      .filter(col("termId").isin(termIds.map(Long.box): _*))
+      .as[PostingBlock]
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, blocks) =>
+        Phrase.topK(blocks, phraseIdSeqs, idfById, filterIds, avgdl, params, k)
       }
 
     perShard
@@ -195,6 +256,177 @@ object Searcher {
       i > 0 && keywordFields.contains(t.substring(0, i))
     }
     (Analyzer.queryTerms(content.mkString(" ")), filters.distinct.sorted)
+  }
+
+  /** A query parsed into loose terms, keyword filters, and exact phrases
+    * (each phrase = the analyzer's ORDERED token sequence for the quoted
+    * span — order and duplicates preserved, unlike loose terms). */
+  final case class ParsedQuery(
+      terms: Array[String], filters: Array[String], phrases: Array[Array[String]])
+
+  /** `"quoted span"` extractor, shared with the oracle. */
+  val PhrasePattern: scala.util.matching.Regex = "\"([^\"]*)\"".r
+
+  /** [[parseQuery]] plus `"quoted phrase"` extraction. */
+  def parseFull(query: String, keywordFields: Set[String]): ParsedQuery = {
+    val phrases = PhrasePattern.findAllMatchIn(query)
+      .map(m => Analyzer.tokenize(m.group(1))).filter(_.nonEmpty).toArray
+    val rest = PhrasePattern.replaceAllIn(query, " ")
+    val (terms, filters) = parseQuery(rest, keywordFields)
+    ParsedQuery(terms, filters, phrases)
+  }
+}
+
+/** Conjunctive exact-phrase kernel: document-at-a-time intersection of the
+  * phrase's term cursors within one shard, position-verified before any
+  * heap insert, scored by the BM25 sum over the phrase's distinct terms in
+  * ascending termId order (bit-identical to the oracle's plan). No WAND
+  * pruning — conjunction is already selective; block skipping still applies
+  * through cursor advances, and positions are decoded ONLY for fully
+  * aligned candidate documents. */
+object Phrase {
+
+  private final class PCursor(
+      val termId: Long,
+      val idf: Double,
+      blocks: Array[PostingBlock],
+      avgdl: Double,
+      p: Bm25Params) {
+
+    private var bi = 0
+    private var ids: Array[Long] = _
+    private var tfs: Array[Long] = _
+    private var dls: Array[Long] = _
+    private var poss: Array[Array[Long]] = _
+    private var pi = 0
+    var curDoc: Long = Long.MinValue
+    advanceTo(Long.MinValue)
+
+    def advanceTo(d: Long): Unit = {
+      while (bi < blocks.length && blocks(bi).lastDoc < d) { bi += 1; ids = null }
+      if (bi >= blocks.length) { curDoc = Long.MaxValue; return }
+      if (ids == null) {
+        val b = blocks(bi)
+        ids = b.docIds; tfs = b.tfValues; dls = b.dlValues; poss = null; pi = 0
+      }
+      while (pi < ids.length && ids(pi) < d) pi += 1
+      if (pi >= ids.length) { bi += 1; ids = null; advanceTo(d) }
+      else curDoc = ids(pi)
+    }
+
+    def next(): Unit = if (curDoc != Long.MaxValue) advanceTo(curDoc + 1)
+
+    def score: Double = idf * BM25.tfNorm(tfs(pi), dls(pi), avgdl, p)
+
+    /** Positions of the current posting (block decoded lazily, once). */
+    def positions: Array[Long] = {
+      if (poss == null) poss = blocks(bi).positions
+      poss(pi)
+    }
+  }
+
+  def topK(
+      blocks: Iterator[PostingBlock],
+      phraseIdSeqs: Array[Array[Long]],
+      idfByTermId: Map[Long, Double],
+      filterTermIds: Set[Long],
+      avgdl: Double,
+      p: Bm25Params,
+      k: Int): Iterator[ScoredDoc] = {
+
+    val byTerm = blocks.toArray.groupBy(_.termId)
+    // conjunctive: every phrase term must have postings in this shard
+    val reqIds = idfByTermId.keys.toArray.sorted
+    val req = new Array[PCursor](reqIds.length)
+    var i = 0
+    while (i < reqIds.length) {
+      byTerm.get(reqIds(i)) match {
+        case Some(blks) =>
+          req(i) = new PCursor(reqIds(i), idfByTermId(reqIds(i)), blks.sortBy(_.firstDoc), avgdl, p)
+        case None => return Iterator.empty
+      }
+      i += 1
+    }
+    val filters: Array[PCursor] = filterTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks => new PCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p))
+    }
+    if (filters.length < filterTermIds.size) return Iterator.empty
+
+    def passesFilters(d: Long): Boolean = {
+      var j = 0
+      while (j < filters.length) {
+        val f = filters(j)
+        if (f.curDoc < d) f.advanceTo(d)
+        if (f.curDoc != d) return false
+        j += 1
+      }
+      true
+    }
+
+    val posByTid = new java.util.HashMap[Long, Array[Long]]()
+    def phrasesMatch(): Boolean = {
+      posByTid.clear()
+      var j = 0
+      while (j < req.length) { posByTid.put(req(j).termId, req(j).positions); j += 1 }
+      phraseIdSeqs.forall { seq =>
+        val first = posByTid.get(seq(0))
+        var f = 0
+        var ok = false
+        while (!ok && f < first.length) {
+          val p0 = first(f)
+          var j = 1
+          var all = true
+          while (all && j < seq.length) {
+            if (java.util.Arrays.binarySearch(posByTid.get(seq(j)), p0 + j) < 0) all = false
+            j += 1
+          }
+          ok = all
+          f += 1
+        }
+        ok
+      }
+    }
+
+    val worstFirst = new java.util.Comparator[ScoredDoc] {
+      def compare(a: ScoredDoc, b: ScoredDoc): Int = {
+        val c = java.lang.Double.compare(a.score, b.score)
+        if (c != 0) c else java.lang.Long.compare(b.docId, a.docId)
+      }
+    }
+    val heap = new java.util.PriorityQueue[ScoredDoc](k, worstFirst)
+
+    var done = false
+    while (!done) {
+      // candidate = max over required cursors; align all to it
+      var cand = Long.MinValue
+      var j = 0
+      while (j < req.length) { if (req(j).curDoc > cand) cand = req(j).curDoc; j += 1 }
+      if (cand == Long.MaxValue) done = true
+      else {
+        var aligned = true
+        j = 0
+        while (j < req.length) {
+          if (req(j).curDoc < cand) { req(j).advanceTo(cand); if (req(j).curDoc != cand) aligned = false }
+          j += 1
+        }
+        if (aligned) {
+          if (passesFilters(cand) && phrasesMatch()) {
+            // in ascending termId order (req is sorted) — oracle-identical
+            var s = 0.0
+            j = 0
+            while (j < req.length) { s += req(j).score; j += 1 }
+            if (heap.size < k) heap.add(ScoredDoc(cand, s))
+            else if (s > heap.peek().score) { heap.poll(); heap.add(ScoredDoc(cand, s)) }
+          }
+          j = 0
+          while (j < req.length) { req(j).next(); j += 1 }
+        }
+      }
+    }
+    val out = new Array[ScoredDoc](heap.size)
+    i = 0
+    while (!heap.isEmpty) { out(i) = heap.poll(); i += 1 }
+    out.iterator
   }
 }
 

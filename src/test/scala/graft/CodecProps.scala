@@ -26,6 +26,19 @@ object CodecProps extends Properties("Codec") {
     Codec.decodeDeltas(Codec.encodeDeltas(arr), arr.length).sameElements(arr)
   }
 
+  property("concatenated delta lists roundtrip (positions layout)") =
+    Prop.forAll(Gen.listOf(increasing)) { lists =>
+      val buf = new scala.collection.mutable.ArrayBuffer[Byte]()
+      lists.foreach(l => Codec.appendDeltas(buf, l))
+      val bytes = buf.toArray
+      var off = 0
+      lists.forall { l =>
+        val (got, next) = Codec.decodeDeltasFrom(bytes, off, l.length)
+        off = next
+        got.sameElements(l)
+      } && off == bytes.length
+    }
+
   property("delta encoding is compact for dense runs") = Prop.forAll(
     Gen.chooseNum(0L, 1L << 30), Gen.chooseNum(1, 500)) { (start, n) =>
     val arr = Array.tabulate(n)(i => start + i)

@@ -274,6 +274,60 @@ class EngineSpec extends AnyFunSuite {
     assert(derived.storedOnly == Seq("notes"))
   }
 
+  test("phrase queries: position-verified, rank- and bit-identical to the oracle") {
+    import spark.implicits._
+    val dir = s"$workDir/phrases"
+    val pcfg = cfg.copy(storePositions = true)
+    new IndexBuilder(spark, pcfg).build(corpus, dir, resume = false)
+    val s = new Searcher(spark, dir)
+    assert(s.meta.hasPositions)
+
+    val docsById = spark.read.parquet(s"$dir/docs")
+      .select("docId", "repo", "path", "commit").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    def eng(q: String, k: Int) = s.search(q, k).toSeq
+      .map(h => { val d = docsById(h.docId); (d._1, d._2, d._3, h.score) })
+    def ora(q: String, k: Int) = Oracle.bm25(corpus, q, k).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+
+    val phraseQueries = Seq(
+      ("\"if else\"", 20),
+      ("\"else if\"", 20),             // order matters
+      ("\"index merge\"", 20),
+      ("\"query\"", 10),               // single-token phrase == exact term AND
+      ("\"def zzz_not_a_term\"", 10),  // absent token → empty
+      ("lang:scala \"def value\"", 20) // filter + phrase compose
+    )
+    for ((q, k) <- phraseQueries) {
+      val e = eng(q, k)
+      val o = ora(q, k)
+      assert(e.map(t => (t._1, t._2, t._3)) == o.map(t => (t._1, t._2, t._3)),
+        s"phrase ranking mismatch for $q\nengine=${e.take(5)}\noracle=${o.take(5)}")
+      e.zip(o).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a._4) == java.lang.Double.doubleToLongBits(b._4),
+          s"phrase score not bit-identical for $q: $a vs $b")
+      }
+    }
+    // at least one multi-token phrase must actually hit (not vacuous)
+    assert(eng("\"if else\"", 20).nonEmpty || eng("\"index merge\"", 20).nonEmpty)
+    // phrase presence is stricter than bag-of-words: the conjunctive AND of
+    // both tokens has at least as many hits as the adjacent-pair phrase
+    val bagHits = ora("if else", 1000).size
+    assert(eng("\"if else\"", 1000).size <= bagHits)
+
+    // ordinary WAND queries on a positions-enabled index stay bit-identical
+    for ((q, k) <- QuerySet.take(8)) {
+      val e = eng(q, k)
+      val o = ora(q, k)
+      assert(e == o, s"WAND-on-positions-index mismatch for '$q'")
+    }
+
+    // a phrase query against an index without positions fails loudly
+    intercept[IllegalStateException] {
+      searcher.search("\"index merge\"", 10)
+    }
+  }
+
   test("searchMany batch results are identical to per-query search") {
     val batch = searcher.searchMany(QuerySet)
     QuerySet.zip(batch).foreach { case ((q, k), got) =>
