@@ -30,6 +30,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.datasources.DataSource",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 
@@ -98,6 +101,20 @@ object Bench {
     val tput4N = best(n4Cores)
     val efficiency = tput4N / ((n4Cores.toDouble / nCores) * tputN)
 
+    // ---- positions build cost: one identical build with storePositions on
+    // (phrase-query support) at the large core count — reported as its own
+    // throughput so the overhead is visible vs best(n4Cores)
+    val posTput = {
+      spark.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      spark = session(n4Cores, shufflePartitions = 32)
+      val corpus = CorpusGen.generate(spark, benchFiles, seed = 42L, partitions = 32,
+        tokensScale = 2).toDF()
+      val (_, secs) = timed(new IndexBuilder(spark, cfg.copy(storePositions = true))
+        .build(corpus, s"$benchDir/index-pos", resume = false))
+      benchFiles.toDouble / secs
+    }
+
     // ---- phase C: query latency over the frozen query set (last-built
     // index, blocks pinned in memory — the served-index configuration)
     val searcher = new Searcher(spark, s"$benchDir/index-${scaleCores.last}").warm()
@@ -119,6 +136,7 @@ object Bench {
       s"""{"build_files_per_sec_c$nCores":${r2(tputN)},"build_files_per_sec_c$n4Cores":${r2(tput4N)},""" +
       s""""scaling_efficiency":${r2(efficiency)},"build_files":$benchFiles,""" +
       s""""scaling_samples":$sampleJson,""" +
+      s""""build_files_per_sec_positions":${r2(posTput)},""" +
       s""""query_p50_ms":${r2(pct(lat, 0.5))},"query_p99_ms":${r2(pct(lat, 0.99))},""" +
       s""""batch_queries_per_sec":${r2(batchQps)}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","engine":$engine}""")

@@ -550,16 +550,27 @@ object SparkEntry {
         .limit(20)
     }),
 
-    // LSH-bucketed ANN (scale path; exact-vs-LSH recall is asserted in
-    // ModulesSpec — rows-only here since bucket membership is not
-    // SQL-portable)
+    // LSH-bucketed ANN (scale path): candidates = vectors sharing ≥1 sign
+    // band with the query (deterministic axis-aligned hyperplanes — SQL-
+    // portable, so the candidate-gated exact top-k is DuckDB-verified),
+    // exact cosine re-rank inside the candidate set. The seeded
+    // random-plane variant lives in search/Ann.lshTopK with its recall
+    // asserted vs exact in ModulesSpec.
     "td13_ann_lsh" -> ((s, d) => {
-      import s.implicits._
-      val vecs = graft.search.Ann.fromDf(t(s, d, "embeddings"))
-      val query = vecs.filter(_.id == 0L).head().v
-      graft.search.Ann.lshTopK(vecs.filter(_.id != 0L), query, 20, planes = 16, bands = 8)
-        .toSeq.toDF("vec_id", "cos_raw")
-        .select(col("vec_id"), round(col("cos_raw"), 3).as("cos"))
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      def bandKey(v: Column, from: Int): Column = concat((from until from + 8).map(i =>
+        when(element_at(v, i + 1) >= 0, "1").otherwise("0")): _*)
+      val keyed = e.select(col("vec_id"), col("v"), bandKey(col("v"), 0).as("b0"), bandKey(col("v"), 8).as("b1"))
+      val q = keyed.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("b0").as("qb0"), col("b1").as("qb1"))
+      val cand = keyed.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0 && (col("b0") === col("qb0") || col("b1") === col("qb1")))
+      val dot = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val nv = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x))
+      val nq = sqrt(aggregate(transform(col("qv"), x => x * x), lit(0.0), (acc, x) => acc + x))
+      cand.select(col("vec_id"), round(dot / (nv * nq), 3).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(20)
     }),
 
     // multimodal plumbing: opaque binary payload + typed metadata
@@ -845,6 +856,16 @@ object SparkEntry {
           |SELECT vec_id, round(list_cosine_similarity(v, qv), 3) AS cos
           |FROM e, q WHERE vec_id <> 0
           |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
+      "td13_ann_lsh" -> {
+        def key(v: String, from: Int) = (from + 1 to from + 8)
+          .map(i => s"CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+        s"""WITH e AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v FROM embeddings),
+           |k AS (SELECT vec_id, v, ${key("v", 0)} AS b0, ${key("v", 8)} AS b1 FROM e),
+           |q AS (SELECT v AS qv, b0 AS qb0, b1 AS qb1 FROM k WHERE vec_id = 0)
+           |SELECT vec_id, round(list_cosine_similarity(v, qv), 3) AS cos
+           |FROM k, q WHERE vec_id <> 0 AND (b0 = qb0 OR b1 = qb1)
+           |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin
+      },
       "td12_multimodal_meta" ->
         """SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS byte_len,
           | md5(text) AS payload_md5, source FROM documents""".stripMargin,

@@ -228,16 +228,19 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     // `terms` column is pruned away)
     val docsDir = s"$staging/docs"
     val docsManifest = loadIfDone(docsDir, 0L).getOrElse(stage("docs") {
+      // manifest stats ride the write job as observed metrics — no
+      // second read-back pass (sequential-job count is the build's main
+      // fixed overhead at small corpora, and a barrier at any size)
+      val obs = org.apache.spark.sql.Observation()
       spark.read.parquet(doctfDir)
         .select((Seq("docId", "repo", "path", "commit", "lang", "sha256", "dl") ++
           extraCols).map(col): _*)
-        .write.mode("overwrite").parquet(docsDir)
-      val row = spark.read.parquet(docsDir)
-        .agg(count("*").as("n"), sum("dl").as("sumDl"),
+        .observe(obs, count(lit(1)).as("n"), sum("dl").as("sumDl"),
           expr("bit_xor(xxhash64(sha256))").as("lineage"))
-        .head()
-      val m = StageManifest("docs", row.getAs[Long]("n"), 0L, row.getAs[Long]("sumDl"),
-        row.getAs[Long]("lineage"), cfg.configHash)
+        .write.mode("overwrite").parquet(docsDir)
+      val row = obs.get
+      val m = StageManifest("docs", row("n").asInstanceOf[Long], 0L,
+        row("sumDl").asInstanceOf[Long], row("lineage").asInstanceOf[Long], cfg.configHash)
       Json.write(manifestPath(docsDir), m)
       m
     })
@@ -251,13 +254,15 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     // of stage 0's pruned (docId, dl, terms) columns; no join, no shuffle
     val tfDir = s"$staging/_tf"
     val tfManifest = loadIfDone(tfDir, lineage).getOrElse(stage("tf") {
-      val tf = spark.read.parquet(doctfDir)
+      val obs = org.apache.spark.sql.Observation()
+      spark.read.parquet(doctfDir)
         .select(col("docId"), col("dl"), explode(col("terms")).as("t"))
         .select(col("t.term").as("term"), col("docId"), col("t.tf").as("tf"), col("dl"),
           col("t.pos").as("pos"))
-      tf.write.mode("overwrite").parquet(tfDir)
-      val row = spark.read.parquet(tfDir).agg(count("*").as("n")).head()
-      val m = StageManifest("tf", row.getAs[Long]("n"), 0L, row.getAs[Long]("n"), lineage, cfg.configHash)
+        .observe(obs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(tfDir)
+      val n = obs.get("n").asInstanceOf[Long]
+      val m = StageManifest("tf", n, 0L, n, lineage, cfg.configHash)
       Json.write(manifestPath(tfDir), m)
       m
     })
@@ -330,14 +335,16 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         val packFn: Iterator[Posting] => Iterator[PostingBlock] =
           IndexBuilder.packBlocks(bs, dps, params, avgdl, wPos)
         val blocks = part.mapPartitions(packFn)
-        blocks.write.mode("overwrite").parquet(bDir)
-        val row = spark.read.parquet(bDir)
-          .agg(count(lit(1)).as("blocks"),
-            coalesce(sum("n"), lit(0L)).as("postings"),
-            countDistinct("termId").as("terms"))
-          .head()
-        val mm = StageManifest(s"blocks/$b", row.getAs[Long]("blocks"),
-          row.getAs[Long]("terms"), row.getAs[Long]("postings"), lineage, cfg.configHash)
+        // stats ride the write (observed metrics can't do countDistinct —
+        // the per-bucket term count is informational only, recorded as 0)
+        val obs = org.apache.spark.sql.Observation()
+        blocks
+          .observe(obs, count(lit(1)).as("blocks"),
+            coalesce(sum("n"), lit(0L)).as("postings"))
+          .write.mode("overwrite").parquet(bDir)
+        val row = obs.get
+        val mm = StageManifest(s"blocks/$b", row("blocks").asInstanceOf[Long],
+          0L, row("postings").asInstanceOf[Long], lineage, cfg.configHash)
         Json.write(manifestPath(bDir), mm)
         mm
       })

@@ -46,20 +46,32 @@ class Searcher(spark: SparkSession, indexDir: String) {
   private val blocksDf = spark.read.parquet(s"$indexDir/blocks")
     .select(PostingBlock.columns.map(col): _*)
 
+  /** Driver-side dictionary (term → (termId, df)), populated by [[warm]] —
+    * the reference's J10 broadcast-map pattern for a served index: term
+    * lookup becomes a hash probe instead of a Spark job per query. */
+  @volatile private var dictMap: Map[String, (Long, Long)] = _
+
   /** Pin the dictionary and posting blocks in executor memory — the ES
     * page-cache analogue for a served index. Call once before a query
-    * workload; without it every query re-scans Parquet. */
-  def warm(): this.type = {
+    * workload; without it every query re-scans Parquet. When the dictionary
+    * fits (`numTerms ≤ maxDriverDictTerms`), it is also collected to a
+    * driver map so queries skip the dictionary-lookup Spark job entirely. */
+  def warm(maxDriverDictTerms: Long = 2_000_000L): this.type = {
     termsDf.persist(); blocksDf.persist()
-    termsDf.count(); blocksDf.count()
+    blocksDf.count()
+    if (meta.numTerms <= maxDriverDictTerms) {
+      dictMap = termsDf.select("term", "termId", "df").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    } else termsDf.count()
     this
   }
 
-  def cool(): Unit = { termsDf.unpersist(); blocksDf.unpersist() }
+  def cool(): Unit = { termsDf.unpersist(); blocksDf.unpersist(); dictMap = null }
 
   /** (termId, df) for each query term present in the dictionary. */
   def lookupTerms(terms: Seq[String]): Array[(Long, Long)] =
     if (terms.isEmpty) Array.empty
+    else if (dictMap != null) terms.flatMap(dictMap.get).toArray.sortBy(_._1)
     else termsDf
       .filter(col("term").isin(terms: _*))
       .select("termId", "df")
@@ -70,6 +82,7 @@ class Searcher(spark: SparkSession, indexDir: String) {
   /** term → (termId, df) for each query term present in the dictionary. */
   def lookupTermStats(terms: Seq[String]): Map[String, (Long, Long)] =
     if (terms.isEmpty) Map.empty
+    else if (dictMap != null) terms.flatMap(t => dictMap.get(t).map(t -> _)).toMap
     else termsDf
       .filter(col("term").isin(terms: _*))
       .select("term", "termId", "df")
@@ -180,11 +193,7 @@ class Searcher(spark: SparkSession, indexDir: String) {
     val allTerms = queries.flatMap { case (q, _) =>
       val (t, f) = parseQuery(q); t.toSeq ++ f.toSeq
     }.distinct
-    val statsByTerm: Map[String, (Long, Long)] =
-      if (allTerms.isEmpty) Map.empty
-      else termsDf.filter(col("term").isin(allTerms: _*))
-        .select("term", "termId", "df")
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val statsByTerm: Map[String, (Long, Long)] = lookupTermStats(allTerms)
 
     val plans: Seq[Option[Plan]] = queries.zipWithIndex.map { case ((q, k), i) =>
       val (qTerms, qFilters) = parseQuery(q)

@@ -17,8 +17,7 @@ class SparkEntrySpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    assert((q -- o) == Set("td13_ann_lsh"),
-      "only non-SQL-portable entries are rows-only")
+    assert((q -- o).isEmpty, "every query has a DuckDB oracle")
   }
 
   test("smoke: representative queries return rows on sf0.001") {

@@ -13,6 +13,9 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.datasources.DataSource",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }
