@@ -644,6 +644,51 @@ object SparkEntry {
         .select(col("docId"), col("path").cast("bigint").as("doc_id"))
         .join(broadcast(hits), Seq("docId"))
         .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // segmented engine end-to-end: two disjoint ingests → multi-segment
+    // WAND with exact global stats. Same oracle as fts3 — the segmented
+    // result must equal a fresh single build (the SegmentedIndex
+    // invariant), which the DuckDB brute-force plan independently checks.
+    "fts4_segmented" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-fts4-${math.abs(d.hashCode)}"
+      graft.index.Json.deleteRecursively(dir)
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      val seg = new graft.index.SegmentedIndex(s, dir, cfg)
+      seg.ingest(corpus.filter(col("path").cast("bigint") % 2 === 0))
+      seg.ingest(corpus.filter(col("path").cast("bigint") % 2 === 1))
+      new graft.search.MultiSearcher(s, dir).search("spark query merge", 50).toSeq
+        .toDF("repo", "path", "commit", "score_raw")
+        .select(col("path").cast("bigint").as("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // exact-phrase engine query: positions index + conjunctive position-
+    // verified kernel; phrase candidates scored by the BM25 sum over the
+    // phrase's distinct terms (documented semantic, oracle-gated on
+    // adjacency in DuckDB)
+    "fts5_phrase" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts5-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12,
+        buildBuckets = 2, storePositions = true)
+      new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      val hits = new Searcher(s, idxDir).search("\"data merge\"", 50).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
     })
   )
 
@@ -896,6 +941,38 @@ object SparkEntry {
            |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
            |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
            |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      "fts4_segmented" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('spark','query','merge') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      "fts5_phrase" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk,
+           |        len(list_filter(generate_series(1, len(tk)-1),
+           |            i -> tk[i] = 'data' AND tk[i+1] = 'merge')) > 0 AS pok
+           |        FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, pok, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, pok, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('data','merge') GROUP BY 1,2,3,4),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |WHERE pok
            |GROUP BY doc_id
            |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
       "fts2_term_dict" ->

@@ -57,6 +57,24 @@ class FieldUtilsSpec extends AnyFunSuite {
     assert(stats("noncoding") == graft.functions.ValidationStat(0, 4, false))
   }
 
+  test("broadcast interval annotate: liftover-style coordinate mapping") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(("a", 5), ("b", 15), ("c", 99)).toDF("id", "pos")
+    val chain = Seq((0, 10, 1000), (10, 20, 2000)).toDF("start", "end", "offset")
+    val out = graft.functions.BroadcastAnnotate
+      .byInterval(rows, chain, col("pos"))
+      .select(col("id"), (col("pos") + col("offset")).cast("long").as("lifted"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map("a" -> 1005L, "b" -> 2015L, "c" -> -1L))
+
+    val mapped = graft.functions.BroadcastAnnotate
+      .byMap(rows, Map("a" -> "alpha", "b" -> "beta"), col("id"), "name")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(mapped == Map("a" -> "alpha", "b" -> "beta", "c" -> null))
+  }
+
   test("decision matrix mirrors the reference's four branches") {
     assert(Validation.decide(false, false, "WES").isLeft)
     assert(Validation.decide(false, true, "WGS").isLeft)
