@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.index.{FieldConfig, IndexBuilder, IndexConfig, IndexMerger, SegmentedIndex, Sizing}
+import graft.search.{MultiSearcher, Searcher}
+import graft.sources.CorpusIO
+import graft.streaming.StreamingIndexer
+
+/** spark-submit entry point — the deployment surface of the north rule
+  * (`spark-submit --class graft.Main <jar> <command> ...` on a real
+  * cluster; the session builder inherits master/executors from submit).
+  *
+  * Commands:
+  *   build  <corpusPath> <indexDir> [--format parquet|iceberg] [--positions]
+  *          [--partitions N] [--docs-per-shard N] [--auto-shards] [--no-resume]
+  *   search <indexDir> <k> <query...>          (single index or segmented)
+  *   ingest <corpusPath> <indexDir> <checkpointDir> [--format ...]
+  *          (AvailableNow streaming pass over new files → segmented index)
+  *   merge  <dirA> <dirB> <outDir>
+  *
+  * The reference's CLI analogue is the Luigi task surface
+  * (`luigi_pipeline/seqr_loading.py:318-321`).
+  */
+object Main {
+
+  private def flag(args: Seq[String], name: String): Boolean = args.contains(name)
+  private def opt(args: Seq[String], name: String): Option[String] = {
+    val i = args.indexOf(name)
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println("usage: build|search|ingest|merge ..."); sys.exit(2) }
+    val builder = SparkSession.builder()
+      .appName(s"graft-${args(0)}")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    // under spark-submit the master comes from the submit conf; running the
+    // class directly (sbt runMain) falls back to local
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.datasources.DataSource",
+      org.apache.logging.log4j.Level.ERROR)
+    try run(spark, args.toIndexedSeq) finally spark.stop()
+  }
+
+  private def cfgFrom(rest: Seq[String]): IndexConfig = IndexConfig(
+    buildPartitions = opt(rest, "--partitions").map(_.toInt).getOrElse(32),
+    docsPerShard = opt(rest, "--docs-per-shard").map(_.toLong).getOrElse(1L << 16),
+    storePositions = flag(rest, "--positions"))
+
+  private def run(spark: SparkSession, args: Seq[String]): Unit = args(0) match {
+    case "build" =>
+      val Seq(corpusPath, indexDir) = args.slice(1, 3)
+      val rest = args.drop(3)
+      val format = opt(rest, "--format").getOrElse("parquet")
+      val corpus = CorpusIO.readCorpus(spark, corpusPath, format)
+      var cfg = cfgFrom(rest).copy(fields = FieldConfig.derive(corpus.schema))
+      if (flag(rest, "--auto-shards")) {
+        // one cheap pass over (content length) to size shards like the
+        // reference's rows*cols rule — avgTokens ≈ chars/6 heuristic
+        import org.apache.spark.sql.functions._
+        val row = corpus.agg(count(lit(1)).as("n"), avg(length(col("content"))).as("ac")).head()
+        cfg = Sizing.configFor(row.getAs[Long]("n"), row.getAs[Double]("ac") / 6.0, cfg)
+      }
+      val meta = new IndexBuilder(spark, cfg)
+        .build(corpus, indexDir, resume = !flag(rest, "--no-resume"))
+      println(s"built $indexDir: docs=${meta.numDocs} terms=${meta.numTerms} " +
+        s"postings=${meta.numPostings} lineage=${java.lang.Long.toHexString(meta.lineage)}")
+
+    case "search" =>
+      val indexDir = args(1)
+      val k = args(2).toInt
+      val query = args.drop(3).mkString(" ")
+      if (graft.index.Json.exists(s"$indexDir/segments.json")) {
+        new MultiSearcher(spark, indexDir).search(query, k)
+          .foreach(h => println(f"${h.score}%.6f  ${h.repo}/${h.path}@${h.commit.take(8)}"))
+      } else {
+        val s = new Searcher(spark, indexDir)
+        val docs = spark.read.parquet(s"$indexDir/docs")
+        import org.apache.spark.sql.functions._
+        val hits = s.search(query, k)
+        val byId = docs.filter(col("docId").isin(hits.map(h => Long.box(h.docId)).toSeq: _*))
+          .select("docId", "repo", "path", "commit").collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+        hits.foreach { h =>
+          val (r, p, c) = byId(h.docId)
+          println(f"${h.score}%.6f  $r/$p@${c.take(8)}")
+        }
+      }
+
+    case "ingest" =>
+      val Seq(corpusPath, indexDir, ckpt) = args.slice(1, 4)
+      val cfg = cfgFrom(args.drop(4))
+      new StreamingIndexer(spark, indexDir, cfg).ingestAvailable(corpusPath, ckpt)
+        .awaitTermination()
+      val m = new SegmentedIndex(spark, indexDir, cfg).manifest.get
+      println(s"ingested → ${m.segments.length} segments, " +
+        s"${m.segments.map(_.numDocs).sum} docs (lastBatchId=${m.lastBatchId})")
+
+    case "merge" =>
+      val Seq(a, b, out) = args.slice(1, 4)
+      val meta = IndexMerger.merge(spark, a, b, out, cfgFrom(args.drop(4)))
+      println(s"merged → $out: docs=${meta.numDocs} postings=${meta.numPostings}")
+
+    case other =>
+      System.err.println(s"unknown command: $other"); sys.exit(2)
+  }
+}

@@ -46,12 +46,17 @@ class MultiSearcher(spark: SparkSession, dir: String) {
   def avgdl: Double = sumDl.toDouble / numDocs.toDouble
   private val p = Bm25Params(segs.head._2.k1, segs.head._2.b)
 
-  /** Top-k, ordered (score desc, identity asc); identity-keyed results. */
+  /** Top-k, ordered (score desc, identity asc); identity-keyed results.
+    * `"quoted spans"` run the exact-phrase kernel per segment (conjunctive,
+    * position-verified — every segment must be built with storePositions)
+    * with the same exact global stats as term queries. */
   def search(query: String, k: Int): Array[ScoredHit] = {
-    if (query.contains('"'))
-      throw new UnsupportedOperationException(
-        "phrase queries over a segmented index are not supported yet — forceMerge() first")
-    val (qTerms, qFilters) = Searcher.parseQuery(query, segs.head._2.keywords.toSet)
+    val pq = Searcher.parseFull(query, segs.head._2.keywords.toSet)
+    if (pq.phrases.nonEmpty) {
+      require(pq.terms.isEmpty, "mixing loose terms with phrase queries is not supported")
+      return searchPhrases(pq.phrases, pq.filters, k)
+    }
+    val (qTerms, qFilters) = (pq.terms, pq.filters)
     if (qTerms.isEmpty) return Array.empty
     val lookup = (qTerms ++ qFilters).distinct.toSeq
 
@@ -88,6 +93,62 @@ class MultiSearcher(spark: SparkSession, dir: String) {
           .groupByKey(_.shard)
           .flatMapGroups { (_, blocks) =>
             Wand.topK(blocks, idfById, filterIds, gAvgdl, params, kk, exact)
+          }
+          .orderBy(desc("score"), asc("docId"))
+          .limit(kk)
+          .toDF("docId", "score")
+        spark.read.parquet(s"$d/docs")
+          .join(broadcast(top), Seq("docId"))
+          .select("repo", "path", "commit", "score")
+          .as[ScoredHit]
+          .collect()
+      }
+    }
+    hits.sortBy(h => (-h.score, h.repo, h.path, h.commit)).take(k).toArray
+  }
+
+  /** Multi-segment exact-phrase top-k: the conjunctive position-verified
+    * kernel per segment (no block-max involved, so segment-local bounds
+    * are irrelevant), global idf/avgdl injected, identity merge. */
+  private def searchPhrases(
+      phrases: Array[Array[String]],
+      qFilters: Array[String],
+      k: Int): Array[ScoredHit] = {
+    for ((d, m) <- segs)
+      if (!m.hasPositions)
+        throw new IllegalStateException(
+          s"phrase query but segment $d was built without positions (storePositions=false)")
+    val phraseTerms = phrases.flatten.distinct
+    val lookup = (phraseTerms ++ qFilters).distinct.toSeq
+    val found: Seq[Map[String, (Long, Long)]] = segs.map { case (d, _) =>
+      spark.read.parquet(s"$d/terms")
+        .filter(col("term").isin(lookup: _*))
+        .select("term", "termId", "df")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    val globalDf: Map[String, Long] =
+      phraseTerms.map(t => t -> found.map(_.get(t).map(_._2).getOrElse(0L)).sum).toMap
+    // conjunctive: any phrase token absent index-wide → no match anywhere
+    if (globalDf.values.exists(_ == 0L)) return Array.empty
+    val idfByTerm = globalDf.map { case (t, df) => t -> BM25.idf(numDocs, df) }
+    val gAvgdl = avgdl
+    val (kk, params) = (k, p)
+
+    val hits: Seq[ScoredHit] = segs.zip(found).flatMap { case ((d, _), dict) =>
+      val filterIds = qFilters.flatMap(f => dict.get(f).map(_._1)).toSet
+      // every phrase term (and filter) must exist in this segment
+      if (phraseTerms.exists(t => !dict.contains(t)) || filterIds.size < qFilters.length) Nil
+      else {
+        val idfById = phraseTerms.map(t => dict(t)._1 -> idfByTerm(t)).toMap
+        val phraseIdSeqs = phrases.map(_.map(t => dict(t)._1))
+        val termIds = (idfById.keys ++ filterIds).toSeq
+        val top = spark.read.parquet(s"$d/blocks")
+          .select(PostingBlock.columns.map(col): _*)
+          .filter(col("termId").isin(termIds.map(Long.box): _*))
+          .as[PostingBlock]
+          .groupByKey(_.shard)
+          .flatMapGroups { (_, blocks) =>
+            Phrase.topK(blocks, phraseIdSeqs, idfById, filterIds, gAvgdl, params, kk)
           }
           .orderBy(desc("score"), asc("docId"))
           .limit(kk)

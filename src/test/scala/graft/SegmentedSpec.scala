@@ -80,6 +80,31 @@ class SegmentedSpec extends AnyFunSuite {
     assertMatchesOracle(new MultiSearcher(spark, s"$dir/index"), union2)
   }
 
+  test("multi-segment phrase queries match the oracle; reject positions-less segments") {
+    val dir = Files.createTempDirectory("graft-segp").toString
+    val pcfg = cfg.copy(storePositions = true)
+    val idx = new SegmentedIndex(spark, s"$dir/index", pcfg)
+    val a = CorpusGen.generate(spark, 120, seed = 7, partitions = 2).toDF()
+    val b = CorpusGen.generate(spark, 80, seed = 99, partitions = 2).toDF()
+    idx.ingest(a)
+    idx.ingest(b)
+    assert(idx.manifest.get.segments.length == 2)
+    val ms = new MultiSearcher(spark, s"$dir/index")
+    val union = a.unionByName(b)
+    for (q <- Seq("\"if else\"", "\"index merge\"", "\"query\"", "lang:scala \"def value\"")) {
+      val got = ms.search(q, 15).toSeq.map(h => (h.repo, h.path, h.commit, h.score))
+      val want = Oracle.bm25(union, q, 15).collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      assert(got == want, s"segmented phrase/oracle mismatch for $q")
+    }
+    // a segmented index without positions rejects phrase queries loudly
+    val noPos = new SegmentedIndex(spark, s"$dir/nopos", cfg)
+    noPos.ingest(a)
+    intercept[IllegalStateException] {
+      new MultiSearcher(spark, s"$dir/nopos").search("\"if else\"", 5)
+    }
+  }
+
   test("batch replay guard and orphan cleanup") {
     val dir = Files.createTempDirectory("graft-seg2").toString
     val idx = new SegmentedIndex(spark, s"$dir/index", cfg)
