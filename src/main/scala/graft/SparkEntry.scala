@@ -573,6 +573,39 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // IVF-flat ANN (the second scale path next to sign-LSH td13): coarse
+    // quantizer = 8 fixed centroid vectors (deterministic, so the cell
+    // assignment is SQL-portable — production would k-means-train them;
+    // the IVF query SHAPE is what's exercised), every vector assigned to
+    // its nearest cell via a broadcast centroid join, query probes its 2
+    // nearest cells, exact cosine re-rank inside the probed cells only.
+    "td14_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      def cosC(a: Column, b: Column): Column = {
+        val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+        val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+        dot / (na * nb)
+      }
+      val cents = e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val scored = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cid"), round(cosC(col("v"), col("cv")), 4).as("cs"))
+      val byCell = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("cid"))
+      val assign = scored.withColumn("rn", row_number().over(byCell))
+        .filter(col("rn") === 1).select(col("vec_id"), col("v"), col("cid").as("cell"))
+      val probed = scored.filter(col("vec_id") === 0)
+        .withColumn("rn", row_number().over(byCell)).filter(col("rn") <= 2)
+        .select(col("cid").as("cell"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      assign.join(broadcast(probed), Seq("cell"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(cosC(col("v"), col("qv")), 3).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(20)
+    }),
+
     // multimodal plumbing: opaque binary payload + typed metadata
     "td12_multimodal_meta" -> ((s, d) =>
       t(s, d, "documents")
@@ -911,6 +944,23 @@ object SparkEntry {
            |FROM k, q WHERE vec_id <> 0 AND (b0 = qb0 OR b1 = qb1)
            |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin
       },
+      "td14_ann_ivf" ->
+        """WITH e AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v FROM embeddings),
+          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+          |scored AS (SELECT vec_id, v, cid, round(list_cosine_similarity(v, cv), 4) AS cs
+          |           FROM e CROSS JOIN c),
+          |assign AS (SELECT vec_id, v, cid AS cell FROM (
+          |  SELECT vec_id, v, cid, cs,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM scored)
+          |  WHERE rn = 1),
+          |probed AS (SELECT cid AS cell FROM (
+          |  SELECT cid, row_number() OVER (ORDER BY cs DESC, cid) AS rn
+          |  FROM scored WHERE vec_id = 0) WHERE rn <= 2),
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+          |SELECT a.vec_id, round(list_cosine_similarity(a.v, qv), 3) AS cos
+          |FROM assign a JOIN probed USING (cell) CROSS JOIN q
+          |WHERE a.vec_id <> 0
+          |ORDER BY cos DESC, a.vec_id ASC LIMIT 20""".stripMargin,
       "td12_multimodal_meta" ->
         """SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS byte_len,
           | md5(text) AS payload_md5, source FROM documents""".stripMargin,

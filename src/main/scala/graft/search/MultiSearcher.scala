@@ -107,6 +107,88 @@ class MultiSearcher(spark: SparkSession, dir: String) {
     hits.sortBy(h => (-h.score, h.repo, h.path, h.commit)).take(k).toArray
   }
 
+  /** Batch search over the segmented index: one distributed pass PER
+    * SEGMENT for the whole query set (union of all queries' terms → one
+    * block scan; every query's WAND runs per shard; per-shard heaps merge
+    * in a tiny second stage), one identity join per segment for all
+    * queries' hits, driver merge per query. Results identical to calling
+    * [[search]] per query (tested). Phrases unsupported in batch form. */
+  def searchMany(queries: Seq[(String, Int)]): Seq[Array[ScoredHit]] = {
+    val kw = segs.head._2.keywords.toSet
+    val parsed = queries.map { case (q, k) =>
+      require(!q.contains('"'), "searchMany does not support phrase queries")
+      val (t, f) = Searcher.parseQuery(q, kw); (t, f, k)
+    }
+    val allTerms = parsed.flatMap(pq => pq._1.toSeq ++ pq._2.toSeq).distinct
+    if (allTerms.isEmpty) return queries.map(_ => Array.empty[ScoredHit])
+    val found: Seq[Map[String, (Long, Long)]] = segs.map { case (d, _) =>
+      spark.read.parquet(s"$d/terms")
+        .filter(col("term").isin(allTerms: _*))
+        .select("term", "termId", "df")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    val contentTerms = parsed.flatMap(_._1).distinct
+    val globalDf: Map[String, Long] =
+      contentTerms.map(t => t -> found.map(_.get(t).map(_._2).getOrElse(0L)).sum).toMap
+    val idfByTerm: Map[String, Double] = globalDf.collect {
+      case (t, df) if df > 0 => t -> BM25.idf(numDocs, df)
+    }
+    val gAvgdl = avgdl
+    val params = p
+
+    // (qIdx → merged hits) accumulated across segments
+    val acc = scala.collection.mutable.Map[Int, Vector[ScoredHit]]()
+      .withDefaultValue(Vector.empty)
+    for (((d, m), dict) <- segs.zip(found)) {
+      val plans = parsed.zipWithIndex.flatMap { case ((terms, filters, k), qi) =>
+        val content = terms.flatMap(t =>
+          dict.get(t).collect { case (tid, _) if idfByTerm.contains(t) => tid -> idfByTerm(t) })
+        val filterIds = filters.flatMap(f => dict.get(f).map(_._1))
+        if (content.isEmpty || filterIds.length < filters.length) None
+        else Some(Searcher.Plan(qi, content.toMap, filterIds.toSet, k))
+      }
+      if (plans.nonEmpty) {
+        val needed = plans.flatMap(pl => pl.idfById.keys ++ pl.filterIds).distinct
+        val exact = m.avgdl == gAvgdl
+        val kByIdx = plans.map(pl => pl.qIdx -> pl.k).toMap
+        val top: Array[(Int, Long, Double)] = spark.read.parquet(s"$d/blocks")
+          .select(PostingBlock.columns.map(col): _*)
+          .filter(col("termId").isin(needed.map(Long.box): _*))
+          .as[PostingBlock]
+          .groupByKey(_.shard)
+          .flatMapGroups { (_, blocks) =>
+            val arr = blocks.toArray
+            plans.iterator.flatMap { pl =>
+              val subset = arr.iterator.filter(b =>
+                pl.idfById.contains(b.termId) || pl.filterIds.contains(b.termId))
+              Wand.topK(subset, pl.idfById, pl.filterIds, gAvgdl, params, pl.k, exact)
+                .map(sd => (pl.qIdx, sd.docId, sd.score))
+            }
+          }
+          .groupByKey(_._1)
+          .flatMapGroups { (qIdx, it) =>
+            it.toArray.sortBy(t => (-t._3, t._2)).take(kByIdx(qIdx)).iterator
+          }
+          .collect()
+        if (top.nonEmpty) {
+          val ids = top.map(_._2).distinct
+          val identity: Map[Long, (String, String, String)] =
+            spark.read.parquet(s"$d/docs")
+              .filter(col("docId").isin(ids.map(Long.box).toSeq: _*))
+              .select("docId", "repo", "path", "commit").collect()
+              .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+          top.foreach { case (qi, docId, score) =>
+            val (r, pth, c) = identity(docId)
+            acc(qi) = acc(qi) :+ ScoredHit(r, pth, c, score)
+          }
+        }
+      }
+    }
+    queries.indices.map { qi =>
+      acc(qi).sortBy(h => (-h.score, h.repo, h.path, h.commit)).take(parsed(qi)._3).toArray
+    }
+  }
+
   /** Multi-segment exact-phrase top-k: the conjunctive position-verified
     * kernel per segment (no block-max involved, so segment-local bounds
     * are irrelevant), global idf/avgdl injected, identity merge. */

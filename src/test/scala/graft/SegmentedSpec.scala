@@ -80,6 +80,21 @@ class SegmentedSpec extends AnyFunSuite {
     assertMatchesOracle(new MultiSearcher(spark, s"$dir/index"), union2)
   }
 
+  test("segmented searchMany batch results identical to per-query search") {
+    val dir = Files.createTempDirectory("graft-segb").toString
+    val idx = new SegmentedIndex(spark, s"$dir/index", cfg)
+    idx.ingest(CorpusGen.generate(spark, 120, seed = 7, partitions = 2).toDF())
+    idx.ingest(CorpusGen.generate(spark, 80, seed = 99, partitions = 2).toDF())
+    val ms = new MultiSearcher(spark, s"$dir/index")
+    val qs = Seq(("merge index", 10), ("def", 15), ("lang:scala query", 10),
+      ("zzz_not_a_term", 5), ("query score", 10))
+    val batch = ms.searchMany(qs)
+    qs.zip(batch).foreach { case ((q, k), got) =>
+      val want = ms.search(q, k)
+      assert(got.toSeq == want.toSeq, s"segmented batch mismatch for '$q'")
+    }
+  }
+
   test("multi-segment phrase queries match the oracle; reject positions-less segments") {
     val dir = Files.createTempDirectory("graft-segp").toString
     val pcfg = cfg.copy(storePositions = true)
