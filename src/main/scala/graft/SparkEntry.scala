@@ -429,6 +429,23 @@ object SparkEntry {
       bi.unionByName(multi)
     }),
 
+    // A1 (full shape) — call_stats-style multi-output aggregation: per
+    // group, an ORDERED array of per-category counts plus scalar totals
+    // (the AC[]/AN/AF-per-allele shape of hail's call_stats,
+    // `luigi_pipeline/lib/hail_tasks.py:213-220`). Integer arrays keep the
+    // cross-engine compare exact.
+    "q39_call_stats" -> ((s, d) => {
+      val perStatus = t(s, d, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("c"))
+      perStatus.groupBy("o_orderpriority")
+        .agg(
+          transform(sort_array(collect_list(struct(col("o_orderstatus"), col("c")))),
+            x => x.getField("c")).as("ac"),
+          sum("c").as("an"))
+        .select(col("o_orderpriority"), col("ac"), col("an"))
+    }),
+
     // ---- training-data operators over `documents` / `embeddings` ----
 
     // token counting
@@ -876,6 +893,12 @@ object SparkEntry {
         """SELECT p_partkey, cast(len(string_split(p_name, ' ')) as bigint) AS n_words,
           | CASE WHEN len(string_split(p_name, ' ')) <= 3 THEN 'short' ELSE 'long' END AS branch
           |FROM part WHERE p_size >= 5""".stripMargin,
+      "q39_call_stats" ->
+        """WITH ps AS (SELECT o_orderpriority, o_orderstatus, count(*) AS c
+          |            FROM orders GROUP BY 1,2)
+          |SELECT o_orderpriority, list(c ORDER BY o_orderstatus) AS ac,
+          |  cast(sum(c) as bigint) AS an
+          |FROM ps GROUP BY 1""".stripMargin,
       "td1_tokens" ->
         s"""SELECT doc_id, cast(len(tk) as bigint) AS n_tokens, cast(len(list_distinct(tk)) as bigint) AS n_distinct
            | FROM (SELECT doc_id, $tokExpr AS tk FROM documents)""".stripMargin,

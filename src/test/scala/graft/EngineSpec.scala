@@ -335,4 +335,18 @@ class EngineSpec extends AnyFunSuite {
       assert(got.toSeq == want.toSeq, s"batch mismatch for '$q'")
     }
   }
+
+  test("warmed searcher (driver-side dictionary) returns identical results") {
+    val warmed = new Searcher(spark, indexDir).warm()
+    try {
+      for ((q, k) <- QuerySet) {
+        assert(warmed.search(q, k).toSeq == searcher.search(q, k).toSeq,
+          s"warm/cold mismatch for '$q'")
+      }
+      val batch = warmed.searchMany(QuerySet.take(6))
+      QuerySet.take(6).zip(batch).foreach { case ((q, k), got) =>
+        assert(got.toSeq == searcher.search(q, k).toSeq, s"warm batch mismatch for '$q'")
+      }
+    } finally warmed.cool()
+  }
 }
