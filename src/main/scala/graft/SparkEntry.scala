@@ -429,6 +429,18 @@ object SparkEntry {
       bi.unionByName(multi)
     }),
 
+    // F23 — remaining scalar/array misc: slice, array_max, array_position,
+    // greatest (write_splice_ai_ht.py:57-77, write_1kg_ht.py:42-51)
+    "q40_array_misc" -> ((s, d) => {
+      val words = split(col("p_name"), " ")
+      t(s, d, "part").select(
+        col("p_partkey"),
+        concat_ws(",", slice(words, 2, 2)).as("middle_words"),
+        array_max(transform(words, w => length(w))).as("max_word_len"),
+        array_position(words, element_at(words, -1)).cast("long").as("last_word_pos"),
+        greatest(col("p_size"), length(col("p_brand")), lit(7)).as("g"))
+    }),
+
     // A1 (full shape) — call_stats-style multi-output aggregation: per
     // group, an ORDERED array of per-category counts plus scalar totals
     // (the AC[]/AN/AF-per-allele shape of hail's call_stats,
@@ -893,6 +905,14 @@ object SparkEntry {
         """SELECT p_partkey, cast(len(string_split(p_name, ' ')) as bigint) AS n_words,
           | CASE WHEN len(string_split(p_name, ' ')) <= 3 THEN 'short' ELSE 'long' END AS branch
           |FROM part WHERE p_size >= 5""".stripMargin,
+      "q40_array_misc" ->
+        """SELECT p_partkey,
+          | array_to_string(list_slice(string_split(p_name, ' '), 2, 3), ',') AS middle_words,
+          | list_max(list_transform(string_split(p_name, ' '), w -> length(w))) AS max_word_len,
+          | cast(list_position(string_split(p_name, ' '),
+          |   string_split(p_name, ' ')[-1]) as bigint) AS last_word_pos,
+          | greatest(p_size, length(p_brand), 7) AS g
+          |FROM part""".stripMargin,
       "q39_call_stats" ->
         """WITH ps AS (SELECT o_orderpriority, o_orderstatus, count(*) AS c
           |            FROM orders GROUP BY 1,2)

@@ -55,4 +55,22 @@ object CorpusIO {
       .option("sep", "\t")
       .option("header", "true")
       .csv(path)
+
+  /** Driver-side parse of a small keyed TSV into a Map for broadcasting —
+    * the reference's S5 pattern (GTF → gene_name→gene_id dict, pickled and
+    * shipped as a literal: `hail_scripts/utils/mapping_gene_ids.py:48-99`,
+    * consumed via `hl.literal` at `seqr_sv_loading.py:48-51`). Pair with
+    * `BroadcastAnnotate.byMap` / `sparkContext.broadcast` on the consumer
+    * side. Collects — only for side tables that fit on the driver. */
+  def readKeyValueMap(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      valueCol: String,
+      header: Boolean = true): Map[String, String] = {
+    val schema = StructType(Seq(
+      StructField(keyCol, StringType), StructField(valueCol, StringType)))
+    readTsv(spark, path, schema, header)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
 }

@@ -81,5 +81,27 @@ class ModulesSpec extends AnyFunSuite {
       == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
 
     assertThrows[IllegalArgumentException](CorpusIO.readCorpus(spark, dir, "orc"))
+
+    // S5: driver-side keyed-TSV parse → Map for broadcasting
+    val kv = Seq(("g1", "BRCA1"), ("g2", "TP53")).toDF("gene_id", "gene_name")
+    CorpusIO.writeTsv(kv, s"$dir/kv")
+    assert(CorpusIO.readKeyValueMap(spark, s"$dir/kv", "gene_id", "gene_name")
+      == Map("g1" -> "BRCA1", "g2" -> "TP53"))
+  }
+
+  test("order-preserving union construction (O5): union chunks → one range sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the reference unions per-contig chunks then relies on key order
+    // (write_cadd_ht.py:31-37); the scalable re-expression is union-all
+    // followed by ONE repartitionByRange + sortWithinPartitions
+    val chunks = Seq(Seq(5L, 1L, 9L), Seq(2L, 8L), Seq(7L, 3L)).map(_.toDF("k"))
+    val unioned = chunks.reduce(_ unionByName _)
+      .repartitionByRange(3, col("k"))
+      .sortWithinPartitions("k")
+    // partitions are ordered ranges and sorted within → global order on read
+    val collected = unioned.select("k").collect().map(_.getLong(0)).toSeq
+    assert(collected == collected.sorted)
+    assert(collected.toSet == Set(1L, 2L, 3L, 5L, 7L, 8L, 9L))
   }
 }
