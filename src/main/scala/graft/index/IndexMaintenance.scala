@@ -52,4 +52,26 @@ object IndexMaintenance {
     Json.deleteRecursively(docsDir)
     Json.atomicMove(tmp, docsDir)
   }
+
+  /** [[updateDocFields]] over a segmented index: only segments that
+    * actually contain updated identities are touched (broadcast semi-probe
+    * of the identity columns — metadata-scale), and each is patched
+    * per-segment. Postings everywhere stay untouched. */
+  def updateDocFieldsSegmented(
+      spark: SparkSession,
+      indexDir: String,
+      updates: DataFrame): Unit = {
+    val seg = new SegmentedIndex(spark, indexDir)
+    val m = seg.manifest.getOrElse(
+      throw new IllegalStateException(s"no segments.json under $indexDir"))
+    val keys = updates.select(KeyCols.map(col): _*).distinct()
+    for (e <- m.segments) {
+      val d = seg.segmentDir(e.name)
+      val hit = spark.read.parquet(s"$d/docs")
+        .select(KeyCols.map(col): _*)
+        .join(broadcast(keys), KeyCols, "left_semi")
+        .limit(1).count() > 0
+      if (hit) updateDocFields(spark, d, updates)
+    }
+  }
 }

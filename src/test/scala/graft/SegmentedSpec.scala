@@ -120,6 +120,35 @@ class SegmentedSpec extends AnyFunSuite {
     }
   }
 
+  test("segmented updateDocFields patches only owning segments, postings untouched") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-segu").toString
+    val idx = new SegmentedIndex(spark, s"$dir/index", cfg)
+    idx.ingest(CorpusGen.generate(spark, 100, seed = 7, partitions = 2).toDF())
+    idx.ingest(CorpusGen.generate(spark, 60, seed = 99, partitions = 2).toDF())
+    val ms = new MultiSearcher(spark, s"$dir/index")
+    val before = ms.search("merge index", 10).toSeq
+
+    // pick 3 identities from the SECOND segment only
+    val segNames = idx.manifest.get.segments.map(_.name)
+    val seg1Docs = spark.read.parquet(s"$dir/index/${segNames(1)}/docs")
+    val targets = seg1Docs.select("repo", "path", "commit").limit(3)
+    val seg0DocsBefore = spark.read.parquet(s"$dir/index/${segNames(0)}/docs").collect().toSet
+
+    graft.index.IndexMaintenance.updateDocFieldsSegmented(spark, s"$dir/index",
+      targets.withColumn("stars", lit(9)))
+
+    val seg1After = spark.read.parquet(s"$dir/index/${segNames(1)}/docs")
+    assert(seg1After.filter(col("stars") === 9).count() == 3)
+    // the untouched segment keeps its exact docs content (no stars column)
+    val seg0After = spark.read.parquet(s"$dir/index/${segNames(0)}/docs")
+    assert(!seg0After.columns.contains("stars"))
+    assert(seg0After.collect().toSet == seg0DocsBefore)
+    // queries unaffected
+    assert(new MultiSearcher(spark, s"$dir/index").search("merge index", 10).toSeq == before)
+  }
+
   test("batch replay guard and orphan cleanup") {
     val dir = Files.createTempDirectory("graft-seg2").toString
     val idx = new SegmentedIndex(spark, s"$dir/index", cfg)
