@@ -296,7 +296,8 @@ class EngineSpec extends AnyFunSuite {
       ("\"index merge\"", 20),
       ("\"query\"", 10),               // single-token phrase == exact term AND
       ("\"def zzz_not_a_term\"", 10),  // absent token → empty
-      ("lang:scala \"def value\"", 20) // filter + phrase compose
+      ("lang:scala \"def value\"", 20), // filter + phrase compose
+      ("\"if else\" \"def value\"", 20) // two phrases, both required
     )
     for ((q, k) <- phraseQueries) {
       val e = eng(q, k)
