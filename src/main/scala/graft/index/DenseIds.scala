@@ -30,7 +30,86 @@ import org.apache.spark.storage.StorageLevel
   */
 object DenseIds {
 
-  final case class WithId(df: DataFrame, release: () => Unit)
+  /** `total` is the exact input row count — already on the driver from the
+    * per-partition counts pass, so callers never need a read-back count(). */
+  final case class WithId(df: DataFrame, total: Long, release: () => Unit)
+
+  /** A precomputed dense-id plan: key-range boundaries plus the id offset
+    * and exact row count of each range, all computed from a CHEAP projection
+    * of the key columns (column-pruned scan — never the content). With the
+    * plan broadcast, the expensive table gets its dense ids in ONE wide pass
+    * (partition by range → sort within → add offset) with no executor cache
+    * of content-scale rows and no second counting job — the offsets are
+    * already exact.
+    *
+    * `firstKeys(i)` is the least key of populated range i (ascending). A row
+    * belongs to range i iff firstKeys(i) <= key < firstKeys(i+1), which
+    * reproduces the planning shuffle's range assignment exactly for every
+    * key that participated in planning (each planning partition holds a
+    * contiguous key range and firstKeys are their minima). Requires the
+    * source to be deterministic across the two reads — true for file/table
+    * sources; the caller's input fingerprint guards listing changes. */
+  final case class RangePlan(
+      cols: Seq[String],
+      firstKeys: Array[Array[String]],
+      offsets: Array[Long],
+      counts: Array[Long]) {
+
+    def total: Long = offsets.lastOption.fold(0L)(_ + counts.last)
+    def numRanges: Int = firstKeys.length
+
+    /** Greatest i with firstKeys(i) <= key (lexicographic on the string
+      * tuple); 0 for a key below every boundary (cannot occur for keys seen
+      * at planning time). */
+    def rangeOf(key: Array[String]): Int = {
+      var lo = 0
+      var hi = firstKeys.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (compareKeys(firstKeys(mid), key) <= 0) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+  }
+
+  private def compareKeys(a: Array[String], b: Array[String]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val c = a(i).compareTo(b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  /** Build a [[RangePlan]] from the key columns alone: one identity-scale
+    * job (range shuffle of the pruned projection + per-partition count/min).
+    * `numRanges` may exceed the physical partition count the plan is later
+    * applied with — finer ranges smooth the hash placement of ranges onto
+    * partitions. */
+  def plan(keys: DataFrame, cols: Seq[String], numRanges: Int): RangePlan = {
+    val kcols = cols.map(col)
+    val rows = keys
+      .repartitionByRange(numRanges, kcols: _*)
+      // stage-bound partition id: evaluated in the stage that reads the
+      // range exchange, before any aggregation boundary (see class doc)
+      .withColumn("_pid", spark_partition_id())
+      .groupBy(col("_pid"))
+      .agg(count(lit(1)).as("c"), min(struct(kcols: _*)).as("firstKey"))
+      .collect()
+    // empty planning partitions never appear; renumber populated ranges
+    // 0..m-1 in partition-id order (== key order for a range partitioner)
+    val byPid = rows.map { r =>
+      val fk = r.getStruct(r.fieldIndex("firstKey"))
+      (r.getInt(0), r.getLong(1), Array.tabulate(cols.length)(fk.getString))
+    }.sortBy(_._1)
+    val counts = byPid.map(_._2)
+    val offsets = new Array[Long](counts.length)
+    var acc = 0L
+    var i = 0
+    while (i < counts.length) { offsets(i) = acc; acc += counts(i); i += 1 }
+    RangePlan(cols, byPid.map(_._3), offsets, counts)
+  }
 
   def assign(
       df: DataFrame,
@@ -66,6 +145,6 @@ object DenseIds {
         Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ id)
       }
     }(Encoders.row(outSchema))
-    WithId(out, () => { sorted.unpersist(); () })
+    WithId(out, acc, () => { sorted.unpersist(); () })
   }
 }

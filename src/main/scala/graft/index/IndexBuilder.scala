@@ -66,11 +66,18 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     r
   }
 
-  private def loadIfDone(dir: String, lineage: Long): Option[StageManifest] =
+  /** `bucketWidth != 0` marks a termId-bucketed stage: its on-disk layout
+    * depends on the bucket width, so a manifest recording a different width
+    * (including 0 = pre-width manifests) is NOT resumable even under the
+    * same configHash — reading buckets 0..newBuckets-1 of an old layout
+    * would silently drop postings. */
+  private def loadIfDone(
+      dir: String, lineage: Long, bucketWidth: Long = 0L): Option[StageManifest] =
     if (!Json.exists(manifestPath(dir))) None
     else {
       val m = Json.read(manifestPath(dir), classOf[StageManifest])
-      if (m.configHash == cfg.configHash && (lineage == 0L || m.lineage == lineage)) Some(m)
+      if (m.configHash == cfg.configHash && (lineage == 0L || m.lineage == lineage) &&
+        (bucketWidth == 0L || m.bucketWidth == bucketWidth)) Some(m)
       else None
     }
 
@@ -89,6 +96,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       killAfterStage: Int = Int.MaxValue): IndexMeta = {
     def kill(n: Int): Unit =
       if (n >= killAfterStage) throw new IndexBuilder.BuildKilled(n)
+    Json.recoverSwap(indexDir) // heal a previous publish that died mid-swap
     val staging = indexDir + ".staging"
     if (!resume) Json.deleteRecursively(staging)
     // the published index (if any) stays live until the atomic publish at
@@ -147,10 +155,25 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
             StructField("pos", ArrayType(LongType, containsNull = false))))))) ++
         storedExtra.map { case (c, i) => StructField(c, inSchema(i).dataType) })
       val withPositions = cfg.storePositions
+      // dense-docId range plan from the CHEAP identity projection (a
+      // column-pruned scan that never touches `content`): boundaries, exact
+      // per-range counts and id offsets all land on the driver BEFORE the
+      // content pass, so the tokenize→shuffle→assign→write below is ONE
+      // content-scale pass with no executor cache of tokenized rows (at
+      // 100 TB the former MEMORY_AND_DISK persist here was a content-scale
+      // cache). 4× finer ranges than partitions smooth the hash placement
+      // of ranges onto physical partitions (worst-case task ≈ 2× average).
+      val idPlan = DenseIds.plan(
+        corpus.select("repo", "path", "commit"),
+        Seq("repo", "path", "commit"), 4 * cfg.buildPartitions)
+      val bcPlan = spark.sparkContext.broadcast(idPlan)
+      val outSchemaPid = outSchema.add("_pid", IntegerType, nullable = false)
       val doctf = inDf.mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
         val hex = "0123456789abcdef".toCharArray
         val emptyPos: Seq[Long] = Seq.empty
+        val plan = bcPlan.value
+        val keyBuf = new Array[String](3)
         it.map { r =>
           val content = r.getString(contentIdx)
           val toks = Analyzer.tokenize(content)
@@ -202,22 +225,49 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
             shaChars(2 * h + 1) = hex(dig(h) & 0xf)
             h += 1
           }
+          keyBuf(0) = r.getString(0); keyBuf(1) = r.getString(1); keyBuf(2) = r.getString(2)
           org.apache.spark.sql.Row.fromSeq(
             Seq(r.getString(0), r.getString(1), r.getString(2), r.getString(3),
               new String(shaChars), toks.length.toLong, terms.toSeq) ++
-            storedExtra.map { case (_, idx) => r.get(idx) })
+            storedExtra.map { case (_, idx) => r.get(idx) } :+ plan.rangeOf(keyBuf))
         }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
-      // cache the tokenized rows so the range-partitioner's sampling pass
-      // (inside DenseIds) reads the cache instead of re-tokenizing 100 TB
-      val raw = doctf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ided = DenseIds.assign(raw, Seq("repo", "path", "commit"), "docId", cfg.buildPartitions)
-      ided.df
+      }(org.apache.spark.sql.Encoders.row(outSchemaPid))
+      // one wide op: partition by the plan's range id, sort each range by
+      // identity, add offset + local ordinal → globally dense docId in key
+      // order (the same invariant DenseIds.assign gives, without its two
+      // extra jobs or its persist)
+      val pidIdx = outSchemaPid.fieldIndex("_pid")
+      val finalSchema = outSchema.add("docId", LongType, nullable = false)
+      val assigned = doctf
+        .repartition(cfg.buildPartitions, col("_pid"))
+        .sortWithinPartitions(col("_pid"), col("repo"), col("path"), col("commit"))
+        .mapPartitions { it =>
+          val off = bcPlan.value.offsets
+          var curPid = -1
+          var i = 0L
+          it.map { r =>
+            val pid = r.getInt(pidIdx)
+            if (pid != curPid) { curPid = pid; i = 0L }
+            val id = off(pid) + i
+            i += 1
+            org.apache.spark.sql.Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ id)
+          }
+        }(org.apache.spark.sql.Encoders.row(finalSchema))
+      val obs = org.apache.spark.sql.Observation()
+      assigned
         .select((Seq("docId", "repo", "path", "commit", "lang", "sha256", "dl", "terms") ++
           storedExtra.map(_._1)).map(col): _*)
+        .observe(obs, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(doctfDir)
-      ided.release()
-      raw.unpersist()
+      // the plan's offsets are exact only if the content pass saw the same
+      // row multiset the planning pass did (deterministic source — file
+      // listing changes are already caught by inputFp); verify before any
+      // downstream stage can consume a mis-assigned id
+      val seen = obs.get("n").asInstanceOf[Long]
+      require(seen == idPlan.total,
+        s"corpus changed between id planning (${idPlan.total} rows) and the " +
+          s"tokenize pass ($seen rows); rebuild with resume = false")
+      bcPlan.destroy()
       Json.write(manifestPath(doctfDir),
         StageManifest("doctf", 0L, 0L, 0L, inputFp, cfg.configHash))
     }
@@ -278,7 +328,9 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       val ided = DenseIds.assign(stats, Seq("term"), "termId", cfg.buildPartitions)
       ided.df.select("termId", "term", "df", "cf").write.mode("overwrite").parquet(termsDir)
       ided.release()
-      val n = spark.read.parquet(termsDir).count()
+      // the term count is already on the driver from DenseIds' offsets pass —
+      // no read-back count() job
+      val n = ided.total
       val m = StageManifest("terms", n, n, 0L, lineage, cfg.configHash)
       Json.write(manifestPath(termsDir), m)
       m
@@ -295,7 +347,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     // only its own `bucket=` partition directory.
     val bucketWidth = math.max(1L, (numTerms + cfg.buildBuckets - 1) / cfg.buildBuckets)
     val tfencDir = s"$staging/_tfenc"
-    if (loadIfDone(tfencDir, lineage).isEmpty) stage("tfenc") {
+    if (loadIfDone(tfencDir, lineage, bucketWidth).isEmpty) stage("tfenc") {
       val termDict = spark.read.parquet(termsDir).select("term", "termId")
       spark.read.parquet(tfDir)
         .join(termDict, Seq("term"))
@@ -303,7 +355,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
           expr(s"cast(termId div $bucketWidth as int)").as("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(tfencDir)
       Json.write(manifestPath(tfencDir),
-        StageManifest("tfenc", numPostings, 0L, numPostings, lineage, cfg.configHash))
+        StageManifest("tfenc", numPostings, 0L, numPostings, lineage, cfg.configHash, bucketWidth))
     }
     kill(4)
 
@@ -312,9 +364,10 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     // one full pass. Buckets remain the resume unit.
     val blocksDir = s"$staging/blocks"
     var numBlocks = 0L
+    var packedPostings = 0L
     (0 until cfg.buildBuckets).foreach { b =>
       val bDir = f"$blocksDir/bucket=$b%04d"
-      val m = loadIfDone(bDir, lineage).getOrElse(stage(s"blocks/$b") {
+      val m = loadIfDone(bDir, lineage, bucketWidth).getOrElse(stage(s"blocks/$b") {
         // hash-partition on (termId, shard): no range-sampling pre-pass, and
         // skew is BOUNDED BY CONSTRUCTION — a stop term present in every doc
         // still contributes at most docsPerShard postings per group, spread
@@ -344,13 +397,19 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
           .write.mode("overwrite").parquet(bDir)
         val row = obs.get
         val mm = StageManifest(s"blocks/$b", row("blocks").asInstanceOf[Long],
-          0L, row("postings").asInstanceOf[Long], lineage, cfg.configHash)
+          0L, row("postings").asInstanceOf[Long], lineage, cfg.configHash, bucketWidth)
         Json.write(manifestPath(bDir), mm)
         mm
       })
       numBlocks += m.rows
+      packedPostings += m.postings
       kill(5 + b)
     }
+    // every posting must be accounted for across the bucket manifests — a
+    // partial/mismatched bucket layout can never publish
+    require(packedPostings == numPostings,
+      s"packed postings ($packedPostings) != stage-2 postings ($numPostings); " +
+        "bucket layout is inconsistent — rebuild with resume = false")
 
     // ---- stage 6: metadata + atomic publish (build-then-publish, the
     // reference's refresh_interval=-1 → forcemerge → route-off pattern)

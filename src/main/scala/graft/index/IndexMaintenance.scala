@@ -33,6 +33,7 @@ object IndexMaintenance {
       s"structural columns cannot be patched (rebuild instead): ${bad.mkString(",")}")
 
     val docsDir = s"$indexDir/docs"
+    Json.recoverSwap(docsDir) // heal a prior update that died mid-swap
     val docs = spark.read.parquet(docsDir)
     val renamed = updCols.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"__upd_$c"))
     val joined = docs.join(renamed, KeyCols, "left")
@@ -49,8 +50,7 @@ object IndexMaintenance {
     val after = spark.read.parquet(tmp).count()
     require(after == before,
       s"update would change doc count ($before -> $after); updates must be unique per document")
-    Json.deleteRecursively(docsDir)
-    Json.atomicMove(tmp, docsDir)
+    Json.atomicMove(tmp, docsDir) // rename-aside swap: old docs survive a mid-swap crash
   }
 
   /** [[updateDocFields]] over a segmented index: only segments that

@@ -36,8 +36,26 @@ object Json {
     }
   }
 
+  /** Publish `from` at `to` without ever destroying a live `to` before the
+    * replacement is in place: the existing target is renamed aside to
+    * `to + ".old"`, the staging dir renamed in, and only then is the old
+    * dir deleted. If the process dies between the two renames, the target
+    * is missing but `to + ".old"` is intact — [[recoverSwap]] restores it. */
   def atomicMove(from: String, to: String): Unit = {
-    deleteRecursively(to)
-    Files.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
+    val old = to + ".old"
+    deleteRecursively(old) // leftover of a prior completed-but-uncleaned swap
+    val toPath = Paths.get(to)
+    if (Files.exists(toPath))
+      Files.move(toPath, Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(from), toPath, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
+  /** Undo an interrupted [[atomicMove]]: if `to` is missing but `to + ".old"`
+    * exists, the previous publish died mid-swap — put the old dir back. */
+  def recoverSwap(to: String): Unit = {
+    val old = Paths.get(to + ".old")
+    if (Files.exists(old) && !Files.exists(Paths.get(to)))
+      Files.move(old, Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
   }
 }

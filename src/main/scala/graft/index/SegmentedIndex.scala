@@ -79,10 +79,11 @@ class SegmentedIndex(
     val live: Set[String] = manifest.map(_.segments.map(_.name).toSet).getOrElse(Set.empty)
     val p = Paths.get(dir)
     if (Files.isDirectory(p)) {
-      Files.list(p).forEach { child =>
+      val stream = Files.list(p)
+      try stream.forEach { child =>
         val n = child.getFileName.toString
         if (n.startsWith("seg-") && !live.contains(n)) Json.deleteRecursively(child.toString)
-      }
+      } finally stream.close() // Files.list holds a directory fd until closed
     }
   }
 
@@ -108,6 +109,9 @@ class SegmentedIndex(
       case Some(m0) =>
         require(m0.configHash == cfg.configHash,
           s"segmented index at $dir has configHash ${m0.configHash}, ingest cfg is ${cfg.configHash}")
+        // an ad-hoc ingest (batchId = -1) must not clobber the streaming
+        // replay watermark — keep the max ever published
+        val watermark = math.max(m0.lastBatchId, batchId)
         var nextId = m0.nextId
 
         // ---- overlap detection: identity columns only, broadcast batch keys
@@ -147,7 +151,7 @@ class SegmentedIndex(
         }
 
         // ---- atomic publish, then collect replaced dirs
-        val newManifest = SegmentsManifest(segments, nextId, batchId, cfg.configHash)
+        val newManifest = SegmentsManifest(segments, nextId, watermark, cfg.configHash)
         Json.write(manifestPath, newManifest)
         val live = segments.map(_.name).toSet
         (m0.segments.map(_.name).toSet ++ Set(deltaName) -- live)

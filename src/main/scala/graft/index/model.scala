@@ -169,11 +169,20 @@ final case class IndexMeta(
 }
 
 /** Per-stage / per-bucket checkpoint manifest (the `_SUCCESS` marker
-  * analogue, enriched with counts + lineage per the north rule). */
+  * analogue, enriched with counts + lineage per the north rule).
+  *
+  * `bucketWidth` is recorded by the termId-bucketed stages (tfenc and the
+  * per-bucket block manifests): the on-disk `bucket=` layout depends on it,
+  * so a resume under a different `buildBuckets` (same configHash — bucket
+  * count affects only intermediate layout, not index bytes) must rebuild
+  * rather than silently read a partial slice of the old layout. 0 = not a
+  * bucketed stage / written before this field existed (treated as mismatch
+  * by bucketed-stage resume). */
 final case class StageManifest(
     stage: String,
     rows: Long,
     terms: Long,
     postings: Long,
     lineage: Long,
-    configHash: String)
+    configHash: String,
+    bucketWidth: Long = 0L)
