@@ -105,6 +105,114 @@ object Ann {
       .collect()
   }
 
+  /** Deterministic seeded k-means coarse-quantizer trainer (cosine
+    * assignment, mean update): k-means++ init over a bounded driver-side
+    * sample, then `iters` distributed Lloyd iterations — each iteration is
+    * ONE narrow pass over the vectors (broadcast centroids) plus a
+    * k×dim-double reduction to the driver, so training cost is O(iters ×
+    * scan) regardless of vector count. Empty cells keep their previous
+    * centroid. */
+  def kmeans(
+      vecs: Dataset[Vec],
+      k: Int,
+      iters: Int = 5,
+      seed: Long = 42L,
+      initSample: Int = 4096): Array[Array[Float]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val sample = vecs.orderBy("id").limit(initSample).collect()
+    require(sample.length >= k, s"need at least $k vectors to train $k centroids")
+    val rng = new java.util.Random(seed)
+    // k-means++ over the sample (driver-side, O(sample·k))
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+    centers += sample(rng.nextInt(sample.length)).v
+    while (centers.length < k) {
+      val d2 = sample.map(s => math.max(1e-12, centers.map(c => 1.0 - cosine(s.v, c)).min))
+      var r = rng.nextDouble() * d2.sum
+      var i = 0
+      while (i < d2.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+      centers += sample(i).v
+    }
+    var cents = centers.toArray
+    val dim = cents(0).length
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val agg = vecs.mapPartitions { it =>
+        val cs = bc.value
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val cnts = new Array[Long](cs.length)
+        it.foreach { x =>
+          var best = 0; var bestCos = -2.0
+          var c = 0
+          while (c < cs.length) {
+            val s = cosine(x.v, cs(c))
+            if (s > bestCos) { bestCos = s; best = c }
+            c += 1
+          }
+          val acc = sums(best)
+          var j = 0
+          while (j < dim) { acc(j) += x.v(j); j += 1 }
+          cnts(best) += 1
+        }
+        Iterator.range(0, cs.length).map(c => (c, sums(c), cnts(c)))
+      }
+        .groupByKey(_._1)
+        .mapGroups { (c, it) =>
+          val sum = new Array[Double](dim)
+          var n = 0L
+          it.foreach { t =>
+            var j = 0
+            while (j < dim) { sum(j) += t._2(j); j += 1 }
+            n += t._3
+          }
+          (c, sum, n)
+        }
+        .collect()
+      val next = cents.clone()
+      agg.foreach { case (c, sum, n) =>
+        if (n > 0) next(c) = sum.map(x => (x / n).toFloat)
+      }
+      cents = next
+      bc.destroy()
+    }
+    cents
+  }
+
+  /** IVF-flat ANN: assign every vector to its nearest (cosine) broadcast
+    * centroid, probe the query's `nprobe` nearest cells, exact re-rank
+    * inside the probed cells only — the trained-quantizer scale path next
+    * to [[lshTopK]]. */
+  def ivfTopK(
+      vecs: Dataset[Vec],
+      query: Array[Float],
+      k: Int,
+      centroids: Array[Array[Float]],
+      nprobe: Int = 2): Array[Scored] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val bq = spark.sparkContext.broadcast(query)
+    val probe: Set[Int] = centroids.indices
+      .sortBy(c => (-cosine(query, centroids(c)), c)).take(nprobe).toSet
+    val bprobe = spark.sparkContext.broadcast(probe)
+    vecs
+      .filter { x =>
+        val cs = bc.value
+        var best = 0; var bestCos = -2.0
+        var c = 0
+        while (c < cs.length) {
+          val s = cosine(x.v, cs(c))
+          if (s > bestCos) { bestCos = s; best = c }
+          c += 1
+        }
+        bprobe.value.contains(best)
+      }
+      .map(x => Scored(x.id, cosine(x.v, bq.value)))
+      .orderBy(desc("cos"), asc("id"))
+      .limit(k)
+      .collect()
+  }
+
   /** DataFrame adapter for the driver tables: (vec_id: long, embedding:
     * array<float>). */
   def fromDf(df: DataFrame): Dataset[Vec] = {

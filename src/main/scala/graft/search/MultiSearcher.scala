@@ -1,12 +1,13 @@
 package graft.search
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{IndexMeta, Json, PostingBlock, SegmentedIndex, SegmentsManifest}
 
 /** Top-k BM25 over a segmented index ([[graft.index.SegmentedIndex]]):
-  * query-time multi-segment WAND with EXACT global statistics.
+  * query-time multi-segment WAND/phrase kernels with EXACT global
+  * statistics, run as ONE unioned plan.
   *
   * Segments hold disjoint document identities (the SegmentedIndex
   * invariant), so N, avgdl and per-term df are exact sums over segment
@@ -16,6 +17,16 @@ import graft.index.{IndexMeta, Json, PostingBlock, SegmentedIndex, SegmentsManif
   * (tested). The cross-segment tie-break is document identity, which in a
   * fresh build IS the docId order, so rankings match exactly too.
   *
+  * Serving shape (the ES multi-shard fan-out analogue): all segments'
+  * posting blocks are one segment-tagged unioned relation, so a query (or a
+  * whole batch — [[searchMany]]) is ONE Spark action regardless of segment
+  * count: blocks filter → per-(segment, shard) kernel → per-(query, segment)
+  * top-k → ≤k·S-row broadcast identity join. [[warm]] pins the unioned
+  * blocks/docs and collects the per-segment dictionaries to a driver map, so
+  * a warm query also skips the dictionary job — matching the single-segment
+  * [[Searcher]]'s warm shape. Cold, the dictionary lookup is one more job
+  * over the unioned terms relation (not one per segment).
+  *
   * Per-segment block-max bounds: each segment's stored maxTfn was computed
   * with that segment's own avgdl; under the global avgdl the kernel derives
   * admissible bounds from (maxTf, minDl) instead (see
@@ -23,11 +34,9 @@ import graft.index.{IndexMeta, Json, PostingBlock, SegmentedIndex, SegmentsManif
   * happens to equal the global one (e.g. single-segment index) keeps the
   * tight stored bounds.
   *
-  * Each segment contributes at most k hits (shard-local top-k, segment
-  * top-k, ≤k-row broadcast identity join); the driver merges ≤ S·k rows.
-  * A served deployment would run the segments as one unioned plan and
-  * broadcast the dictionaries; at S ≤ maxSegments the per-segment jobs are
-  * equivalent and simpler.
+  * Phrase queries (`"quoted spans"`, incl. mixed with loose terms and in
+  * [[searchMany]] batches) run the conjunctive position-verified kernel for
+  * their segment plans — every segment must be built with storePositions.
   */
 class MultiSearcher(spark: SparkSession, dir: String) {
   import spark.implicits._
@@ -45,203 +54,174 @@ class MultiSearcher(spark: SparkSession, dir: String) {
   val sumDl: Long = segs.map(_._2.sumDl).sum
   def avgdl: Double = sumDl.toDouble / numDocs.toDouble
   private val p = Bm25Params(segs.head._2.k1, segs.head._2.b)
+  private val allPositions = segs.forall(_._2.hasPositions)
 
-  /** Top-k, ordered (score desc, identity asc); identity-keyed results.
-    * `"quoted spans"` run the exact-phrase kernel per segment (conjunctive,
-    * position-verified — every segment must be built with storePositions)
-    * with the same exact global stats as term queries. */
-  def search(query: String, k: Int): Array[ScoredHit] = {
-    val pq = Searcher.parseFull(query, segs.head._2.keywords.toSet)
-    if (pq.phrases.nonEmpty) {
-      require(pq.terms.isEmpty, "mixing loose terms with phrase queries is not supported")
-      return searchPhrases(pq.phrases, pq.filters, k)
-    }
-    val (qTerms, qFilters) = (pq.terms, pq.filters)
-    if (qTerms.isEmpty) return Array.empty
-    val lookup = (qTerms ++ qFilters).distinct.toSeq
+  // ---- segment-tagged unioned relations, built once per searcher
+  private def taggedUnion(sub: String, cols: Seq[String]): DataFrame =
+    segs.zipWithIndex.map { case ((d, _), i) =>
+      spark.read.parquet(s"$d/$sub").select(cols.map(col): _*).withColumn("seg", lit(i))
+    }.reduce(_ unionByName _)
 
-    // per-segment dictionary lookups → exact global df by summation
-    val found: Seq[Map[String, (Long, Long)]] = segs.map { case (d, _) =>
-      spark.read.parquet(s"$d/terms")
-        .filter(col("term").isin(lookup: _*))
-        .select("term", "termId", "df")
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    }
-    val globalDf: Map[String, Long] =
-      qTerms.map(t => t -> found.map(_.get(t).map(_._2).getOrElse(0L)).sum).toMap
-    val idfByTerm: Map[String, Double] = globalDf.collect {
-      case (t, df) if df > 0 => t -> BM25.idf(numDocs, df)
-    }
-    if (idfByTerm.isEmpty) return Array.empty
-    val gAvgdl = avgdl
-    val (kk, params) = (k, p)
+  private val blocksAll = taggedUnion("blocks", PostingBlock.columns)
+  private val docsAll = taggedUnion("docs", Seq("docId", "repo", "path", "commit"))
+  private val termsAll = taggedUnion("terms", Seq("term", "termId", "df"))
 
-    val hits: Seq[ScoredHit] = segs.zip(found).flatMap { case ((d, m), dict) =>
-      val content = qTerms.flatMap(t =>
-        dict.get(t).collect { case (tid, df) if df > 0 => tid -> idfByTerm(t) })
-      val filterIds = qFilters.flatMap(f => dict.get(f).map(_._1)).toSet
-      // a required filter term absent from this segment → no doc here matches
-      if (content.isEmpty || filterIds.size < qFilters.length) Nil
-      else {
-        val idfById = content.toMap
-        val termIds = (idfById.keys ++ filterIds).toSeq
-        val exact = m.avgdl == gAvgdl
-        val top = spark.read.parquet(s"$d/blocks")
-          .select(PostingBlock.columns.map(col): _*)
-          .filter(col("termId").isin(termIds.map(Long.box): _*))
-          .as[PostingBlock]
-          .groupByKey(_.shard)
-          .flatMapGroups { (_, blocks) =>
-            Wand.topK(blocks, idfById, filterIds, gAvgdl, params, kk, exact)
-          }
-          .orderBy(desc("score"), asc("docId"))
-          .limit(kk)
-          .toDF("docId", "score")
-        spark.read.parquet(s"$d/docs")
-          .join(broadcast(top), Seq("docId"))
-          .select("repo", "path", "commit", "score")
-          .as[ScoredHit]
-          .collect()
-      }
+  /** per-segment driver dictionaries, populated by [[warm]] */
+  @volatile private var dictMaps: Array[Map[String, (Long, Long)]] = _
+
+  /** Pin the unioned blocks and docs in executor memory and (when the total
+    * dictionary fits) collect per-segment term dictionaries to the driver —
+    * the segmented analogue of [[Searcher.warm]]. */
+  def warm(maxDriverDictTerms: Long = 2_000_000L): this.type = {
+    blocksAll.persist(); docsAll.persist()
+    blocksAll.count(); docsAll.count()
+    if (segs.map(_._2.numTerms).sum <= maxDriverDictTerms) {
+      val rows = termsAll.select("seg", "term", "termId", "df").collect()
+      val maps = Array.fill(segs.length)(Map.newBuilder[String, (Long, Long)])
+      rows.foreach(r => maps(r.getInt(0)) += (r.getString(1) -> ((r.getLong(2), r.getLong(3)))))
+      dictMaps = maps.map(_.result())
     }
-    hits.sortBy(h => (-h.score, h.repo, h.path, h.commit)).take(k).toArray
+    this
   }
 
-  /** Batch search over the segmented index: one distributed pass PER
-    * SEGMENT for the whole query set (union of all queries' terms → one
-    * block scan; every query's WAND runs per shard; per-shard heaps merge
-    * in a tiny second stage), one identity join per segment for all
-    * queries' hits, driver merge per query. Results identical to calling
-    * [[search]] per query (tested). Phrases unsupported in batch form. */
+  def cool(): Unit = { blocksAll.unpersist(); docsAll.unpersist(); dictMaps = null }
+
+  /** Per-segment term → (termId, df) for the given terms: zero jobs warm,
+    * ONE job cold (unioned terms relation), never one job per segment. */
+  private def lookup(terms: Seq[String]): Array[Map[String, (Long, Long)]] =
+    if (terms.isEmpty) Array.fill(segs.length)(Map.empty)
+    else if (dictMaps != null)
+      dictMaps.map(m => terms.flatMap(t => m.get(t).map(t -> _)).toMap)
+    else {
+      val rows = termsAll.filter(col("term").isin(terms: _*))
+        .select("seg", "term", "termId", "df").collect()
+      val maps = Array.fill(segs.length)(Map.newBuilder[String, (Long, Long)])
+      rows.foreach(r => maps(r.getInt(0)) += (r.getString(1) -> ((r.getLong(2), r.getLong(3)))))
+      maps.map(_.result())
+    }
+
+  /** Top-k, ordered (score desc, identity asc); identity-keyed results. */
+  def search(query: String, k: Int): Array[ScoredHit] = searchMany(Seq(query -> k)).head
+
+  /** Batch search: the whole query set — terms, filters, phrases, mixed —
+    * in one pass. Results identical to calling [[search]] per query. */
   def searchMany(queries: Seq[(String, Int)]): Seq[Array[ScoredHit]] = {
+    import MultiSearcher.SegPlan
     val kw = segs.head._2.keywords.toSet
-    val parsed = queries.map { case (q, k) =>
-      require(!q.contains('"'), "searchMany does not support phrase queries")
-      val (t, f) = Searcher.parseQuery(q, kw); (t, f, k)
-    }
-    val allTerms = parsed.flatMap(pq => pq._1.toSeq ++ pq._2.toSeq).distinct
+    val parsed = queries.map { case (q, _) => Searcher.parseFull(q, kw) }
+    if (parsed.exists(_.phrases.nonEmpty) && !allPositions)
+      throw new IllegalStateException(
+        "phrase query but a segment was built without positions (storePositions=false)")
+
+    val allTerms = parsed.flatMap(pq =>
+      pq.terms.toSeq ++ pq.filters.toSeq ++ pq.phrases.flatten.toSeq).distinct
     if (allTerms.isEmpty) return queries.map(_ => Array.empty[ScoredHit])
-    val found: Seq[Map[String, (Long, Long)]] = segs.map { case (d, _) =>
-      spark.read.parquet(s"$d/terms")
-        .filter(col("term").isin(allTerms: _*))
-        .select("term", "termId", "df")
-        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    }
-    val contentTerms = parsed.flatMap(_._1).distinct
+    val dicts = lookup(allTerms)
+
+    // exact global df = sum over segment dictionaries (disjoint identities)
     val globalDf: Map[String, Long] =
-      contentTerms.map(t => t -> found.map(_.get(t).map(_._2).getOrElse(0L)).sum).toMap
+      allTerms.map(t => t -> dicts.map(_.get(t).map(_._2).getOrElse(0L)).sum).toMap
     val idfByTerm: Map[String, Double] = globalDf.collect {
       case (t, df) if df > 0 => t -> BM25.idf(numDocs, df)
     }
     val gAvgdl = avgdl
     val params = p
 
-    // (qIdx → merged hits) accumulated across segments
-    val acc = scala.collection.mutable.Map[Int, Vector[ScoredHit]]()
-      .withDefaultValue(Vector.empty)
-    for (((d, m), dict) <- segs.zip(found)) {
-      val plans = parsed.zipWithIndex.flatMap { case ((terms, filters, k), qi) =>
-        val content = terms.flatMap(t =>
-          dict.get(t).collect { case (tid, _) if idfByTerm.contains(t) => tid -> idfByTerm(t) })
-        val filterIds = filters.flatMap(f => dict.get(f).map(_._1))
-        if (content.isEmpty || filterIds.length < filters.length) None
-        else Some(Searcher.Plan(qi, content.toMap, filterIds.toSet, k))
-      }
-      if (plans.nonEmpty) {
-        val needed = plans.flatMap(pl => pl.idfById.keys ++ pl.filterIds).distinct
-        val exact = m.avgdl == gAvgdl
-        val kByIdx = plans.map(pl => pl.qIdx -> pl.k).toMap
-        val top: Array[(Int, Long, Double)] = spark.read.parquet(s"$d/blocks")
-          .select(PostingBlock.columns.map(col): _*)
-          .filter(col("termId").isin(needed.map(Long.box): _*))
-          .as[PostingBlock]
-          .groupByKey(_.shard)
-          .flatMapGroups { (_, blocks) =>
-            val arr = blocks.toArray
-            plans.iterator.flatMap { pl =>
-              val subset = arr.iterator.filter(b =>
-                pl.idfById.contains(b.termId) || pl.filterIds.contains(b.termId))
-              Wand.topK(subset, pl.idfById, pl.filterIds, gAvgdl, params, pl.k, exact)
-                .map(sd => (pl.qIdx, sd.docId, sd.score))
-            }
-          }
-          .groupByKey(_._1)
-          .flatMapGroups { (qIdx, it) =>
-            it.toArray.sortBy(t => (-t._3, t._2)).take(kByIdx(qIdx)).iterator
-          }
-          .collect()
-        if (top.nonEmpty) {
-          val ids = top.map(_._2).distinct
-          val identity: Map[Long, (String, String, String)] =
-            spark.read.parquet(s"$d/docs")
-              .filter(col("docId").isin(ids.map(Long.box).toSeq: _*))
-              .select("docId", "repo", "path", "commit").collect()
-              .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
-          top.foreach { case (qi, docId, score) =>
-            val (r, pth, c) = identity(docId)
-            acc(qi) = acc(qi) :+ ScoredHit(r, pth, c, score)
+    val plans: Seq[SegPlan] = parsed.zip(queries).zipWithIndex.flatMap {
+      case ((pq, (_, k)), qi) =>
+        val phraseTerms = pq.phrases.flatten.distinct
+        // conjunctive globally: a phrase token with no postings anywhere
+        if (phraseTerms.exists(t => !idfByTerm.contains(t))) Nil
+        else segs.indices.flatMap { s =>
+          val dict = dicts(s)
+          val filterIds = pq.filters.flatMap(f => dict.get(f).map(_._1))
+          // every phrase term and filter term must exist in THIS segment
+          if (phraseTerms.exists(t => !dict.contains(t)) ||
+            filterIds.length < pq.filters.length) Nil
+          else {
+            val phraseIdf: Map[Long, Double] =
+              phraseTerms.map(t => dict(t)._1 -> idfByTerm(t)).toMap
+            val loose: Map[Long, Double] = pq.terms.distinct
+              .flatMap(t => dict.get(t).map(st => (st._1, t)))
+              .collect { case (tid, t) if !phraseIdf.contains(tid) && idfByTerm.contains(t) =>
+                tid -> idfByTerm(t)
+              }.toMap
+            if (phraseIdf.isEmpty && loose.isEmpty) Nil
+            else Seq(SegPlan(qi, s, loose, filterIds.toSet, k,
+              pq.phrases.map(ph => ph.map(t => dict(t)._1).toSeq).toSeq, phraseIdf,
+              exactBounds = segs(s)._2.avgdl == gAvgdl))
           }
         }
-      }
     }
+    if (plans.isEmpty) return queries.map(_ => Array.empty[ScoredHit])
+
+    val plansBySeg: Map[Int, Seq[SegPlan]] = plans.groupBy(_.seg)
+    val kByIdx: Map[Int, Int] = plans.map(pl => pl.qIdx -> pl.k).toMap
+
+    // ---- ONE action: blocks filter → per-(seg, shard) kernels →
+    // per-(query, seg) top-k → broadcast identity join → collect
+    val pred = plansBySeg.map { case (s, pls) =>
+      val ids = pls.flatMap(_.allTermIds).distinct
+      col("seg") === s && col("termId").isin(ids.map(Long.box): _*)
+    }.reduce(_ || _)
+
+    val tagged = blocksAll.filter(pred)
+      .select(col("seg").as("_1"), struct(PostingBlock.columns.map(col): _*).as("_2"))
+      .as[(Int, PostingBlock)]
+
+    val kernelOut = tagged
+      .groupByKey { case (s, b) => (s, b.shard) }
+      .flatMapGroups { (key, it) =>
+        val s = key._1
+        val arr = it.map(_._2).toArray
+        plansBySeg(s).iterator.flatMap { pl =>
+          val subset = arr.iterator.filter(b =>
+            pl.idfById.contains(b.termId) || pl.phraseIdfById.contains(b.termId) ||
+              pl.filterIds.contains(b.termId))
+          val hits =
+            if (pl.phraseIdSeqs.nonEmpty)
+              Phrase.topK(subset, pl.phraseIdSeqs.map(_.toArray).toArray, pl.phraseIdfById,
+                pl.idfById, pl.filterIds, gAvgdl, params, pl.k)
+            else Wand.topK(subset, pl.idfById, pl.filterIds, gAvgdl, params, pl.k, pl.exactBounds)
+          hits.map(sd => (pl.qIdx, s, sd.docId, sd.score))
+        }
+      }
+      // bound rows to ≤ k per (query, segment) before touching identity
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (_, it) =>
+        val arr = it.toArray
+        val k = kByIdx(arr(0)._1)
+        arr.sortBy(t => (-t._4, t._3)).take(k).iterator
+      }
+      .toDF("qIdx", "seg", "docId", "score")
+
+    val joined = docsAll.join(broadcast(kernelOut), Seq("seg", "docId"))
+      .select("qIdx", "repo", "path", "commit", "score")
+      .collect()
+
+    val byQuery = joined.groupBy(_.getInt(0))
     queries.indices.map { qi =>
-      acc(qi).sortBy(h => (-h.score, h.repo, h.path, h.commit)).take(parsed(qi)._3).toArray
+      byQuery.getOrElse(qi, Array.empty)
+        .map(r => ScoredHit(r.getString(1), r.getString(2), r.getString(3), r.getDouble(4)))
+        .sortBy(h => (-h.score, h.repo, h.path, h.commit))
+        .take(kByIdx.getOrElse(qi, 0))
+        .toArray
     }
   }
+}
 
-  /** Multi-segment exact-phrase top-k: the conjunctive position-verified
-    * kernel per segment (no block-max involved, so segment-local bounds
-    * are irrelevant), global idf/avgdl injected, identity merge. */
-  private def searchPhrases(
-      phrases: Array[Array[String]],
-      qFilters: Array[String],
-      k: Int): Array[ScoredHit] = {
-    for ((d, m) <- segs)
-      if (!m.hasPositions)
-        throw new IllegalStateException(
-          s"phrase query but segment $d was built without positions (storePositions=false)")
-    val phraseTerms = phrases.flatten.distinct
-    val lookup = (phraseTerms ++ qFilters).distinct.toSeq
-    val found: Seq[Map[String, (Long, Long)]] = segs.map { case (d, _) =>
-      spark.read.parquet(s"$d/terms")
-        .filter(col("term").isin(lookup: _*))
-        .select("term", "termId", "df")
-        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    }
-    val globalDf: Map[String, Long] =
-      phraseTerms.map(t => t -> found.map(_.get(t).map(_._2).getOrElse(0L)).sum).toMap
-    // conjunctive: any phrase token absent index-wide → no match anywhere
-    if (globalDf.values.exists(_ == 0L)) return Array.empty
-    val idfByTerm = globalDf.map { case (t, df) => t -> BM25.idf(numDocs, df) }
-    val gAvgdl = avgdl
-    val (kk, params) = (k, p)
-
-    val hits: Seq[ScoredHit] = segs.zip(found).flatMap { case ((d, _), dict) =>
-      val filterIds = qFilters.flatMap(f => dict.get(f).map(_._1)).toSet
-      // every phrase term (and filter) must exist in this segment
-      if (phraseTerms.exists(t => !dict.contains(t)) || filterIds.size < qFilters.length) Nil
-      else {
-        val idfById = phraseTerms.map(t => dict(t)._1 -> idfByTerm(t)).toMap
-        val phraseIdSeqs = phrases.map(_.map(t => dict(t)._1))
-        val termIds = (idfById.keys ++ filterIds).toSeq
-        val top = spark.read.parquet(s"$d/blocks")
-          .select(PostingBlock.columns.map(col): _*)
-          .filter(col("termId").isin(termIds.map(Long.box): _*))
-          .as[PostingBlock]
-          .groupByKey(_.shard)
-          .flatMapGroups { (_, blocks) =>
-            Phrase.topK(blocks, phraseIdSeqs, idfById, filterIds, gAvgdl, params, kk)
-          }
-          .orderBy(desc("score"), asc("docId"))
-          .limit(kk)
-          .toDF("docId", "score")
-        spark.read.parquet(s"$d/docs")
-          .join(broadcast(top), Seq("docId"))
-          .select("repo", "path", "commit", "score")
-          .as[ScoredHit]
-          .collect()
-      }
-    }
-    hits.sortBy(h => (-h.score, h.repo, h.path, h.commit)).take(k).toArray
+object MultiSearcher {
+  /** One (query, segment) unit of kernel work inside [[MultiSearcher]]'s
+    * executors: segment-local termIds, global idf values. */
+  private[search] final case class SegPlan(
+      qIdx: Int,
+      seg: Int,
+      idfById: Map[Long, Double],
+      filterIds: Set[Long],
+      k: Int,
+      phraseIdSeqs: Seq[Seq[Long]],
+      phraseIdfById: Map[Long, Double],
+      exactBounds: Boolean) {
+    def allTermIds: Iterable[Long] = idfById.keys ++ phraseIdfById.keys ++ filterIds
   }
 }

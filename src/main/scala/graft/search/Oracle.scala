@@ -31,7 +31,16 @@ object Oracle {
     * whitespace tokens): filters restrict which docs may be scored, while
     * N, avgdl and df stay index-wide — matching ES keyword-filter
     * semantics and the engine's non-scoring required cursors. */
-  def bm25(corpus: DataFrame, query: String, k: Int, p: Bm25Params = BM25.Default): DataFrame = {
+  def bm25(
+      corpus: DataFrame,
+      query: String,
+      k: Int,
+      p: Bm25Params = BM25.Default,
+      /** the engine index's keyword-filter field set (meta.keywords); None
+        * falls back to the schema-derived rule (FieldConfig.derive) — pass
+        * the engine's set when the index was built with a custom FieldConfig
+        * so `col:value` tokens split filter-vs-content identically. */
+      keywordFields: Option[Set[String]] = None): DataFrame = {
     // `"quoted spans"` are exact-phrase requirements, matched over the same
     // analyzed token stream the engine stores positions for: the ORDERED
     // token sequence of the quoted text must appear at consecutive stream
@@ -42,12 +51,15 @@ object Oracle {
       .map(m => Analyzer.tokenize(m.group(1)).toSeq).filter(_.nonEmpty).toSeq
     val rest = Searcher.PhrasePattern.replaceAllIn(query, " ")
     val parts = rest.trim.split("\\s+").filter(_.nonEmpty)
-    // any `col:value` token naming a non-content corpus column is a keyword
-    // filter — the schema-derived rule (FieldConfig.derive) mirrored here
-    val keywordFields = corpus.columns.filterNot(_ == "content").toSet
+    // a `col:value` token is a keyword filter iff its prefix is one of the
+    // index's keyword fields — by default the schema-derived rule
+    // (FieldConfig.derive: string non-content columns), overridable with the
+    // engine's configured set so oracle and engine split identically
+    val kwFields: Set[String] = keywordFields.getOrElse(
+      graft.index.FieldConfig.derive(corpus.schema).keyword.toSet)
     val (filterToks, contentToks) = parts.partition { t =>
       val i = t.indexOf(':')
-      i > 0 && keywordFields.contains(t.substring(0, i))
+      i > 0 && kwFields.contains(t.substring(0, i))
     }
     val qTerms =
       (Analyzer.queryTerms(contentToks.mkString(" ")) ++ phraseSeqs.flatten).distinct.sorted.toSeq

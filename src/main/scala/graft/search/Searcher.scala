@@ -101,13 +101,14 @@ class Searcher(spark: SparkSession, indexDir: String) {
     * position adjacency over the analyzer's token stream, scored by the
     * ordinary BM25 sum over the phrase's distinct terms — a documented
     * departure from Lucene's phrase-frequency scoring, mirrored exactly by
-    * the oracle. Mixing quoted and loose content terms is not supported. */
+    * the oracle. Loose terms may be mixed with phrases (`"exact phrase"
+    * extra term`): phrases stay required, loose terms are optional scored
+    * contributions on phrase-matching documents (ES semantics for a
+    * must-phrase + should-term query). */
   def search(query: String, k: Int): Array[ScoredDoc] = {
     val pq = Searcher.parseFull(query, meta.keywords.toSet)
-    if (pq.phrases.nonEmpty) {
-      require(pq.terms.isEmpty, "mixing loose terms with phrase queries is not supported")
-      return searchPhrases(pq.phrases, pq.filters, k)
-    }
+    if (pq.phrases.nonEmpty)
+      return searchPhrases(pq.phrases, pq.terms, pq.filters, k)
     val qTerms = pq.terms
     val qFilters = pq.filters
     val stats = lookupTerms(qTerms.toSeq)
@@ -140,27 +141,35 @@ class Searcher(spark: SparkSession, indexDir: String) {
 
   /** Exact-phrase top-k: conjunctive document-at-a-time over the phrase
     * terms with inline position verification (no post-hoc filtering that
-    * could under-fill k), then the usual global merge. */
+    * could under-fill k), then the usual global merge. `looseTerms` are the
+    * optional scored extras of a mixed query (may be empty). */
   private def searchPhrases(
       phrases: Array[Array[String]],
+      looseTerms: Array[String],
       qFilters: Array[String],
       k: Int): Array[ScoredDoc] = {
     if (!meta.hasPositions)
       throw new IllegalStateException(
         "phrase query on an index built without positions (IndexConfig.storePositions=false)")
     val phraseTerms = phrases.flatten.distinct
-    val stats = lookupTermStats(phraseTerms.toSeq)
+    val stats = lookupTermStats((phraseTerms ++ looseTerms).distinct.toSeq)
     // conjunctive: any phrase token absent from the dictionary → no match
-    if (stats.size < phraseTerms.length) return Array.empty
+    if (phraseTerms.exists(t => !stats.contains(t))) return Array.empty
     val filterStats = lookupTerms(qFilters.toSeq)
     if (filterStats.length < qFilters.length) return Array.empty
     val n = meta.numDocs
     val avgdl = meta.avgdl
     val idfById: Map[Long, Double] =
-      stats.values.map { case (tid, df) => tid -> BM25.idf(n, df) }.toMap
+      phraseTerms.map { t => val (tid, df) = stats(t); tid -> BM25.idf(n, df) }.toMap
+    // loose terms: optional, scored only where present; a term that is also
+    // part of a phrase contributes once (distinct-term scoring, as oracle)
+    val optIdfById: Map[Long, Double] = looseTerms.distinct
+      .flatMap(t => stats.get(t))
+      .collect { case (tid, df) if !idfById.contains(tid) => tid -> BM25.idf(n, df) }
+      .toMap
     val filterIds: Set[Long] = filterStats.map(_._1).toSet
     val phraseIdSeqs: Array[Array[Long]] = phrases.map(_.map(t => stats(t)._1))
-    val termIds = idfById.keys.toArray ++ filterIds
+    val termIds = idfById.keys.toArray ++ optIdfById.keys ++ filterIds
     val params = p
 
     val perShard = blocksDf
@@ -168,7 +177,7 @@ class Searcher(spark: SparkSession, indexDir: String) {
       .as[PostingBlock]
       .groupByKey(_.shard)
       .flatMapGroups { (_, blocks) =>
-        Phrase.topK(blocks, phraseIdSeqs, idfById, filterIds, avgdl, params, k)
+        Phrase.topK(blocks, phraseIdSeqs, idfById, optIdfById, filterIds, avgdl, params, k)
       }
 
     perShard
@@ -190,22 +199,36 @@ class Searcher(spark: SparkSession, indexDir: String) {
     val params = p
 
     import Searcher.Plan
-    val allTerms = queries.flatMap { case (q, _) =>
-      val (t, f) = parseQuery(q); t.toSeq ++ f.toSeq
-    }.distinct
+    val parsed = queries.map { case (q, _) => Searcher.parseFull(q, meta.keywords.toSet) }
+    if (parsed.exists(_.phrases.nonEmpty) && !meta.hasPositions)
+      throw new IllegalStateException(
+        "phrase query on an index built without positions (IndexConfig.storePositions=false)")
+    val allTerms = parsed.flatMap(pq =>
+      pq.terms.toSeq ++ pq.filters.toSeq ++ pq.phrases.flatten.toSeq).distinct
     val statsByTerm: Map[String, (Long, Long)] = lookupTermStats(allTerms)
 
-    val plans: Seq[Option[Plan]] = queries.zipWithIndex.map { case ((q, k), i) =>
-      val (qTerms, qFilters) = parseQuery(q)
-      val content = qTerms.flatMap(t => statsByTerm.get(t).map { case (tid, df) => tid -> BM25.idf(n, df) })
-      val filters = qFilters.flatMap(f => statsByTerm.get(f).map(_._1))
-      if (content.isEmpty || filters.length < qFilters.length) None
-      else Some(Plan(i, content.toMap, filters.toSet, k))
+    val plans: Seq[Option[Plan]] = parsed.zip(queries).zipWithIndex.map {
+      case ((pq, (_, k)), i) =>
+        val phraseTerms = pq.phrases.flatten.distinct
+        val filters = pq.filters.flatMap(f => statsByTerm.get(f).map(_._1))
+        if (phraseTerms.exists(t => !statsByTerm.contains(t)) ||
+          filters.length < pq.filters.length) None
+        else {
+          val phraseIdf: Map[Long, Double] = phraseTerms
+            .map { t => val (tid, df) = statsByTerm(t); tid -> BM25.idf(n, df) }.toMap
+          val loose: Map[Long, Double] = pq.terms.distinct
+            .flatMap(t => statsByTerm.get(t))
+            .collect { case (tid, df) if !phraseIdf.contains(tid) => tid -> BM25.idf(n, df) }
+            .toMap
+          if (phraseIdf.isEmpty && loose.isEmpty) None
+          else Some(Plan(i, loose, filters.toSet, k,
+            pq.phrases.map(ph => ph.map(t => statsByTerm(t)._1).toSeq).toSeq, phraseIdf))
+        }
     }
     val live = plans.flatten
     if (live.isEmpty) return queries.map(_ => Array.empty[ScoredDoc])
 
-    val neededIds = live.flatMap(pl => pl.idfById.keys ++ pl.filterIds).distinct
+    val neededIds = live.flatMap(_.allTermIds).distinct
     val perShard = blocksDf
       .filter(col("termId").isin(neededIds.map(Long.box): _*))
       .as[PostingBlock]
@@ -214,9 +237,14 @@ class Searcher(spark: SparkSession, indexDir: String) {
         val arr = blocks.toArray
         live.iterator.flatMap { pl =>
           val subset = arr.iterator.filter(b =>
-            pl.idfById.contains(b.termId) || pl.filterIds.contains(b.termId))
-          Wand.topK(subset, pl.idfById, pl.filterIds, avgdl, params, pl.k)
-            .map(sd => (pl.qIdx, sd.docId, sd.score))
+            pl.idfById.contains(b.termId) || pl.phraseIdfById.contains(b.termId) ||
+              pl.filterIds.contains(b.termId))
+          val hits =
+            if (pl.phraseIdSeqs.nonEmpty)
+              Phrase.topK(subset, pl.phraseIdSeqs.map(_.toArray).toArray, pl.phraseIdfById,
+                pl.idfById, pl.filterIds, avgdl, params, pl.k)
+            else Wand.topK(subset, pl.idfById, pl.filterIds, avgdl, params, pl.k)
+          hits.map(sd => (pl.qIdx, sd.docId, sd.score))
         }
       }
 
@@ -245,9 +273,20 @@ class Searcher(spark: SparkSession, indexDir: String) {
 }
 
 object Searcher {
-  /** One query's compiled form inside [[Searcher.searchMany]]'s executors. */
+  /** One query's compiled form inside [[Searcher.searchMany]]'s executors.
+    * `idfById` holds the scored loose terms; a phrase query additionally
+    * carries its ordered per-phrase termId sequences and their (required)
+    * idf map — `phraseIdSeqs.isEmpty` selects the WAND kernel, otherwise
+    * the conjunctive phrase kernel with `idfById` as optional extras. */
   private[search] final case class Plan(
-      qIdx: Int, idfById: Map[Long, Double], filterIds: Set[Long], k: Int)
+      qIdx: Int,
+      idfById: Map[Long, Double],
+      filterIds: Set[Long],
+      k: Int,
+      phraseIdSeqs: Seq[Seq[Long]] = Nil,
+      phraseIdfById: Map[Long, Double] = Map.empty) {
+    def allTermIds: Iterable[Long] = idfById.keys ++ phraseIdfById.keys ++ filterIds
+  }
 
   /** Split a raw query into (content terms, keyword filter terms). Filter
     * syntax mirrors the reference query set's lang-tagged field match
@@ -292,7 +331,14 @@ object Searcher {
   * ascending termId order (bit-identical to the oracle's plan). No WAND
   * pruning — conjunction is already selective; block skipping still applies
   * through cursor advances, and positions are decoded ONLY for fully
-  * aligned candidate documents. */
+  * aligned candidate documents.
+  *
+  * Loose (unquoted) terms mixed into a phrase query ride along as OPTIONAL
+  * scored cursors (`optIdfById`): they never gate candidacy — the phrase
+  * conjunction does — but when present on a candidate document their BM25
+  * contribution is added, interleaved with the required terms in ascending
+  * termId order so the sum stays bit-identical to the oracle's
+  * `aggregate(array_sort(...))` over ALL contributing terms. */
 object Phrase {
 
   private final class PCursor(
@@ -338,6 +384,7 @@ object Phrase {
       blocks: Iterator[PostingBlock],
       phraseIdSeqs: Array[Array[Long]],
       idfByTermId: Map[Long, Double],
+      optIdfById: Map[Long, Double],
       filterTermIds: Set[Long],
       avgdl: Double,
       p: Bm25Params,
@@ -356,6 +403,14 @@ object Phrase {
       }
       i += 1
     }
+    // optional loose-term cursors: absent-in-shard terms simply contribute 0
+    val opt: Array[PCursor] = optIdfById.keys.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks => new PCursor(tid, optIdfById(tid), blks.sortBy(_.firstDoc), avgdl, p))
+    }
+    // scoring walks required + optional cursors merged in ascending termId
+    // order (oracle sum-order contract)
+    val scoreCursors: Array[PCursor] = (req ++ opt).sortBy(_.termId)
+    val scoreRequired: Array[Boolean] = scoreCursors.map(c => idfByTermId.contains(c.termId))
     val filters: Array[PCursor] = filterTermIds.toArray.sorted.flatMap { tid =>
       byTerm.get(tid).map(blks => new PCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p))
     }
@@ -420,10 +475,19 @@ object Phrase {
         }
         if (aligned) {
           if (passesFilters(cand) && phrasesMatch()) {
-            // in ascending termId order (req is sorted) — oracle-identical
+            // required + present-optional contributions, ascending termId —
+            // oracle-identical summation order
             var s = 0.0
             j = 0
-            while (j < req.length) { s += req(j).score; j += 1 }
+            while (j < scoreCursors.length) {
+              val c = scoreCursors(j)
+              if (scoreRequired(j)) s += c.score
+              else {
+                if (c.curDoc < cand) c.advanceTo(cand)
+                if (c.curDoc == cand) s += c.score
+              }
+              j += 1
+            }
             if (heap.size < k) heap.add(ScoredDoc(cand, s))
             else if (s > heap.peek().score) { heap.poll(); heap.add(ScoredDoc(cand, s)) }
           }

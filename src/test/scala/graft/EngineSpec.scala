@@ -66,7 +66,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   private def oracleHits(q: String, k: Int): Seq[(String, String, String, Double)] =
-    Oracle.bm25(corpus, q, k).collect().toSeq
+    Oracle.bm25(corpus, q, k, keywordFields = Some(searcher.meta.keywords.toSet)).collect().toSeq
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
 
   test("meta sanity: docs, avgdl, analyzer version") {
@@ -251,7 +251,8 @@ class EngineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(hits.forall(h => teamById(h.docId) == "team1"))
     // and the oracle agrees (its filter rule is schema-derived the same way)
-    val ora = Oracle.bm25(extended, "team:team1 def val", 50).collect().toSeq
+    val ora = Oracle.bm25(extended, "team:team1 def val", 50,
+      keywordFields = Some(s.meta.keywords.toSet)).collect().toSeq
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
     val eng = {
       val byId = docs.select("docId", "repo", "path", "commit").collect()
@@ -287,7 +288,8 @@ class EngineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
     def eng(q: String, k: Int) = s.search(q, k).toSeq
       .map(h => { val d = docsById(h.docId); (d._1, d._2, d._3, h.score) })
-    def ora(q: String, k: Int) = Oracle.bm25(corpus, q, k).collect().toSeq
+    def ora(q: String, k: Int) =
+      Oracle.bm25(corpus, q, k, keywordFields = Some(s.meta.keywords.toSet)).collect().toSeq
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
 
     val phraseQueries = Seq(
@@ -297,7 +299,12 @@ class EngineSpec extends AnyFunSuite {
       ("\"query\"", 10),               // single-token phrase == exact term AND
       ("\"def zzz_not_a_term\"", 10),  // absent token → empty
       ("lang:scala \"def value\"", 20), // filter + phrase compose
-      ("\"if else\" \"def value\"", 20) // two phrases, both required
+      ("\"if else\" \"def value\"", 20), // two phrases, both required
+      ("\"if else\" query", 20),        // phrase + loose term (mixed)
+      ("\"index merge\" def score", 20), // phrase + two loose terms
+      ("lang:scala \"def value\" query", 20), // filter + phrase + loose
+      ("\"if else\" zzz_not_a_term", 20), // absent loose term contributes 0
+      ("\"if else\" if", 20)            // loose term inside the phrase: counted once
     )
     for ((q, k) <- phraseQueries) {
       val e = eng(q, k)
@@ -323,9 +330,26 @@ class EngineSpec extends AnyFunSuite {
       assert(e == o, s"WAND-on-positions-index mismatch for '$q'")
     }
 
+    // a mixed query must outrank-or-equal its pure-phrase form for the
+    // docs that contain the loose term (sanity: loose terms add, not gate)
+    val pure = eng("\"if else\"", 1000).map(t => (t._1, t._2, t._3)).toSet
+    val mixed = eng("\"if else\" query", 1000).map(t => (t._1, t._2, t._3)).toSet
+    assert(mixed == pure, "loose terms must not change the phrase candidate set")
+
+    // batch form: phrases and mixed queries in searchMany match per-query
+    val batchQs = Seq(("\"if else\"", 20), ("\"index merge\" def", 20),
+      ("def value", 10), ("lang:scala \"def value\"", 20))
+    val batch = s.searchMany(batchQs)
+    batchQs.zip(batch).foreach { case ((q, k), got) =>
+      assert(got.toSeq == s.search(q, k).toSeq, s"phrase batch mismatch for '$q'")
+    }
+
     // a phrase query against an index without positions fails loudly
     intercept[IllegalStateException] {
       searcher.search("\"index merge\"", 10)
+    }
+    intercept[IllegalStateException] {
+      searcher.searchMany(Seq(("\"index merge\"", 10)))
     }
   }
 

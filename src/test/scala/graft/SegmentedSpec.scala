@@ -25,7 +25,8 @@ class SegmentedSpec extends AnyFunSuite {
   private def assertMatchesOracle(ms: MultiSearcher, corpus: org.apache.spark.sql.DataFrame): Unit =
     for (q <- Queries) {
       val got = ms.search(q, 15).toSeq.map(h => (h.repo, h.path, h.commit, h.score))
-      val want = Oracle.bm25(corpus, q, 15).collect().toSeq
+      val want = Oracle.bm25(corpus, q, 15, keywordFields = Some(cfg.fields.keyword.toSet))
+        .collect().toSeq
         .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
       assert(got == want, s"multi-segment/oracle mismatch for '$q'")
     }
@@ -93,6 +94,14 @@ class SegmentedSpec extends AnyFunSuite {
       val want = ms.search(q, k)
       assert(got.toSeq == want.toSeq, s"segmented batch mismatch for '$q'")
     }
+    // warm serving shape (pinned unioned relations + driver dictionaries)
+    // returns identical results with zero dictionary jobs
+    val warm = new MultiSearcher(spark, s"$dir/index").warm()
+    try {
+      qs.zip(warm.searchMany(qs)).zip(batch).foreach { case (((q, _), got), cold) =>
+        assert(got.toSeq == cold.toSeq, s"warm/cold segmented mismatch for '$q'")
+      }
+    } finally warm.cool()
   }
 
   test("multi-segment phrase queries match the oracle; reject positions-less segments") {
@@ -106,12 +115,22 @@ class SegmentedSpec extends AnyFunSuite {
     assert(idx.manifest.get.segments.length == 2)
     val ms = new MultiSearcher(spark, s"$dir/index")
     val union = a.unionByName(b)
-    for (q <- Seq("\"if else\"", "\"index merge\"", "\"query\"", "lang:scala \"def value\"")) {
+    for (q <- Seq("\"if else\"", "\"index merge\"", "\"query\"", "lang:scala \"def value\"",
+      "\"if else\" query", "\"index merge\" def score")) {
       val got = ms.search(q, 15).toSeq.map(h => (h.repo, h.path, h.commit, h.score))
-      val want = Oracle.bm25(union, q, 15).collect().toSeq
+      val want = Oracle.bm25(union, q, 15, keywordFields = Some(pcfg.fields.keyword.toSet))
+        .collect().toSeq
         .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
       assert(got == want, s"segmented phrase/oracle mismatch for $q")
     }
+    // one batch mixing term, phrase, mixed and filtered queries — each row
+    // must equal its per-query result
+    val mixedBatch = Seq(("merge index", 10), ("\"if else\"", 15),
+      ("\"index merge\" def", 10), ("lang:scala \"def value\"", 10))
+    ms.searchMany(mixedBatch).zip(mixedBatch).foreach { case (got, (q, k)) =>
+      assert(got.toSeq == ms.search(q, k).toSeq, s"mixed batch mismatch for '$q'")
+    }
+
     // a segmented index without positions rejects phrase queries loudly
     val noPos = new SegmentedIndex(spark, s"$dir/nopos", cfg)
     noPos.ingest(a)
