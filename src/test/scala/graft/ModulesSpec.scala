@@ -62,6 +62,61 @@ class ModulesSpec extends AnyFunSuite {
       .foreach(s => assert(s.cos == exactById(s.id)))
   }
 
+  test("ann: k-means-trained IVF beats arbitrary fixed centroids on clustered data") {
+    import spark.implicits._
+    // 4 well-separated gaussian clusters in 16d (seeded); ids interleave
+    // clusters so 'first k vectors' is a genuinely bad fixed quantizer
+    val rng = new java.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian().toFloat * 4f))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      Ann.Vec(i.toLong, c.map(x => x + rng.nextGaussian().toFloat * 0.2f))
+    }
+    val ds = vecs.toDS().repartition(4)
+    val query = centers(2).map(x => x + rng.nextGaussian().toFloat * 0.2f)
+    val exact = Ann.bruteTopK(ds, query, 10).map(_.id).toSet
+
+    val trained = Ann.kmeans(ds, k = 4, iters = 4, seed = 5L)
+    // trained centroids separate the clusters: every vector's nearest
+    // trained centroid equals its cluster's (checked via recall)
+    val trainedHits = Ann.ivfTopK(ds, query, 10, trained, nprobe = 1).map(_.id).toSet
+    val trainedRecall = trainedHits.intersect(exact).size / 10.0
+
+    // the td14-style arbitrary quantizer: first 4 vectors as centroids
+    val fixed = vecs.take(4).map(_.v).toArray
+    val fixedRecall =
+      Ann.ivfTopK(ds, query, 10, fixed, nprobe = 1).map(_.id).toSet.intersect(exact).size / 10.0
+
+    assert(trainedRecall >= fixedRecall,
+      s"trained recall $trainedRecall < fixed recall $fixedRecall")
+    assert(trainedRecall >= 0.9, s"trained IVF recall too low: $trainedRecall")
+    // determinism: same seed → same centroids
+    val again = Ann.kmeans(ds, k = 4, iters = 4, seed = 5L)
+    assert(trained.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("langid: character-n-gram profiles identify real multilingual text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val samples = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and that is the end of the story"),
+      ("en", "this is one of the best things that we are going to be doing"),
+      ("de", "der schnelle braune fuchs springt über den faulen hund und die katze ist auch da"),
+      ("de", "das ist ein schönes haus und die sonne scheint über der stadt"),
+      ("es", "la casa de los niños es una de las más bonitas que hay como siempre"),
+      ("es", "los libros que tengo son una parte de las cosas más importantes"),
+      ("fr", "les enfants de la ville sont dans une des plus belles maisons pour tous"),
+      ("fr", "c'est une belle journée pour les gens qui sont dans la ville"),
+      ("zh", "我是一个人我不知道他有没有在这里的人了"),
+      ("zh", "这是我的书他们在人的有不了是我"))
+    val df = samples.toDF("true_lang", "text")
+    val pred = df.select(col("true_lang"),
+      graft.analysis.LangId.predict(col("text")).as("pred")).collect()
+    val correct = pred.count(r => r.getString(0) == r.getString(1))
+    assert(correct == samples.length,
+      s"langid misclassified: ${pred.filter(r => r.getString(0) != r.getString(1)).mkString(", ")}")
+  }
+
   test("sources: corpus parquet roundtrip + typed TSV import/export") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
