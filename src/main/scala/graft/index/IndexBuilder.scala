@@ -1,5 +1,7 @@
 package graft.index
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -96,9 +98,9 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       killAfterStage: Int = Int.MaxValue): IndexMeta = {
     def kill(n: Int): Unit =
       if (n >= killAfterStage) throw new IndexBuilder.BuildKilled(n)
-    Json.recoverSwap(indexDir) // heal a previous publish that died mid-swap
+    cfg.io.recover(spark, indexDir) // heal a previous publish that died mid-swap
     val staging = indexDir + ".staging"
-    if (!resume) Json.deleteRecursively(staging)
+    if (!resume) cfg.io.dropTree(spark, staging)
     // the published index (if any) stays live until the atomic publish at
     // the end replaces it — a failed rebuild must never destroy the old
     // index (the reference's build-then-publish contract, staged loading
@@ -258,7 +260,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         .select((Seq("docId", "repo", "path", "commit", "lang", "sha256", "dl", "terms") ++
           storedExtra.map(_._1)).map(col): _*)
         .observe(obs, count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(doctfDir)
+        .pipe(df => cfg.io.write(df, doctfDir))
       // the plan's offsets are exact only if the content pass saw the same
       // row multiset the planning pass did (deterministic source — file
       // listing changes are already caught by inputFp); verify before any
@@ -282,12 +284,12 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       // second read-back pass (sequential-job count is the build's main
       // fixed overhead at small corpora, and a barrier at any size)
       val obs = org.apache.spark.sql.Observation()
-      spark.read.parquet(doctfDir)
+      cfg.io.read(spark, doctfDir)
         .select((Seq("docId", "repo", "path", "commit", "lang", "sha256", "dl") ++
           extraCols).map(col): _*)
         .observe(obs, count(lit(1)).as("n"), sum("dl").as("sumDl"),
           expr("bit_xor(xxhash64(sha256))").as("lineage"))
-        .write.mode("overwrite").parquet(docsDir)
+        .pipe(df => cfg.io.write(df, docsDir))
       val row = obs.get
       val m = StageManifest("docs", row("n").asInstanceOf[Long], 0L,
         row("sumDl").asInstanceOf[Long], row("lineage").asInstanceOf[Long], cfg.configHash)
@@ -305,12 +307,12 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     val tfDir = s"$staging/_tf"
     val tfManifest = loadIfDone(tfDir, lineage).getOrElse(stage("tf") {
       val obs = org.apache.spark.sql.Observation()
-      spark.read.parquet(doctfDir)
+      cfg.io.read(spark, doctfDir)
         .select(col("docId"), col("dl"), explode(col("terms")).as("t"))
         .select(col("t.term").as("term"), col("docId"), col("t.tf").as("tf"), col("dl"),
           col("t.pos").as("pos"))
         .observe(obs, count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(tfDir)
+        .pipe(df => cfg.io.write(df, tfDir))
       val n = obs.get("n").asInstanceOf[Long]
       val m = StageManifest("tf", n, 0L, n, lineage, cfg.configHash)
       Json.write(manifestPath(tfDir), m)
@@ -322,12 +324,16 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     // ---- stage 3: term dictionary with dense termId (ascending term order)
     val termsDir = s"$staging/terms"
     val termsManifest = loadIfDone(termsDir, lineage).getOrElse(stage("terms") {
-      val stats = spark.read.parquet(tfDir)
+      // persist the dictionary-scale stats so DenseIds' range-sampling pass
+      // reads the cache instead of re-running the posting-scale groupBy
+      val stats = cfg.io.read(spark, tfDir)
         .groupBy("term")
         .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ided = DenseIds.assign(stats, Seq("term"), "termId", cfg.buildPartitions)
-      ided.df.select("termId", "term", "df", "cf").write.mode("overwrite").parquet(termsDir)
+      cfg.io.write(ided.df.select("termId", "term", "df", "cf"), termsDir)
       ided.release()
+      stats.unpersist()
       // the term count is already on the driver from DenseIds' offsets pass —
       // no read-back count() job
       val n = ided.total
@@ -348,12 +354,18 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     val bucketWidth = math.max(1L, (numTerms + cfg.buildBuckets - 1) / cfg.buildBuckets)
     val tfencDir = s"$staging/_tfenc"
     if (loadIfDone(tfencDir, lineage, bucketWidth).isEmpty) stage("tfenc") {
-      val termDict = spark.read.parquet(termsDir).select("term", "termId")
-      spark.read.parquet(tfDir)
-        .join(termDict, Seq("term"))
+      // a broadcastable dictionary turns the build's only term-string
+      // shuffle into a narrow map stage over tf (no exchange at all —
+      // partitionBy below writes straight from the scan partitions);
+      // web-scale dictionaries past the threshold fall back to sort-merge
+      val termDict = cfg.io.read(spark, termsDir).select("term", "termId")
+      val dictSide =
+        if (numTerms <= cfg.broadcastDictMaxTerms) broadcast(termDict) else termDict
+      cfg.io.read(spark, tfDir)
+        .join(dictSide, Seq("term"))
         .select(col("termId"), col("docId"), col("tf"), col("dl"), col("pos"),
           expr(s"cast(termId div $bucketWidth as int)").as("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(tfencDir)
+        .pipe(df => cfg.io.writePartitioned(df, tfencDir, "bucket"))
       Json.write(manifestPath(tfencDir),
         StageManifest("tfenc", numPostings, 0L, numPostings, lineage, cfg.configHash, bucketWidth))
     }
@@ -361,13 +373,15 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
 
     // ---- stage 5: range-shuffle→sort→pack per bucket; each bucket
     // shuffles only its own termId slice, so total pack-shuffle volume is
-    // one full pass. Buckets remain the resume unit.
+    // one full pass. Buckets remain the resume unit. Bucket jobs run
+    // CONCURRENTLY (bounded pool) so one bucket's shuffle-read tail overlaps
+    // the next bucket's map side — the scheduler packs otherwise-idle cores;
+    // the kill-switch test mode keeps them sequential so stage boundaries
+    // stay deterministic.
     val blocksDir = s"$staging/blocks"
-    var numBlocks = 0L
-    var packedPostings = 0L
-    (0 until cfg.buildBuckets).foreach { b =>
+    def packBucket(b: Int): StageManifest = {
       val bDir = f"$blocksDir/bucket=$b%04d"
-      val m = loadIfDone(bDir, lineage, bucketWidth).getOrElse(stage(s"blocks/$b") {
+      loadIfDone(bDir, lineage, bucketWidth).getOrElse(stage(s"blocks/$b") {
         // hash-partition on (termId, shard): no range-sampling pre-pass, and
         // skew is BOUNDED BY CONSTRUCTION — a stop term present in every doc
         // still contributes at most docsPerShard postings per group, spread
@@ -375,10 +389,9 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         // shard, so a (termId, shard) group is exactly the packer's unit.
         // a bucket past the term range (numTerms < buildBuckets) has no
         // partition directory — pack an empty slice
-        val slice =
-          if (Json.exists(s"$tfencDir/bucket=$b"))
-            spark.read.parquet(s"$tfencDir/bucket=$b").select("termId", "docId", "tf", "dl", "pos")
-          else spark.emptyDataset[Posting].toDF()
+        val slice = cfg.io.readBucket(spark, tfencDir, b)
+          .map(_.select("termId", "docId", "tf", "dl", "pos"))
+          .getOrElse(spark.emptyDataset[Posting].toDF())
         val part = slice
           .repartition(cfg.buildPartitions, col("termId"), expr(s"docId div ${cfg.docsPerShard}"))
           .sortWithinPartitions("termId", "docId")
@@ -394,17 +407,34 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         blocks
           .observe(obs, count(lit(1)).as("blocks"),
             coalesce(sum("n"), lit(0L)).as("postings"))
-          .write.mode("overwrite").parquet(bDir)
+          .pipe(ds => cfg.io.writeBucket(ds.toDF(), blocksDir, b))
         val row = obs.get
         val mm = StageManifest(s"blocks/$b", row("blocks").asInstanceOf[Long],
           0L, row("postings").asInstanceOf[Long], lineage, cfg.configHash, bucketWidth)
         Json.write(manifestPath(bDir), mm)
         mm
       })
-      numBlocks += m.rows
-      packedPostings += m.postings
-      kill(5 + b)
     }
+    val bucketManifests: Seq[StageManifest] =
+      if (killAfterStage == Int.MaxValue && cfg.buildBuckets > 1) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(4, cfg.buildBuckets))
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val futs = (0 until cfg.buildBuckets).map(b =>
+            scala.concurrent.Future(packBucket(b)))
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(futs), scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
+      } else
+        (0 until cfg.buildBuckets).map { b =>
+          val m = packBucket(b)
+          kill(5 + b)
+          m
+        }
+    val numBlocks = bucketManifests.map(_.rows).sum
+    val packedPostings = bucketManifests.map(_.postings).sum
     // every posting must be accounted for across the bucket manifests — a
     // partial/mismatched bucket layout can never publish
     require(packedPostings == numPostings,
@@ -417,10 +447,10 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       Analyzer.Version, cfg.k1, cfg.b, cfg.blockSize, cfg.docsPerShard, lineage, cfg.configHash,
       keywordFields = cfg.fields.keyword, hasPositions = cfg.storePositions)
     Json.write(s"$staging/meta.json", meta)
-    Json.deleteRecursively(doctfDir)
-    Json.deleteRecursively(tfDir)
-    Json.deleteRecursively(tfencDir)
-    Json.atomicMove(staging, indexDir)
+    cfg.io.dropTree(spark, doctfDir)
+    cfg.io.dropTree(spark, tfDir)
+    cfg.io.dropTree(spark, tfencDir)
+    cfg.io.publishIndex(spark, staging, indexDir)
     meta
   }
 

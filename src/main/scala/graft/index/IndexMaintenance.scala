@@ -25,7 +25,11 @@ object IndexMaintenance {
     * ignored (ES `update` semantics — no upsert of unindexed docs). The
     * docs table is rewritten atomically; a second identical call is a
     * no-op in effect (idempotent). */
-  def updateDocFields(spark: SparkSession, indexDir: String, updates: DataFrame): Unit = {
+  def updateDocFields(
+      spark: SparkSession,
+      indexDir: String,
+      updates: DataFrame,
+      io: TableIO = ParquetDirIO): Unit = {
     val updCols = updates.columns.filterNot(KeyCols.contains).toSeq
     require(updCols.nonEmpty, "no update columns given")
     val bad = updCols.filter(Structural.contains)
@@ -33,8 +37,8 @@ object IndexMaintenance {
       s"structural columns cannot be patched (rebuild instead): ${bad.mkString(",")}")
 
     val docsDir = s"$indexDir/docs"
-    Json.recoverSwap(docsDir) // heal a prior update that died mid-swap
-    val docs = spark.read.parquet(docsDir)
+    io.recover(spark, docsDir) // heal a prior update that died mid-swap
+    val docs = io.read(spark, docsDir)
     val renamed = updCols.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"__upd_$c"))
     val joined = docs.join(renamed, KeyCols, "left")
     val patched = updCols.foldLeft(joined) { (d, c) =>
@@ -44,13 +48,13 @@ object IndexMaintenance {
     }
 
     val tmp = s"$indexDir/_docs.updating"
-    patched.write.mode("overwrite").parquet(tmp)
+    io.write(patched, tmp)
     // verify row count before swapping in (guards a bad many-to-one join)
     val before = docs.count()
-    val after = spark.read.parquet(tmp).count()
+    val after = io.read(spark, tmp).count()
     require(after == before,
       s"update would change doc count ($before -> $after); updates must be unique per document")
-    Json.atomicMove(tmp, docsDir) // rename-aside swap: old docs survive a mid-swap crash
+    io.replace(spark, tmp, docsDir) // old docs survive a mid-swap crash
   }
 
   /** [[updateDocFields]] over a segmented index: only segments that
@@ -60,18 +64,19 @@ object IndexMaintenance {
   def updateDocFieldsSegmented(
       spark: SparkSession,
       indexDir: String,
-      updates: DataFrame): Unit = {
+      updates: DataFrame,
+      io: TableIO = ParquetDirIO): Unit = {
     val seg = new SegmentedIndex(spark, indexDir)
     val m = seg.manifest.getOrElse(
       throw new IllegalStateException(s"no segments.json under $indexDir"))
     val keys = updates.select(KeyCols.map(col): _*).distinct()
     for (e <- m.segments) {
       val d = seg.segmentDir(e.name)
-      val hit = spark.read.parquet(s"$d/docs")
+      val hit = io.read(spark, s"$d/docs")
         .select(KeyCols.map(col): _*)
         .join(broadcast(keys), KeyCols, "left_semi")
         .limit(1).count() > 0
-      if (hit) updateDocFields(spark, d, updates)
+      if (hit) updateDocFields(spark, d, updates, io)
     }
   }
 }

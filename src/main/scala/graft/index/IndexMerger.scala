@@ -53,10 +53,10 @@ object IndexMerger {
     }
 
     val staging = outDir + ".staging"
-    Json.deleteRecursively(staging)
+    cfg.io.dropTree(spark, staging)
 
-    val docsA = spark.read.parquet(s"$dirA/docs")
-    val docsB = spark.read.parquet(s"$dirB/docs")
+    val docsA = cfg.io.read(spark, s"$dirA/docs")
+    val docsB = cfg.io.read(spark, s"$dirB/docs")
 
     // ---- merged docs with fresh dense ids (identity-sorted, B wins).
     // Stored columns are carried generically (schema-derived extras /
@@ -72,26 +72,28 @@ object IndexMerger {
       .withColumnRenamed("docId", "oldDocId")
     val ided = DenseIds.assign(keep, KeyCols, "docId", cfg.buildPartitions)
     val docsDir = s"$staging/docs"
-    ided.df
-      .select(docCols.map(col): _*)
-      .write.mode("overwrite").parquet(docsDir)
+    // manifest stats ride the write as observed metrics — no read-back job
+    val docsObs = org.apache.spark.sql.Observation()
+    cfg.io.write(
+      ided.df
+        .select(docCols.map(col): _*)
+        .observe(docsObs, count(lit(1)).as("n"), sum("dl").as("sumDl"),
+          expr("bit_xor(xxhash64(sha256))").as("lineage")),
+      docsDir)
     val mapping = ided.df.select("src", "oldDocId", "docId", "dl")
-    mapping.write.mode("overwrite").parquet(s"$staging/_idmap")
+    cfg.io.write(mapping, s"$staging/_idmap")
     ided.release()
-    val row = spark.read.parquet(docsDir)
-      .agg(count("*").as("n"), sum("dl").as("sumDl"),
-        expr("bit_xor(xxhash64(sha256))").as("lineage"))
-      .head()
-    val lineage = row.getAs[Long]("lineage")
+    val row = docsObs.get
+    val lineage = row("lineage").asInstanceOf[Long]
     Json.write(s"$docsDir/_manifest.json",
-      StageManifest("docs", row.getAs[Long]("n"), 0L, row.getAs[Long]("sumDl"),
-        lineage, cfg.configHash))
+      StageManifest("docs", row("n").asInstanceOf[Long], 0L,
+        row("sumDl").asInstanceOf[Long], lineage, cfg.configHash))
 
     // ---- flat postings from both segments, re-keyed to the new docIds
-    val idmap = spark.read.parquet(s"$staging/_idmap")
+    val idmap = cfg.io.read(spark, s"$staging/_idmap")
     def sidePostings(dir: String, src: String): DataFrame = {
       val withPos = cfg.storePositions
-      val blocks = spark.read.parquet(s"$dir/blocks")
+      val blocks = cfg.io.read(spark, s"$dir/blocks")
         .select(PostingBlock.columns.map(col): _*)
         .as[PostingBlock]
       val flat = blocks.flatMap { b =>
@@ -100,23 +102,26 @@ object IndexMerger {
         (0 until b.n).iterator.map(i =>
           (b.termId, ids(i), tfs(i), if (withPos) poss(i) else Array.emptyLongArray))
       }.toDF("termId", "oldDocId", "tf", "pos")
-      val dict = spark.read.parquet(s"$dir/terms").select("termId", "term")
+      val dict = cfg.io.read(spark, s"$dir/terms").select("termId", "term")
       flat
         .join(dict, Seq("termId"))
         .join(idmap.filter(col("src") === src), Seq("oldDocId"))
         .select("term", "docId", "tf", "dl", "pos")
     }
     val tfDir = s"$staging/_tf"
-    sidePostings(dirA, "A").unionByName(sidePostings(dirB, "B"))
-      .write.mode("overwrite").parquet(tfDir)
-    val tfN = spark.read.parquet(tfDir).count()
+    val tfObs = org.apache.spark.sql.Observation()
+    cfg.io.write(
+      sidePostings(dirA, "A").unionByName(sidePostings(dirB, "B"))
+        .observe(tfObs, count(lit(1)).as("n")),
+      tfDir)
+    val tfN = tfObs.get("n").asInstanceOf[Long]
     Json.write(s"$tfDir/_manifest.json",
       StageManifest("tf", tfN, 0L, tfN, lineage, cfg.configHash))
 
     // mark stage 0 complete (there is no doctf — stages 1-2 are prebuilt)
     Json.write(s"$staging/_doctf/_manifest.json",
       StageManifest("doctf", 0L, 0L, 0L, 0L, cfg.configHash))
-    Json.deleteRecursively(s"$staging/_idmap")
+    cfg.io.dropTree(spark, s"$staging/_idmap")
 
     // ---- dictionary + pack + publish via the normal builder (resume path)
     val emptyCorpus = spark.createDataFrame(

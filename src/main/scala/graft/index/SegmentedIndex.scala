@@ -82,7 +82,7 @@ class SegmentedIndex(
       val stream = Files.list(p)
       try stream.forEach { child =>
         val n = child.getFileName.toString
-        if (n.startsWith("seg-") && !live.contains(n)) Json.deleteRecursively(child.toString)
+        if (n.startsWith("seg-") && !live.contains(n)) cfg.io.dropTree(spark, child.toString)
       } finally stream.close() // Files.list holds a directory fd until closed
     }
   }
@@ -117,7 +117,7 @@ class SegmentedIndex(
         // ---- overlap detection: identity columns only, broadcast batch keys
         val batchKeys = batch.select(KeyCols.map(col): _*).distinct()
         val overlapped: Seq[SegmentEntry] = m0.segments.filter { seg =>
-          spark.read.parquet(s"${segmentDir(seg.name)}/docs")
+          cfg.io.read(spark, s"${segmentDir(seg.name)}/docs")
             .select(KeyCols.map(col): _*)
             .join(broadcast(batchKeys), KeyCols, "left_semi")
             .limit(1).count() > 0
@@ -155,7 +155,7 @@ class SegmentedIndex(
         Json.write(manifestPath, newManifest)
         val live = segments.map(_.name).toSet
         (m0.segments.map(_.name).toSet ++ Set(deltaName) -- live)
-          .foreach(n => Json.deleteRecursively(segmentDir(n)))
+          .foreach(n => cfg.io.dropTree(spark, segmentDir(n)))
         cleanup()
     }
   }
@@ -174,7 +174,7 @@ class SegmentedIndex(
     }
     Json.write(manifestPath, SegmentsManifest(segments, nextId, m0.lastBatchId, cfg.configHash))
     (m0.segments.map(_.name).toSet -- segments.map(_.name).toSet)
-      .foreach(n => Json.deleteRecursively(segmentDir(n)))
+      .foreach(n => cfg.io.dropTree(spark, segmentDir(n)))
     cleanup()
   }
 }

@@ -60,7 +60,19 @@ final case class IndexConfig(
     fields: FieldConfig = FieldConfig(),
     /** store per-posting term positions (token-stream indices) — enables
       * `"exact phrase"` queries at the cost of a 4th encoded block column */
-    storePositions: Boolean = false) {
+    storePositions: Boolean = false,
+    /** storage implementation for every index relation — Parquet dirs in
+      * the sandbox, catalog tables (Iceberg-shaped publish) in production.
+      * NOT part of configHash: the logical index bytes are format-
+      * independent; resume compatibility is a layout concern the manifests
+      * already live next to. */
+    io: TableIO = ParquetDirIO,
+    /** broadcast the term dictionary in the termId-encode join when it has
+      * at most this many terms — turning the ONLY term-string shuffle of
+      * the build into a narrow map stage. Beyond it (truly web-scale
+      * dictionaries) the join falls back to sort-merge. Execution strategy,
+      * not index bytes → excluded from configHash. */
+    broadcastDictMaxTerms: Long = 5_000_000L) {
 
   /** Stable fingerprint of everything that affects index bytes; a stage
     * checkpoint from a different config must never be resumed. */

@@ -3,7 +3,7 @@ package graft.search
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.index.{IndexMeta, Json, PostingBlock, SegmentedIndex, SegmentsManifest}
+import graft.index.{IndexMeta, Json, ParquetDirIO, PostingBlock, SegmentedIndex, SegmentsManifest, TableIO}
 
 /** Top-k BM25 over a segmented index ([[graft.index.SegmentedIndex]]):
   * query-time multi-segment WAND/phrase kernels with EXACT global
@@ -38,7 +38,7 @@ import graft.index.{IndexMeta, Json, PostingBlock, SegmentedIndex, SegmentsManif
   * [[searchMany]] batches) run the conjunctive position-verified kernel for
   * their segment plans — every segment must be built with storePositions.
   */
-class MultiSearcher(spark: SparkSession, dir: String) {
+class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO) {
   import spark.implicits._
 
   private val segIndex = new SegmentedIndex(spark, dir)
@@ -59,7 +59,7 @@ class MultiSearcher(spark: SparkSession, dir: String) {
   // ---- segment-tagged unioned relations, built once per searcher
   private def taggedUnion(sub: String, cols: Seq[String]): DataFrame =
     segs.zipWithIndex.map { case ((d, _), i) =>
-      spark.read.parquet(s"$d/$sub").select(cols.map(col): _*).withColumn("seg", lit(i))
+      io.read(spark, s"$d/$sub").select(cols.map(col): _*).withColumn("seg", lit(i))
     }.reduce(_ unionByName _)
 
   private val blocksAll = taggedUnion("blocks", PostingBlock.columns)

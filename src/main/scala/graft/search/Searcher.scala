@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
-import graft.index.{IndexMeta, Json, PostingBlock}
+import graft.index.{IndexMeta, Json, ParquetDirIO, PostingBlock, TableIO}
 
 /** One ranked search hit with document identity (multi-segment results are
   * identity-keyed — per-segment docIds are not globally comparable). */
@@ -36,14 +36,14 @@ final case class ScoredDoc(docId: Long, score: Double)
   * scores are bit-identical to the brute-force oracle, which sums in the
   * same order via `aggregate(array_sort(...))`.
   */
-class Searcher(spark: SparkSession, indexDir: String) {
+class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO) {
   import spark.implicits._
 
   val meta: IndexMeta = Json.read(s"$indexDir/meta.json", classOf[IndexMeta])
   private val p = Bm25Params(meta.k1, meta.b)
 
-  private val termsDf = spark.read.parquet(s"$indexDir/terms")
-  private val blocksDf = spark.read.parquet(s"$indexDir/blocks")
+  private val termsDf = io.read(spark, s"$indexDir/terms")
+  private val blocksDf = io.read(spark, s"$indexDir/blocks")
     .select(PostingBlock.columns.map(col): _*)
 
   /** Driver-side dictionary (term → (termId, df)), populated by [[warm]] —
@@ -265,7 +265,7 @@ class Searcher(spark: SparkSession, indexDir: String) {
     * are the broadcast side — the docs table is the 10^12-row side. */
   def searchWithIdentity(query: String, k: Int): DataFrame = {
     val hits = search(query, k).toSeq.toDF("docId", "score")
-    val docs = spark.read.parquet(s"$indexDir/docs")
+    val docs = io.read(spark, s"$indexDir/docs")
     docs.join(broadcast(hits), Seq("docId"))
       .select("docId", "repo", "path", "commit", "score")
       .orderBy(desc("score"), asc("docId"))
