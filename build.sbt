@@ -28,4 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // pin the initial heap: unpinned, ParallelGC grows 2g→18g through a
+  // train of ergonomic Full GCs (measured multi-second pauses mid-build)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_MIN", "24g")}",
 )

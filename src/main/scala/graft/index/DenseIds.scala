@@ -111,6 +111,54 @@ object DenseIds {
     RangePlan(cols, byPid.map(_._3), offsets, counts)
   }
 
+  /** One-wide-pass id assignment via a precomputed [[RangePlan]] over the
+    * same DataFrame: plan from the key projection (one job: range shuffle
+    * of the keys + per-range count/min collect), then a single
+    * partition→sort→offset pass produces the id'd rows. Two jobs total vs
+    * [[assign]]'s three, and no persist of the sorted intermediate.
+    *
+    * `df` MUST be deterministic across the two reads — persisted/cached
+    * (the builder's term-stats case) or a pure file scan — because the
+    * plan's exact per-range counts assume the assign pass sees the same
+    * row multiset the planning pass did. */
+  def assignPlanned(
+      df: DataFrame,
+      sortCols: Seq[String],
+      idCol: String,
+      numPartitions: Int): WithId = {
+    val p = plan(df.select(sortCols.map(col): _*), sortCols, 4 * numPartitions)
+    val bc = df.sparkSession.sparkContext.broadcast(p)
+    val inSchema = df.schema
+    val keyIdxs = sortCols.map(inSchema.fieldIndex).toArray
+    val schemaPid = inSchema.add("_pid", org.apache.spark.sql.types.IntegerType, nullable = false)
+    val withPid = df.mapPartitions { it =>
+      val keyBuf = new Array[String](keyIdxs.length)
+      it.map { r =>
+        var i = 0
+        while (i < keyIdxs.length) { keyBuf(i) = r.getString(keyIdxs(i)); i += 1 }
+        Row.fromSeq(r.toSeq :+ bc.value.rangeOf(keyBuf))
+      }
+    }(Encoders.row(schemaPid))
+    val pidIdx = schemaPid.fieldIndex("_pid")
+    val outSchema = inSchema.add(idCol, LongType, nullable = false)
+    val out = withPid
+      .repartition(numPartitions, col("_pid"))
+      .sortWithinPartitions((col("_pid") +: sortCols.map(col)): _*)
+      .mapPartitions { it =>
+        val off = bc.value.offsets
+        var curPid = -1
+        var i = 0L
+        it.map { r =>
+          val pid = r.getInt(pidIdx)
+          if (pid != curPid) { curPid = pid; i = 0L }
+          val id = off(pid) + i
+          i += 1
+          Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ id)
+        }
+      }(Encoders.row(outSchema))
+    WithId(out, p.total, () => ())
+  }
+
   def assign(
       df: DataFrame,
       sortCols: Seq[String],

@@ -32,13 +32,16 @@ final case class Posting(termId: Long, docId: Long, tf: Long, dl: Long, pos: Arr
   *  - `content` is scanned and tokenized exactly ONCE (stage 0); everything
   *    after operates on the much smaller (identity, term, tf) projection.
   *    No shuffle ever moves `content`;
-  *  - exactly four wide operations touch the full posting volume, each
+  *  - at most four wide operations touch the full posting volume, each
   *    ONCE: the stage-0 docId range-sort (tokenized rows — the one
   *    content-scale shuffle, traded for eliminating any identity join),
-  *    the term groupBy, the tf↔dictionary termId-encode join (stage 4,
-  *    written bucket-partitioned so the per-bucket pack reads only its own
-  *    slice), and the (termId, shard) pack shuffle. docs and tf are pure
-  *    column-pruned projections of stage 0;
+  *    the term groupBy, the tf↔dictionary termId-encode join, and the
+  *    (termId, shard) pack shuffle. With a broadcastable dictionary (the
+  *    normal case) the encode join is NARROW and fused into the per-bucket
+  *    pack — three wide ops and no encoded-postings materialization; past
+  *    `broadcastDictMaxTerms` it runs once as its own stage, written
+  *    bucket-partitioned so the per-bucket pack reads only its own slice.
+  *    docs and tf are pure column-pruned projections of stage 0;
   *  - stop-term skew cannot overload a task: the pack shuffle hashes on
   *    `(termId, shard)`, so a stop term present in EVERY document still
   *    contributes at most docsPerShard postings per task, spread over as
@@ -133,7 +136,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     // (Field-plan requires live inside the stage: a resume/merge path with
     // prebuilt stages never reads the corpus at all.)
     val doctfDir = s"$staging/_doctf"
-    if (loadIfDone(doctfDir, inputFp).isEmpty) stage("doctf") {
+    val doctfManifest: StageManifest = loadIfDone(doctfDir, inputFp).getOrElse(stage("doctf") {
       import org.apache.spark.sql.types._
       for (c <- cfg.fields.keyword ++ cfg.fields.storedOnly)
         require(corpus.columns.contains(c), s"field-config column '$c' not in corpus schema")
@@ -255,31 +258,39 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
             org.apache.spark.sql.Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ id)
           }
         }(org.apache.spark.sql.Encoders.row(finalSchema))
+      // corpus stats ride the one content-scale write: with sumDl and the
+      // sha256 lineage known here, no later stage waits on the docs
+      // projection (it drops off the critical path entirely)
       val obs = org.apache.spark.sql.Observation()
       assigned
         .select((Seq("docId", "repo", "path", "commit", "lang", "sha256", "dl", "terms") ++
           storedExtra.map(_._1)).map(col): _*)
-        .observe(obs, count(lit(1)).as("n"))
+        .observe(obs, count(lit(1)).as("n"), sum("dl").as("sumDl"),
+          expr("bit_xor(xxhash64(sha256))").as("lineage"))
         .pipe(df => cfg.io.write(df, doctfDir))
       // the plan's offsets are exact only if the content pass saw the same
       // row multiset the planning pass did (deterministic source — file
       // listing changes are already caught by inputFp); verify before any
       // downstream stage can consume a mis-assigned id
-      val seen = obs.get("n").asInstanceOf[Long]
+      val row = obs.get
+      val seen = row("n").asInstanceOf[Long]
       require(seen == idPlan.total,
         s"corpus changed between id planning (${idPlan.total} rows) and the " +
           s"tokenize pass ($seen rows); rebuild with resume = false")
       bcPlan.destroy()
-      Json.write(manifestPath(doctfDir),
-        StageManifest("doctf", 0L, 0L, 0L, inputFp, cfg.configHash))
-    }
+      val m = StageManifest("doctf", seen, 0L, 0L, inputFp, cfg.configHash,
+        sumDl = row("sumDl").asInstanceOf[Long],
+        contentLineage = row("lineage").asInstanceOf[Long])
+      Json.write(manifestPath(doctfDir), m)
+      m
+    })
     kill(0)
 
     // ---- stage 1: docs (identity, sha256 lineage, doc length, dense docId,
     // stored metadata columns) — a narrow projection of stage 0 (the
     // `terms` column is pruned away)
     val docsDir = s"$staging/docs"
-    val docsManifest = loadIfDone(docsDir, 0L).getOrElse(stage("docs") {
+    def docsStage(): StageManifest = loadIfDone(docsDir, 0L).getOrElse(stage("docs") {
       // manifest stats ride the write job as observed metrics — no
       // second read-back pass (sequential-job count is the build's main
       // fixed overhead at small corpora, and a barrier at any size)
@@ -296,10 +307,26 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       Json.write(manifestPath(docsDir), m)
       m
     })
+    // With corpus stats on the stage-0 manifest, the docs projection feeds
+    // NOTHING downstream — run it concurrently with the tf→terms→tfenc→
+    // blocks chain (its job interleaves into otherwise-idle cores; joined
+    // before publish). A doctf manifest from a pre-stats build
+    // (contentLineage == 0) or the kill-switch test path keeps the
+    // sequential order, with stats read from the docs manifest as before.
+    val docsTask: Either[StageManifest, java.util.concurrent.Future[StageManifest]] =
+      if (doctfManifest.contentLineage != 0L && killAfterStage == Int.MaxValue) {
+        val ex = java.util.concurrent.Executors.newSingleThreadExecutor()
+        try Right(ex.submit(() => docsStage())) finally ex.shutdown()
+      } else Left(docsStage())
     kill(1)
-    val numDocs = docsManifest.rows
-    val sumDl = docsManifest.postings // sumDl carried in `postings` slot for the docs stage
-    val lineage = docsManifest.lineage
+    val (numDocs, sumDl, lineage) =
+      if (doctfManifest.contentLineage != 0L)
+        (doctfManifest.rows, doctfManifest.sumDl, doctfManifest.contentLineage)
+      else docsTask match {
+        // sumDl is carried in the docs manifest's `postings` slot
+        case Left(dm) => (dm.rows, dm.postings, dm.lineage)
+        case Right(f) => { val dm = f.get(); (dm.rows, dm.postings, dm.lineage) }
+      }
     val avgdl = sumDl.toDouble / numDocs.toDouble
 
     // ---- stage 2: term frequencies (term, docId, tf, dl) — a flat explode
@@ -330,7 +357,10 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         .groupBy("term")
         .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ided = DenseIds.assign(stats, Seq("term"), "termId", cfg.buildPartitions)
+      // planned assignment: the plan pass materializes `stats` into the
+      // cache and collects range bounds in one job; the write below is then
+      // the only other pass (two jobs for the whole stage, one persist)
+      val ided = DenseIds.assignPlanned(stats, Seq("term"), "termId", cfg.buildPartitions)
       cfg.io.write(ided.df.select("termId", "term", "df", "cf"), termsDir)
       ided.release()
       stats.unpersist()
@@ -344,25 +374,31 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     kill(3)
     val numTerms = termsManifest.terms
 
-    // ---- stage 4: termId-encode the flat postings ONCE, written
-    // partitioned by termId-range bucket. The tf↔dictionary join (the only
-    // term-string shuffle) runs exactly once regardless of buildBuckets —
-    // filtering tfFlat per bucket cannot prune the tf side (termId exists
-    // only after the join), so the old fused per-bucket join re-shuffled
-    // the FULL tf table buildBuckets times. Each pack bucket now reads
-    // only its own `bucket=` partition directory.
+    // ---- stage 4: termId-encode the flat postings, written partitioned by
+    // termId-range bucket — MATERIALIZED ONLY for web-scale dictionaries
+    // past the broadcast threshold. There the tf↔dictionary join is a
+    // term-string shuffle that must run exactly once regardless of
+    // buildBuckets (filtering tf per bucket cannot prune the tf side:
+    // termId exists only after the join; the old fused per-bucket join
+    // re-shuffled the FULL tf table buildBuckets times), so the encoded
+    // result is written once and each pack bucket reads only its own
+    // `bucket=` partition directory.
+    //
+    // With a broadcastable dictionary (the normal case — code corpora fit
+    // millions of terms) the join is a NARROW map, so running it inside
+    // each pack bucket costs only an extra tf scan per bucket while
+    // removing a full posting-volume write+read from the critical path:
+    // each bucket broadcasts its own termId-range dictionary SLICE, and the
+    // inner join doubles as the bucket filter.
     val bucketWidth = math.max(1L, (numTerms + cfg.buildBuckets - 1) / cfg.buildBuckets)
+    val fusedEncode = numTerms <= cfg.broadcastDictMaxTerms
     val tfencDir = s"$staging/_tfenc"
-    if (loadIfDone(tfencDir, lineage, bucketWidth).isEmpty) stage("tfenc") {
-      // a broadcastable dictionary turns the build's only term-string
-      // shuffle into a narrow map stage over tf (no exchange at all —
-      // partitionBy below writes straight from the scan partitions);
-      // web-scale dictionaries past the threshold fall back to sort-merge
+    if (!fusedEncode && loadIfDone(tfencDir, lineage, bucketWidth).isEmpty) stage("tfenc") {
       val termDict = cfg.io.read(spark, termsDir).select("term", "termId")
-      val dictSide =
-        if (numTerms <= cfg.broadcastDictMaxTerms) broadcast(termDict) else termDict
+      // shuffle-hash, not sort-merge: the dictionary slice per partition is
+      // small enough to hash, and neither side pays a sort
       cfg.io.read(spark, tfDir)
-        .join(dictSide, Seq("term"))
+        .join(termDict.hint("shuffle_hash"), Seq("term"))
         .select(col("termId"), col("docId"), col("tf"), col("dl"), col("pos"),
           expr(s"cast(termId div $bucketWidth as int)").as("bucket"))
         .pipe(df => cfg.io.writePartitioned(df, tfencDir, "bucket"))
@@ -388,10 +424,24 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         // across as many groups as there are shards. Blocks never span a
         // shard, so a (termId, shard) group is exactly the packer's unit.
         // a bucket past the term range (numTerms < buildBuckets) has no
-        // partition directory — pack an empty slice
-        val slice = cfg.io.readBucket(spark, tfencDir, b)
-          .map(_.select("termId", "docId", "tf", "dl", "pos"))
-          .getOrElse(spark.emptyDataset[Posting].toDF())
+        // dictionary slice / partition directory — pack an empty slice
+        val slice =
+          if (b * bucketWidth >= numTerms) spark.emptyDataset[Posting].toDF()
+          else if (fusedEncode) {
+            // fused termId-encode: broadcast THIS bucket's dictionary slice
+            // against the flat postings — the inner join is both the encode
+            // and the bucket filter, and the tfenc materialization never
+            // exists
+            val dictSlice = cfg.io.read(spark, termsDir)
+              .select("term", "termId")
+              .filter(col("termId") >= b * bucketWidth &&
+                col("termId") < (b + 1) * bucketWidth)
+            cfg.io.read(spark, tfDir)
+              .join(broadcast(dictSlice), Seq("term"))
+              .select("termId", "docId", "tf", "dl", "pos")
+          } else cfg.io.readBucket(spark, tfencDir, b)
+            .map(_.select("termId", "docId", "tf", "dl", "pos"))
+            .getOrElse(spark.emptyDataset[Posting].toDF())
         val part = slice
           .repartition(cfg.buildPartitions, col("termId"), expr(s"docId div ${cfg.docsPerShard}"))
           .sortWithinPartitions("termId", "docId")
@@ -442,7 +492,10 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         "bucket layout is inconsistent — rebuild with resume = false")
 
     // ---- stage 6: metadata + atomic publish (build-then-publish, the
-    // reference's refresh_interval=-1 → forcemerge → route-off pattern)
+    // reference's refresh_interval=-1 → forcemerge → route-off pattern).
+    // Join the concurrent docs projection first: a publish must never land
+    // without its docs table (f.get() also rethrows a docs-stage failure).
+    docsTask.foreach(_.get())
     val meta = IndexMeta(numDocs, sumDl, numTerms, numPostings, numBlocks,
       Analyzer.Version, cfg.k1, cfg.b, cfg.blockSize, cfg.docsPerShard, lineage, cfg.configHash,
       keywordFields = cfg.fields.keyword, hasPositions = cfg.storePositions)

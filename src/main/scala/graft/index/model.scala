@@ -197,4 +197,11 @@ final case class StageManifest(
     postings: Long,
     lineage: Long,
     configHash: String,
-    bucketWidth: Long = 0L)
+    bucketWidth: Long = 0L,
+    // corpus-level stats observed during the stage-0 write (doctf manifests
+    // only; 0 = written by a pre-stats build, fall back to the docs stage's
+    // own observed values): total token count and the sha256 xor lineage.
+    // With these on the stage-0 manifest the docs projection carries no
+    // value any later stage needs, so it runs OFF the build's critical path.
+    sumDl: Long = 0L,
+    contentLineage: Long = 0L)
