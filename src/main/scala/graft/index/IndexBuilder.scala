@@ -99,6 +99,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       indexDir: String,
       resume: Boolean = true,
       killAfterStage: Int = Int.MaxValue): IndexMeta = {
+    val buildT0 = System.nanoTime()
     def kill(n: Int): Unit =
       if (n >= killAfterStage) throw new IndexBuilder.BuildKilled(n)
     cfg.io.recover(spark, indexDir) // heal a previous publish that died mid-swap
@@ -415,6 +416,20 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     // the kill-switch test mode keeps them sequential so stage boundaries
     // stay deterministic.
     val blocksDir = s"$staging/blocks"
+    // fused mode: ONE driver-side dictionary collect shared by every bucket.
+    // Each bucket's broadcast then materializes from a LocalRelation — no
+    // per-bucket collect job sits on the (serial, cluster-size-independent)
+    // critical path. Size is bounded by broadcastDictMaxTerms, the same
+    // bound the broadcast itself implies.
+    val fusedDict: Array[org.apache.spark.sql.Row] =
+      if (fusedEncode) stage("dict") {
+        cfg.io.read(spark, termsDir).select("term", "termId").collect()
+      } else null
+    val dictSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("termId",
+        org.apache.spark.sql.types.LongType, nullable = false)))
     def packBucket(b: Int): StageManifest = {
       val bDir = f"$blocksDir/bucket=$b%04d"
       loadIfDone(bDir, lineage, bucketWidth).getOrElse(stage(s"blocks/$b") {
@@ -432,10 +447,13 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
             // against the flat postings — the inner join is both the encode
             // and the bucket filter, and the tfenc materialization never
             // exists
-            val dictSlice = cfg.io.read(spark, termsDir)
-              .select("term", "termId")
-              .filter(col("termId") >= b * bucketWidth &&
-                col("termId") < (b + 1) * bucketWidth)
+            val lo = b * bucketWidth
+            val hi = (b + 1) * bucketWidth
+            val sliceRows = fusedDict.filter { r =>
+              val id = r.getLong(1); id >= lo && id < hi
+            }
+            val dictSlice = spark.createDataFrame(
+              java.util.Arrays.asList(sliceRows: _*), dictSchema)
             cfg.io.read(spark, tfDir)
               .join(broadcast(dictSlice), Seq("term"))
               .select("termId", "docId", "tf", "dl", "pos")
@@ -504,6 +522,8 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     cfg.io.dropTree(spark, tfDir)
     cfg.io.dropTree(spark, tfencDir)
     cfg.io.publishIndex(spark, staging, indexDir)
+    if (timing) System.err.println(
+      f"[build-timing] TOTAL        ${(System.nanoTime() - buildT0) / 1e9}%.2fs")
     meta
   }
 

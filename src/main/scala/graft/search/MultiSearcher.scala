@@ -18,10 +18,14 @@ import graft.index.{IndexMeta, Json, ParquetDirIO, PostingBlock, SegmentedIndex,
   * fresh build IS the docId order, so rankings match exactly too.
   *
   * Serving shape (the ES multi-shard fan-out analogue): all segments'
-  * posting blocks are one segment-tagged unioned relation, so a query (or a
-  * whole batch — [[searchMany]]) is ONE Spark action regardless of segment
-  * count: blocks filter → per-(segment, shard) kernel → per-(query, segment)
-  * top-k → ≤k·S-row broadcast identity join. [[warm]] pins the unioned
+  * posting blocks are one segment-tagged unioned relation, so a query batch
+  * is ONE kernel action regardless of segment count — blocks filter →
+  * per-(segment, shard) kernel → per-(query, segment) top-k → collect
+  * (≤ Σk·S rows) — at docId level ([[searchManyIds]]) that one action is the
+  * whole query, the exact work shape of the single-segment
+  * [[Searcher.searchMany]]; [[searchMany]] adds one tiny predicate scan of
+  * the pinned docs relation to resolve the ≤ Σk·S candidate identities
+  * (no broadcast exchange, no per-segment jobs). [[warm]] pins the unioned
   * blocks/docs and collects the per-segment dictionaries to a driver map, so
   * a warm query also skips the dictionary job — matching the single-segment
   * [[Searcher]]'s warm shape. Cold, the dictionary lookup is one more job
@@ -103,9 +107,11 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
   /** Top-k, ordered (score desc, identity asc); identity-keyed results. */
   def search(query: String, k: Int): Array[ScoredHit] = searchMany(Seq(query -> k)).head
 
-  /** Batch search: the whole query set — terms, filters, phrases, mixed —
-    * in one pass. Results identical to calling [[search]] per query. */
-  def searchMany(queries: Seq[(String, Int)]): Seq[Array[ScoredHit]] = {
+  /** Parse + plan a query batch: per-(query, segment) kernel plans with
+    * EXACT global statistics (df summed over segment dictionaries — disjoint
+    * identities). Zero Spark jobs warm, one dictionary job cold. */
+  private def planQueries(
+      queries: Seq[(String, Int)]): (Seq[MultiSearcher.SegPlan], Double) = {
     import MultiSearcher.SegPlan
     val kw = segs.head._2.keywords.toSet
     val parsed = queries.map { case (q, _) => Searcher.parseFull(q, kw) }
@@ -115,7 +121,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
 
     val allTerms = parsed.flatMap(pq =>
       pq.terms.toSeq ++ pq.filters.toSeq ++ pq.phrases.flatten.toSeq).distinct
-    if (allTerms.isEmpty) return queries.map(_ => Array.empty[ScoredHit])
+    if (allTerms.isEmpty) return (Nil, avgdl)
     val dicts = lookup(allTerms)
 
     // exact global df = sum over segment dictionaries (disjoint identities)
@@ -125,7 +131,6 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       case (t, df) if df > 0 => t -> BM25.idf(numDocs, df)
     }
     val gAvgdl = avgdl
-    val params = p
 
     val plans: Seq[SegPlan] = parsed.zip(queries).zipWithIndex.flatMap {
       case ((pq, (_, k)), qi) =>
@@ -153,23 +158,83 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
           }
         }
     }
-    if (plans.isEmpty) return queries.map(_ => Array.empty[ScoredHit])
+    (plans, gAvgdl)
+  }
 
-    val plansBySeg: Map[Int, Seq[SegPlan]] = plans.groupBy(_.seg)
+  /** Batch search: the whole query set — terms, filters, phrases, mixed —
+    * in one pass. Results identical to calling [[search]] per query. */
+  def searchMany(queries: Seq[(String, Int)]): Seq[Array[ScoredHit]] = {
+    val (plans, gAvgdl) = planQueries(queries)
+    if (plans.isEmpty) return queries.map(_ => Array.empty[ScoredHit])
     val kByIdx: Map[Int, Int] = plans.map(pl => pl.qIdx -> pl.k).toMap
 
-    // ---- ONE action: blocks filter → per-(seg, shard) kernels →
-    // per-(query, seg) top-k → broadcast identity join → collect
+    val perSeg = kernelTopK(plans, gAvgdl, p)
+    if (perSeg.isEmpty) return queries.map(_ => Array.empty[ScoredHit])
+
+    // ---- action 2 (tiny): identities for the ≤ Σk·S collected candidates —
+    // a predicate scan of the PINNED docs relation, no broadcast exchange,
+    // no recompute of the kernel plan
+    val bySegIds: Map[Int, Array[Long]] =
+      perSeg.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).distinct }
+    val idPred = bySegIds.map { case (s, ids) =>
+      col("seg") === s && col("docId").isin(ids.map(Long.box): _*)
+    }.reduce(_ || _)
+    val idents: Map[(Int, Long), (String, String, String)] =
+      docsAll.filter(idPred).select("seg", "docId", "repo", "path", "commit").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) ->
+          ((r.getString(2), r.getString(3), r.getString(4)))).toMap
+
+    // driver-side final merge: cross-segment tie-break is document identity,
+    // which in a fresh single build IS the docId order — rank-identical
+    val byQuery = perSeg.groupBy(_._1)
+    queries.indices.map { qi =>
+      byQuery.getOrElse(qi, Array.empty)
+        .map { case (_, s, d, score) =>
+          val (repo, path, commit) = idents((s, d))
+          ScoredHit(repo, path, commit, score)
+        }
+        .sortBy(h => (-h.score, h.repo, h.path, h.commit))
+        .take(kByIdx.getOrElse(qi, 0))
+    }
+  }
+
+  /** docId-level batch search — ONE Spark action regardless of segment
+    * count, the exact work shape of the single-segment
+    * [[Searcher.searchMany]] (no identity resolution). Returns per query the
+    * global top-k as (segment, docId, score), ordered by (score desc,
+    * segment asc, docId asc): inside a segment docId order IS identity
+    * order, but an EXACT score tie across two segments orders by segment
+    * here rather than by identity — use [[searchMany]] where the
+    * identity-resolved ES-style ordering contract matters. */
+  def searchManyIds(queries: Seq[(String, Int)]): Seq[Array[(Int, ScoredDoc)]] = {
+    val (plans, gAvgdl) = planQueries(queries)
+    if (plans.isEmpty) return queries.map(_ => Array.empty[(Int, ScoredDoc)])
+    val kByIdx: Map[Int, Int] = plans.map(pl => pl.qIdx -> pl.k).toMap
+    val byQuery = kernelTopK(plans, gAvgdl, p).groupBy(_._1)
+    queries.indices.map { qi =>
+      byQuery.getOrElse(qi, Array.empty)
+        .sortBy(t => (-t._4, t._2, t._3))
+        .take(kByIdx.getOrElse(qi, 0))
+        .map(t => (t._2, ScoredDoc(t._3, t._4)))
+    }
+  }
+
+  /** One action: blocks filter → per-(seg, shard) kernels → per-(query,
+    * segment) top-k (docId tie-break — identical to identity order inside a
+    * segment) → collect. Output is ≤ k per (query, segment): driver-bounded
+    * by Σk·S, independent of shard count. */
+  private def kernelTopK(plans: Seq[MultiSearcher.SegPlan], gAvgdl: Double,
+      params: Bm25Params): Array[(Int, Int, Long, Double)] = {
+    val plansBySeg: Map[Int, Seq[MultiSearcher.SegPlan]] = plans.groupBy(_.seg)
+    val kByIdx: Map[Int, Int] = plans.map(pl => pl.qIdx -> pl.k).toMap
     val pred = plansBySeg.map { case (s, pls) =>
       val ids = pls.flatMap(_.allTermIds).distinct
       col("seg") === s && col("termId").isin(ids.map(Long.box): _*)
     }.reduce(_ || _)
 
-    val tagged = blocksAll.filter(pred)
+    blocksAll.filter(pred)
       .select(col("seg").as("_1"), struct(PostingBlock.columns.map(col): _*).as("_2"))
       .as[(Int, PostingBlock)]
-
-    val kernelOut = tagged
       .groupByKey { case (s, b) => (s, b.shard) }
       .flatMapGroups { (key, it) =>
         val s = key._1
@@ -186,27 +251,13 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
           hits.map(sd => (pl.qIdx, s, sd.docId, sd.score))
         }
       }
-      // bound rows to ≤ k per (query, segment) before touching identity
       .groupByKey(t => (t._1, t._2))
       .flatMapGroups { (_, it) =>
         val arr = it.toArray
         val k = kByIdx(arr(0)._1)
         arr.sortBy(t => (-t._4, t._3)).take(k).iterator
       }
-      .toDF("qIdx", "seg", "docId", "score")
-
-    val joined = docsAll.join(broadcast(kernelOut), Seq("seg", "docId"))
-      .select("qIdx", "repo", "path", "commit", "score")
       .collect()
-
-    val byQuery = joined.groupBy(_.getInt(0))
-    queries.indices.map { qi =>
-      byQuery.getOrElse(qi, Array.empty)
-        .map(r => ScoredHit(r.getString(1), r.getString(2), r.getString(3), r.getDouble(4)))
-        .sortBy(h => (-h.score, h.repo, h.path, h.commit))
-        .take(kByIdx.getOrElse(qi, 0))
-        .toArray
-    }
   }
 }
 
