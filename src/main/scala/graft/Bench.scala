@@ -124,7 +124,10 @@ object Bench {
   }
 
   /** Child-JVM entry: warm-up build (untimed, JIT/codegen warm), then the
-    * timed build; prints `TPUT <files/sec>` on stdout. */
+    * timed build; prints `TPUT <files/sec>` on stdout. With
+    * GRAFT_BENCH_JOBSTATS=1 also prints a `JOBSTATS` line splitting the
+    * timed wall into job-covered time vs driver gaps, plus summed executor
+    * task time — the serial-fraction vs per-core-contention diagnostic. */
   private def childMain(args: Array[String]): Unit = {
     val Array(_, coresS, corpusPath, warmPath, indexDir, filesS, partsS, dictS, posS) =
       args.take(9)
@@ -135,8 +138,51 @@ object Bench {
       storePositions = posS.toBoolean)
     new IndexBuilder(spark, cfg).build(
       spark.read.parquet(warmPath), s"$indexDir-warm", resume = false)
+
+    val jobStats = sys.env.get("GRAFT_BENCH_JOBSTATS").contains("1")
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+    val taskMs = new java.util.concurrent.atomic.AtomicLong()
+    val gcMs = new java.util.concurrent.atomic.AtomicLong()
+    val shufWriteMs = new java.util.concurrent.atomic.AtomicLong()
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong()
+    val cpuMs = new java.util.concurrent.atomic.AtomicLong()
+    if (jobStats) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(js.jobId, Array(js.time, -1L))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val v = jobs.get(je.jobId); if (v != null) v(1) = je.time
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          taskMs.addAndGet(m.executorRunTime)
+          gcMs.addAndGet(m.jvmGCTime)
+          cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+          shufWriteMs.addAndGet(m.shuffleWriteMetrics.writeTime / 1000000L)
+          shufBytes.addAndGet(
+            m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.totalBytesRead)
+        }
+      })
+
     val corpus = spark.read.parquet(corpusPath)
     val (_, secs) = timed(new IndexBuilder(spark, cfg).build(corpus, indexDir, resume = false))
+    if (jobStats) {
+      import scala.jdk.CollectionConverters._
+      val iv = jobs.values.asScala.toSeq.filter(_(1) > 0).map(a => (a(0), a(1))).sortBy(_._1)
+      // union of job intervals (concurrent bucket jobs overlap)
+      var covered = 0L; var cur = (0L, 0L)
+      iv.foreach { case (s, e) =>
+        if (s > cur._2) { covered += cur._2 - cur._1; cur = (s, e) }
+        else if (e > cur._2) cur = (cur._1, e)
+      }
+      covered += cur._2 - cur._1
+      System.err.println(f"JOBSTATS cores=$cores jobs=${iv.length} wall=$secs%.2fs " +
+        f"jobCovered=${covered / 1e3}%.2fs gap=${secs - covered / 1e3}%.2fs " +
+        f"taskTime=${taskMs.get() / 1e3}%.2fs taskTimePerCore=${taskMs.get() / 1e3 / cores}%.2fs " +
+        f"taskCpu=${cpuMs.get() / 1e3}%.2fs gc=${gcMs.get() / 1e3}%.2fs " +
+        f"shufWrite=${shufWriteMs.get() / 1e3}%.2fs shufBytes=${shufBytes.get() / (1 << 20)}MB")
+    }
     println(s"TPUT ${filesS.toLong.toDouble / secs}")
     spark.stop()
   }
