@@ -351,6 +351,11 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
 
     // ---- stage 3: term dictionary with dense termId (ascending term order)
     val termsDir = s"$staging/terms"
+    // captured when the stage runs fresh AND the dictionary is broadcastable:
+    // the fused-encode dict collect then reads the stage's own persisted
+    // cache instead of re-listing + re-scanning the parquet it just wrote (a
+    // constant-time driver job that Amdahl charges against the core budget)
+    var freshDict: Array[org.apache.spark.sql.Row] = null
     val termsManifest = loadIfDone(termsDir, lineage).getOrElse(stage("terms") {
       // persist the dictionary-scale stats so DenseIds' range-sampling pass
       // reads the cache instead of re-running the posting-scale groupBy
@@ -363,6 +368,8 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       // the only other pass (two jobs for the whole stage, one persist)
       val ided = DenseIds.assignPlanned(stats, Seq("term"), "termId", cfg.buildPartitions)
       cfg.io.write(ided.df.select("termId", "term", "df", "cf"), termsDir)
+      if (ided.total <= cfg.broadcastDictMaxTerms)
+        freshDict = ided.df.select("term", "termId").collect()
       ided.release()
       stats.unpersist()
       // the term count is already on the driver from DenseIds' offsets pass —
@@ -422,14 +429,11 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     // critical path. Size is bounded by broadcastDictMaxTerms, the same
     // bound the broadcast itself implies.
     val fusedDict: Array[org.apache.spark.sql.Row] =
-      if (fusedEncode) stage("dict") {
+      if (!fusedEncode) null
+      else if (freshDict != null) freshDict // collected from the terms stage's cache
+      else stage("dict") { // resume path: the terms stage was skipped
         cfg.io.read(spark, termsDir).select("term", "termId").collect()
-      } else null
-    val dictSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("term",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("termId",
-        org.apache.spark.sql.types.LongType, nullable = false)))
+      }
     def packBucket(b: Int): StageManifest = {
       val bDir = f"$blocksDir/bucket=$b%04d"
       loadIfDone(bDir, lineage, bucketWidth).getOrElse(stage(s"blocks/$b") {
@@ -444,18 +448,28 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
           if (b * bucketWidth >= numTerms) spark.emptyDataset[Posting].toDF()
           else if (fusedEncode) {
             // fused termId-encode: broadcast THIS bucket's dictionary slice
-            // against the flat postings — the inner join is both the encode
-            // and the bucket filter, and the tfenc materialization never
-            // exists
+            // as a plain hash map and encode with a lookup that doubles as
+            // the bucket filter. A broadcast-JOIN here would be driver-serial
+            // three times over (Row→InternalRow LocalRelation conversion, a
+            // BroadcastExchange job, a driver-built HashedRelation — ~1.5 s
+            // of inter-job gap per build, measured); the map broadcast ships
+            // the same bytes with none of those, and the lookup is the same
+            // narrow map the join's probe side would be.
             val lo = b * bucketWidth
             val hi = (b + 1) * bucketWidth
-            val sliceRows = fusedDict.filter { r =>
-              val id = r.getLong(1); id >= lo && id < hi
+            val sliceMap = new java.util.HashMap[String, java.lang.Long]()
+            fusedDict.foreach { r =>
+              val id = r.getLong(1)
+              if (id >= lo && id < hi) sliceMap.put(r.getString(0), id)
             }
-            val dictSlice = spark.createDataFrame(
-              java.util.Arrays.asList(sliceRows: _*), dictSchema)
+            val bcSlice = spark.sparkContext.broadcast(sliceMap)
+            val enc = udf { (t: String) =>
+              val v = bcSlice.value.get(t)
+              if (v eq null) -1L else v.longValue
+            }
             cfg.io.read(spark, tfDir)
-              .join(broadcast(dictSlice), Seq("term"))
+              .withColumn("termId", enc(col("term")))
+              .filter(col("termId") >= 0L)
               .select("termId", "docId", "tf", "dl", "pos")
           } else cfg.io.readBucket(spark, tfencDir, b)
             .map(_.select("termId", "docId", "tf", "dl", "pos"))
