@@ -100,7 +100,7 @@ object Bench {
     * Returns files/sec parsed from the child's `TPUT` line. */
   private def forkBuild(cores: Int, corpusPath: String, warmPath: String,
       indexDir: String, files: Long, buildParts: Int, dictBc: Long,
-      positions: Boolean): Double = {
+      positions: Boolean, repeats: Int = 2): Double = {
     val java = s"${System.getProperty("java.home")}/bin/java"
     val heap = s"${4L * cores}g"
     val cmd = Seq(java,
@@ -116,7 +116,7 @@ object Bench {
       "-cp", System.getProperty("java.class.path"),
       "graft.Bench", "buildChild", cores.toString, corpusPath, warmPath,
       indexDir, files.toString, buildParts.toString, dictBc.toString,
-      positions.toString)
+      positions.toString, repeats.toString)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -134,8 +134,8 @@ object Bench {
     * timed wall into job-covered time vs driver gaps, plus summed executor
     * task time — the serial-fraction vs per-core-contention diagnostic. */
   private def childMain(args: Array[String]): Unit = {
-    val Array(_, coresS, corpusPath, warmPath, indexDir, filesS, partsS, dictS, posS) =
-      args.take(9)
+    val Array(_, coresS, corpusPath, warmPath, indexDir, filesS, partsS, dictS, posS, repS) =
+      args.take(10)
     val cores = coresS.toInt
     val spark = session(cores, shufflePartitions = partsS.toInt)
     // The build pins every partition count and key explicitly
@@ -186,9 +186,10 @@ object Bench {
     // burst inside one ~20-60 s build window collapses that sample; two
     // windows per child make the per-round PAIR robust to a single burst
     // while keeping the N and 4N samples inside the same host window.
-    val secs = Seq(s"$indexDir-a", indexDir).map { dir =>
+    val dirs = if (repS.toInt <= 1) Seq(indexDir) else Seq(s"$indexDir-a", indexDir)
+    val secs = dirs.map { dir =>
       timed(new IndexBuilder(spark, cfg).build(corpus, dir, resume = false))._2
-    }.min // the second build lands on the plain path phase C serves from
+    }.min // the last build lands on the plain path phase C serves from
     if (jobStats) {
       import scala.jdk.CollectionConverters._
       val iv = jobs.values.asScala.toSeq.filter(_(1) > 0).map(a => (a(0), a(1))).sortBy(_._1)
@@ -384,12 +385,15 @@ object Bench {
     // (phrase-query support) at the large core count — reported as its own
     // throughput so the overhead is visible vs best(n4Cores)
     val posTput = forkBuild(n4Cores, corpusPath, warmPath, s"$benchDir/index-pos",
-      benchFiles, buildParts, cfg.broadcastDictMaxTerms, positions = true)
+      benchFiles, buildParts, cfg.broadcastDictMaxTerms, positions = true,
+      repeats = 1) // informational overhead number — one timed build is enough
 
     // ---- phase C: query latency over the frozen query set (last-built
     // index, blocks pinned in memory — the served-index configuration)
     val searcher = new Searcher(spark, s"$benchDir/index-${scaleCores.last}").warm()
-    BenchQueries.foreach(q => searcher.search(q, 10)) // warm-up
+    // two warm passes: the first compiles codegen + loads blocks, the second
+    // settles JIT tiers so the measured passes sample steady-state latency
+    (1 to 2).foreach(_ => BenchQueries.foreach(q => searcher.search(q, 10)))
     val lat = for (_ <- 1 to 5; q <- BenchQueries)
       yield timed(searcher.search(q, 10))._2 * 1000.0
     // batched serving shape: whole query set in one distributed pass
