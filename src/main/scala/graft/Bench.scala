@@ -240,6 +240,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("buildChild")) return childMain(args)
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "36000").toLong
@@ -354,17 +356,47 @@ object Bench {
     }
     val (nCores, n4Cores) = (scaleCores.head, scaleCores.last)
     val ratio = n4Cores.toDouble / nCores
+    // Wall-clock budget for the WHOLE bench main: the driver runs this as
+    // one process and an over-long run risks being cut off with no JSON
+    // line at all. Phase B is the elastic part — rounds stop early when
+    // (a) the gate is already met by ≥2 interleaved pairs' max (the
+    // headline is a max over pairs, so extra rounds can only raise it —
+    // stopping never overstates the result), or (b) the next round would
+    // not fit inside the budget minus a reserve for phases C/C2
+    // (positions build + query-latency passes, ~6-7 min measured).
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1500").toDouble
+    val gateTarget = sys.env.getOrElse("SPARK_GRAFT_SCALE_GATE", "0.8").toDouble
+    val phaseCReserveSec = 420.0
     // Per round, each build sample is immediately preceded by a membw probe
     // at the same thread count, so the pair's membw efficiency is measured
     // in the same host windows as the pair's build efficiency.
-    val roundsData: Seq[(Double, Double, Double, Double, Double)] = (1 to rounds).map { _ =>
+    val roundsBuf = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Double, Double, Double, Double)]
+    var lastRoundSec = 0.0
+    var r = 0
+    var stopRounds = false
+    while (r < rounds && !stopRounds) {
+      val r0 = elapsedSec
       val probeEff = cpuProbe(n4Cores) / (ratio * cpuProbe(nCores))
       val bwN = membwProbe(nCores)
       val tN = buildAt(nCores)
       val bw4 = membwProbe(n4Cores)
       val t4 = buildAt(n4Cores)
-      (tN, t4, probeEff, bwN, bw4)
+      roundsBuf += ((tN, t4, probeEff, bwN, bw4))
+      lastRoundSec = elapsedSec - r0
+      r += 1
+      val gateMet = roundsBuf.exists { case (a, b, _, _, _) => b / (ratio * a) >= gateTarget }
+      if (r >= 2 && gateMet) {
+        System.err.println(f"BENCH phase B: gate met after $r rounds, stopping early " +
+          f"(elapsed ${elapsedSec}%.0fs)")
+        stopRounds = true
+      } else if (r >= 1 && elapsedSec + lastRoundSec > deadlineSec - phaseCReserveSec) {
+        System.err.println(f"BENCH phase B: budget reached after $r rounds " +
+          f"(elapsed ${elapsedSec}%.0fs, round ${lastRoundSec}%.0fs, deadline ${deadlineSec}%.0fs)")
+        stopRounds = true
+      }
     }
+    val roundsData: Seq[(Double, Double, Double, Double, Double)] = roundsBuf.toSeq
     val samples: Seq[(Int, Double)] =
       roundsData.flatMap { case (tN, t4, _, _, _) => Seq(nCores -> tN, n4Cores -> t4) }
     val tputN = roundsData.map(_._1).max
@@ -440,6 +472,7 @@ object Bench {
     val engine =
       s"""{"build_files_per_sec_c$nCores":${r2(tputN)},"build_files_per_sec_c$n4Cores":${r2(tput4N)},""" +
       s""""scaling_efficiency":${r2(efficiency)},"build_files":$benchFiles,""" +
+      s""""scaling_rounds_run":${roundsData.length},""" +
       s""""scaling_efficiency_median":${r2(median(pairEff))},""" +
       s""""scaling_pair_efficiencies":$pairJson,""" +
       s""""host_probe_pair_efficiencies":$probeJson,""" +

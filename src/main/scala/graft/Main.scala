@@ -18,6 +18,8 @@ import graft.streaming.StreamingIndexer
   *   ingest <corpusPath> <indexDir> <checkpointDir> [--format ...]
   *          (AvailableNow streaming pass over new files → segmented index)
   *   merge  <dirA> <dirB> <outDir>
+  *   delete <indexDir> <keysPath>   (parquet/csv of repo,path,commit —
+  *          physical purge; segmented indexes rewrite only owning segments)
   *
   * The reference's CLI analogue is the Luigi task surface
   * (`luigi_pipeline/seqr_loading.py:318-321`).
@@ -106,6 +108,24 @@ object Main {
       val Seq(a, b, out) = args.slice(1, 4)
       val meta = IndexMerger.merge(spark, a, b, out, cfgFrom(args.drop(4)))
       println(s"merged → $out: docs=${meta.numDocs} postings=${meta.numPostings}")
+
+    case "delete" =>
+      val Seq(indexDir, keysPath) = args.slice(1, 3)
+      val cfg = cfgFrom(args.drop(3))
+      val keys = (if (keysPath.endsWith(".csv"))
+        spark.read.option("header", "true").csv(keysPath)
+      else spark.read.parquet(keysPath))
+        .select("repo", "path", "commit")
+      if (graft.index.Json.exists(s"$indexDir/segments.json")) {
+        new SegmentedIndex(spark, indexDir, cfg).delete(keys)
+        val m = new SegmentedIndex(spark, indexDir, cfg).manifest.get
+        println(s"deleted → ${m.segments.length} segments, " +
+          s"${m.segments.map(_.numDocs).sum} docs remain")
+      } else {
+        val changed = graft.index.IndexMaintenance.deleteDocs(spark, indexDir, keys, cfg)
+        val m = graft.index.Json.read(s"$indexDir/meta.json", classOf[graft.index.IndexMeta])
+        println(s"deleted (changed=$changed) → docs=${m.numDocs} postings=${m.numPostings}")
+      }
 
     case other =>
       System.err.println(s"unknown command: $other"); sys.exit(2)

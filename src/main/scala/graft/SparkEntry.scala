@@ -817,6 +817,52 @@ object SparkEntry {
         .select(col("docId"), col("path").cast("bigint").as("doc_id"))
         .join(broadcast(hits), Seq("docId"))
         .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // negated term (`-merge`, ES must_not): docs containing the excluded
+    // term are rejected from candidacy; N/avgdl/df stay index-wide, so the
+    // surviving docs' scores are unchanged. Shares fts3's cached index.
+    "fts7_negation" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).search("spark query -merge", 50).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // prefix pattern (`s*`, ES prefix query with the scoring_boolean
+    // rewrite): every dictionary term matching the stem becomes an ordinary
+    // scored term with its own idf. Shares fts3's cached index.
+    "fts8_prefix" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).search("s* merge", 50).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
     })
   )
 
@@ -1171,6 +1217,42 @@ object SparkEntry {
            |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
            |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
            |WHERE pok
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // must_not gate: docs containing 'merge' are rejected AFTER stats —
+      // df/idf in dfc are computed corpus-wide exactly like the engine's
+      // dictionary df, so surviving docs keep their unnegated scores
+      "fts7_negation" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk,
+           |        list_contains(tk, 'merge') AS ex FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, ex, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, ex, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('spark','query') GROUP BY 1,2,3,4),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |WHERE NOT ex
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // prefix expansion: every corpus term LIKE 's%' is scored with its
+      // own per-term df — identical to the engine's dictionary expansion
+      // (scoring_boolean rewrite), plus the literal term 'merge'
+      "fts8_prefix" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term LIKE 's%' OR term = 'merge' GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
            |GROUP BY doc_id
            |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
       "fts2_term_dict" ->

@@ -57,6 +57,31 @@ object IndexMaintenance {
     io.replace(spark, tmp, docsDir) // old docs survive a mid-swap crash
   }
 
+  /** Delete documents by identity from a published single index, IN PLACE
+    * (build-then-publish: the old index stays live until the atomic swap).
+    * Physical-purge semantics — see [[IndexMerger.purge]]: the result is
+    * logically identical to a fresh build over the surviving corpus.
+    * Returns false (no-op) when no key matches an indexed document; refuses
+    * to delete every document (drop the index directory instead — an empty
+    * index has no meaningful stats to serve). */
+  def deleteDocs(
+      spark: SparkSession,
+      indexDir: String,
+      keys: DataFrame,
+      cfg: IndexConfig = IndexConfig()): Boolean = {
+    val keyRows = keys.select(KeyCols.map(col): _*).distinct()
+    val hit = cfg.io.read(spark, s"$indexDir/docs")
+      .select(KeyCols.map(col): _*)
+      .join(broadcast(keyRows), KeyCols, "left_semi")
+      .limit(1).count() > 0
+    if (!hit) return false
+    IndexMerger.purge(spark, indexDir, keyRows, indexDir, cfg) match {
+      case Some(_) => true
+      case None => throw new IllegalStateException(
+        s"delete would remove every document of $indexDir — drop the index directory instead")
+    }
+  }
+
   /** [[updateDocFields]] over a segmented index: only segments that
     * actually contain updated identities are touched (broadcast semi-probe
     * of the identity columns — metadata-scale), and each is patched

@@ -129,4 +129,101 @@ object IndexMerger {
       graft.sources.CorpusIO.CorpusSchema)
     new IndexBuilder(spark, cfg).build(emptyCorpus, outDir, resume = true)
   }
+
+  /** Delete-by-identity via PHYSICAL purge: rebuild the index from its own
+    * postings WITHOUT the deleted documents and WITHOUT touching `content`
+    * (no re-tokenization — the same no-content contract as [[merge]]).
+    *
+    * This is the engine analogue of ES `delete_by_query`/`delete`
+    * (`hail_elasticsearch_client.py` routes deletes through index replace;
+    * Lucene masks deleted docs with tombstones and defers the physical drop
+    * to segment merge, accepting df/avgdl drift until then). The correctness
+    * gate here is bit-identity, so a delete pays the segment rewrite up
+    * front and the result is logically identical to a fresh build over the
+    * surviving corpus: fresh dense docIds (identity sort), recomputed
+    * dictionary/df/N/avgdl, tight block-max bounds — no stat drift, ever.
+    *
+    * Returns None when no document survives (the caller drops the segment);
+    * staging is cleaned up in that case. */
+  def purge(
+      spark: SparkSession,
+      dir: String,
+      deleteKeys: DataFrame,
+      outDir: String,
+      cfg: IndexConfig = IndexConfig()): Option[IndexMeta] = {
+    import spark.implicits._
+
+    val m = Json.read(s"$dir/meta.json", classOf[IndexMeta])
+    require(m.configHash == cfg.configHash,
+      s"index $dir was built with configHash ${m.configHash}, purge cfg is ${cfg.configHash}")
+    require(m.analyzer == graft.analysis.Analyzer.Version,
+      s"index $dir was built with analyzer ${m.analyzer}, current is ${graft.analysis.Analyzer.Version}")
+
+    val staging = outDir + ".staging"
+    cfg.io.dropTree(spark, staging)
+
+    val docs = cfg.io.read(spark, s"$dir/docs")
+    val keys = deleteKeys.select(KeyCols.map(col): _*).distinct()
+    val keep = docs
+      .join(broadcast(keys), KeyCols, "left_anti")
+      .withColumnRenamed("docId", "oldDocId")
+    val ided = DenseIds.assign(keep, KeyCols, "docId", cfg.buildPartitions)
+    if (ided.total == 0L) { // every document deleted — nothing to rebuild
+      ided.release()
+      cfg.io.dropTree(spark, staging)
+      return None
+    }
+    val docCols = docs.columns.toSeq
+    val docsDir = s"$staging/docs"
+    val docsObs = org.apache.spark.sql.Observation()
+    cfg.io.write(
+      ided.df
+        .select(docCols.map(col): _*)
+        .observe(docsObs, count(lit(1)).as("n"), sum("dl").as("sumDl"),
+          expr("bit_xor(xxhash64(sha256))").as("lineage")),
+      docsDir)
+    cfg.io.write(ided.df.select("oldDocId", "docId", "dl"), s"$staging/_idmap")
+    ided.release()
+    val row = docsObs.get
+    val lineage = row("lineage").asInstanceOf[Long]
+    Json.write(s"$docsDir/_manifest.json",
+      StageManifest("docs", row("n").asInstanceOf[Long], 0L,
+        row("sumDl").asInstanceOf[Long], lineage, cfg.configHash))
+
+    // ---- surviving flat postings: decode blocks → drop deleted docIds via
+    // the idmap inner join → re-key to the fresh dense ids
+    val idmap = cfg.io.read(spark, s"$staging/_idmap")
+    val withPos = cfg.storePositions
+    val blocks = cfg.io.read(spark, s"$dir/blocks")
+      .select(PostingBlock.columns.map(col): _*)
+      .as[PostingBlock]
+    val flat = blocks.flatMap { b =>
+      val ids = b.docIds; val tfs = b.tfValues
+      val poss = if (withPos) b.positions else null
+      (0 until b.n).iterator.map(i =>
+        (b.termId, ids(i), tfs(i), if (withPos) poss(i) else Array.emptyLongArray))
+    }.toDF("termId", "oldDocId", "tf", "pos")
+    val dict = cfg.io.read(spark, s"$dir/terms").select("termId", "term")
+    val tfDir = s"$staging/_tf"
+    val tfObs = org.apache.spark.sql.Observation()
+    cfg.io.write(
+      flat
+        .join(dict, Seq("termId"))
+        .join(idmap, Seq("oldDocId"))
+        .select("term", "docId", "tf", "dl", "pos")
+        .observe(tfObs, count(lit(1)).as("n")),
+      tfDir)
+    val tfN = tfObs.get("n").asInstanceOf[Long]
+    Json.write(s"$tfDir/_manifest.json",
+      StageManifest("tf", tfN, 0L, tfN, lineage, cfg.configHash))
+
+    Json.write(s"$staging/_doctf/_manifest.json",
+      StageManifest("doctf", 0L, 0L, 0L, 0L, cfg.configHash))
+    cfg.io.dropTree(spark, s"$staging/_idmap")
+
+    val emptyCorpus = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.sources.CorpusIO.CorpusSchema)
+    Some(new IndexBuilder(spark, cfg).build(emptyCorpus, outDir, resume = true))
+  }
 }

@@ -160,6 +160,52 @@ class SegmentedIndex(
     }
   }
 
+  /** Delete documents by identity across segments. Only segments that
+    * actually contain a deleted identity are rewritten (detected by the
+    * same metadata-scale broadcast semi-probe as ingest overlap); every
+    * other segment stays byte-untouched. Rewrites are physical purges
+    * ([[IndexMerger.purge]]): fresh dense ids, recomputed dictionary and
+    * stats — so with disjoint segments the whole index stays bit-identical
+    * to a fresh single build over the surviving corpus (no tombstones, no
+    * df/avgdl drift — the ES/Lucene model masks deletes and accepts drift
+    * until merge; the correctness gate here forbids that). A segment whose
+    * every document is deleted is dropped from the manifest.
+    *
+    * Crash-safe like ingest: purged segments are fully built under new
+    * names BEFORE the atomic manifest swap; replaced dirs are deleted
+    * after, and [[cleanup]] re-collects leftovers. */
+  def delete(keys: DataFrame): Unit = manifest.foreach { m0 =>
+    require(m0.configHash == cfg.configHash,
+      s"segmented index at $dir has configHash ${m0.configHash}, delete cfg is ${cfg.configHash}")
+    cleanup()
+    val keyRows = keys.select(KeyCols.map(col): _*).distinct()
+    var nextId = m0.nextId
+    var segments = m0.segments
+    var touched = Set.empty[String]
+    for (e <- m0.segments) {
+      val d = segmentDir(e.name)
+      val hit = cfg.io.read(spark, s"$d/docs")
+        .select(KeyCols.map(col): _*)
+        .join(broadcast(keyRows), KeyCols, "left_semi")
+        .limit(1).count() > 0
+      if (hit) {
+        val out = s"seg-$nextId"; nextId += 1
+        IndexMerger.purge(spark, d, keyRows, segmentDir(out), cfg) match {
+          case Some(_) =>
+            segments = segments.map(s => if (s.name == e.name) entryFor(out) else s)
+          case None => // the whole segment was deleted
+            segments = segments.filterNot(_.name == e.name)
+        }
+        touched += e.name
+      }
+    }
+    if (touched.nonEmpty) {
+      Json.write(manifestPath, SegmentsManifest(segments, nextId, m0.lastBatchId, cfg.configHash))
+      touched.foreach(n => cfg.io.dropTree(spark, segmentDir(n)))
+      cleanup()
+    }
+  }
+
   /** Force-merge everything into one segment (the reference's forcemerge,
     * `hail_elasticsearch_client.py:213`) — restores tight block-max bounds
     * and single-segment query shape. */

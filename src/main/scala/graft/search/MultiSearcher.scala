@@ -104,6 +104,25 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       maps.map(_.result())
     }
 
+  /** Dictionary terms matching each prefix across ALL segments (a term may
+    * exist in only some segments) — the segmented analogue of
+    * [[Searcher.expandPrefixMap]]. Warm: driver map scans; cold: one job
+    * over the unioned terms relation. */
+  private def expandPrefixMap(
+      prefixes: Seq[String], maxExpansions: Int = 1024): Map[String, Array[String]] =
+    if (prefixes.isEmpty) Map.empty
+    else {
+      val matches: Array[String] =
+        if (dictMaps != null)
+          dictMaps.iterator.flatMap(_.keysIterator)
+            .filter(t => prefixes.exists(t.startsWith)).toArray.distinct
+        else
+          termsAll.filter(prefixes.map(pf => col("term").startsWith(pf)).reduce(_ || _))
+            .select("term").distinct().as[String].collect()
+      val sorted = matches.sorted
+      prefixes.map(pf => pf -> sorted.filter(_.startsWith(pf)).take(maxExpansions)).toMap
+    }
+
   /** Top-k, ordered (score desc, identity asc); identity-keyed results. */
   def search(query: String, k: Int): Array[ScoredHit] = searchMany(Seq(query -> k)).head
 
@@ -119,8 +138,12 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       throw new IllegalStateException(
         "phrase query but a segment was built without positions (storePositions=false)")
 
+    val prefixMap = expandPrefixMap(parsed.flatMap(_.prefixes.toSeq).distinct)
+    def effTerms(pq: Searcher.ParsedQuery): Array[String] =
+      (pq.terms ++ pq.prefixes.flatMap(prefixMap.apply)).distinct
     val allTerms = parsed.flatMap(pq =>
-      pq.terms.toSeq ++ pq.filters.toSeq ++ pq.phrases.flatten.toSeq).distinct
+      effTerms(pq).toSeq ++ pq.filters.toSeq ++ pq.phrases.flatten.toSeq ++
+        pq.excluded.toSeq).distinct
     if (allTerms.isEmpty) return (Nil, avgdl)
     val dicts = lookup(allTerms)
 
@@ -146,15 +169,18 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
           else {
             val phraseIdf: Map[Long, Double] =
               phraseTerms.map(t => dict(t)._1 -> idfByTerm(t)).toMap
-            val loose: Map[Long, Double] = pq.terms.distinct
+            val loose: Map[Long, Double] = effTerms(pq)
               .flatMap(t => dict.get(t).map(st => (st._1, t)))
               .collect { case (tid, t) if !phraseIdf.contains(tid) && idfByTerm.contains(t) =>
                 tid -> idfByTerm(t)
               }.toMap
+            // ES must_not: segment-local ids of the excluded terms — a term
+            // absent from THIS segment excludes nothing here
+            val excl: Set[Long] = pq.excluded.flatMap(t => dict.get(t).map(_._1)).toSet
             if (phraseIdf.isEmpty && loose.isEmpty) Nil
             else Seq(SegPlan(qi, s, loose, filterIds.toSet, k,
               pq.phrases.map(ph => ph.map(t => dict(t)._1).toSeq).toSeq, phraseIdf,
-              exactBounds = segs(s)._2.avgdl == gAvgdl))
+              exactBounds = segs(s)._2.avgdl == gAvgdl, excludeIds = excl))
           }
         }
     }
@@ -240,14 +266,13 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
         val s = key._1
         val arr = it.map(_._2).toArray
         plansBySeg(s).iterator.flatMap { pl =>
-          val subset = arr.iterator.filter(b =>
-            pl.idfById.contains(b.termId) || pl.phraseIdfById.contains(b.termId) ||
-              pl.filterIds.contains(b.termId))
+          val subset = arr.iterator.filter(b => pl.wantsBlock(b.termId))
           val hits =
             if (pl.phraseIdSeqs.nonEmpty)
               Phrase.topK(subset, pl.phraseIdSeqs.map(_.toArray).toArray, pl.phraseIdfById,
-                pl.idfById, pl.filterIds, gAvgdl, params, pl.k)
-            else Wand.topK(subset, pl.idfById, pl.filterIds, gAvgdl, params, pl.k, pl.exactBounds)
+                pl.idfById, pl.filterIds, gAvgdl, params, pl.k, pl.excludeIds)
+            else Wand.topK(subset, pl.idfById, pl.filterIds, gAvgdl, params, pl.k,
+              pl.exactBounds, pl.excludeIds)
           hits.map(sd => (pl.qIdx, s, sd.docId, sd.score))
         }
       }
@@ -272,7 +297,12 @@ object MultiSearcher {
       k: Int,
       phraseIdSeqs: Seq[Seq[Long]],
       phraseIdfById: Map[Long, Double],
-      exactBounds: Boolean) {
-    def allTermIds: Iterable[Long] = idfById.keys ++ phraseIdfById.keys ++ filterIds
+      exactBounds: Boolean,
+      excludeIds: Set[Long] = Set.empty) {
+    def allTermIds: Iterable[Long] =
+      idfById.keys ++ phraseIdfById.keys ++ filterIds ++ excludeIds
+    def wantsBlock(termId: Long): Boolean =
+      idfById.contains(termId) || phraseIdfById.contains(termId) ||
+        filterIds.contains(termId) || excludeIds.contains(termId)
   }
 }

@@ -41,29 +41,26 @@ object Oracle {
         * the engine's set when the index was built with a custom FieldConfig
         * so `col:value` tokens split filter-vs-content identically. */
       keywordFields: Option[Set[String]] = None): DataFrame = {
-    // `"quoted spans"` are exact-phrase requirements, matched over the same
-    // analyzed token stream the engine stores positions for: the ORDERED
-    // token sequence of the quoted text must appear at consecutive stream
-    // indices. Phrase docs are gated like keyword filters (candidates, not
-    // stats); scoring is the ordinary BM25 sum over the phrase's distinct
-    // terms — the engine's documented phrase semantic.
-    val phraseSeqs: Seq[Seq[String]] = Searcher.PhrasePattern.findAllMatchIn(query)
-      .map(m => Analyzer.tokenize(m.group(1)).toSeq).filter(_.nonEmpty).toSeq
-    val rest = Searcher.PhrasePattern.replaceAllIn(query, " ")
-    val parts = rest.trim.split("\\s+").filter(_.nonEmpty)
-    // a `col:value` token is a keyword filter iff its prefix is one of the
-    // index's keyword fields — by default the schema-derived rule
-    // (FieldConfig.derive: string non-content columns), overridable with the
-    // engine's configured set so oracle and engine split identically
+    // The full query grammar is parsed by the ENGINE's parser (shared on
+    // purpose — the split rules cannot diverge): `"quoted spans"` are
+    // exact-phrase requirements matched over the same analyzed token stream
+    // the engine stores positions for (the ORDERED token sequence must
+    // appear at consecutive stream indices; phrase docs are gated like
+    // keyword filters — candidates, not stats — and scored by the ordinary
+    // BM25 sum over the phrase's distinct terms); `-token` excludes every
+    // document containing any of the token's analyzed terms (ES must_not —
+    // candidates only, stats index-wide); `stem*` scores every corpus term
+    // matching the stem with its own idf (ES prefix, scoring_boolean
+    // rewrite; the oracle is uncapped — keep test vocabularies under the
+    // engine's maxExpansions).
     val kwFields: Set[String] = keywordFields.getOrElse(
       graft.index.FieldConfig.derive(corpus.schema).keyword.toSet)
-    val (filterToks, contentToks) = parts.partition { t =>
-      val i = t.indexOf(':')
-      i > 0 && kwFields.contains(t.substring(0, i))
-    }
-    val qTerms =
-      (Analyzer.queryTerms(contentToks.mkString(" ")) ++ phraseSeqs.flatten).distinct.sorted.toSeq
-    val filterPred: Column = filterToks.distinct.map { f =>
+    val pq = Searcher.parseFull(query, kwFields)
+    val phraseSeqs: Seq[Seq[String]] = pq.phrases.map(_.toSeq).toSeq
+    val qTerms = (pq.terms ++ phraseSeqs.flatten).distinct.sorted.toSeq
+    val prefixes = pq.prefixes.toSeq
+    val excluded = pq.excluded.toSeq
+    val filterPred: Column = pq.filters.toSeq.map { f =>
       val Array(field, value) = f.split(":", 2)
       col(field) === value
     }.foldLeft(lit(true))(_ && _)
@@ -78,19 +75,30 @@ object Oracle {
           }.reduce(_ && _)))
         .otherwise(lit(false))
     }.foldLeft(lit(true))(_ && _)
+    // ES must_not gate: true iff the doc contains ANY excluded term
+    val exHit: Column =
+      if (excluded.isEmpty) lit(false)
+      else exists(col("toks"), t => t.isin(excluded: _*))
     val docTok = corpus
       .select(metaCols.map(col) :+ Analyzer.analyze(col("content")).as("toks"): _*)
       .select(metaCols.map(col) :+ size(col("toks")).cast("long").as("dl") :+ col("toks"): _*)
-      .withColumn("_pok", phraseOk)
+      .withColumn("_pok", phraseOk && !exHit)
       .persist()
     try {
       val statsRow = docTok.agg(count("*").as("n"), sum("dl").as("sumDl")).head()
       val n = statsRow.getAs[Long]("n")
       val avgdl = statsRow.getAs[Long]("sumDl").toDouble / n.toDouble
 
+      // scored-term predicate: the literal terms plus every corpus term
+      // matching a prefix pattern (the engine's dictionary expansion and a
+      // corpus term scan see the same term set by construction)
+      val termPred: Column = (
+        (if (qTerms.isEmpty) Seq.empty[Column] else Seq(col("term").isin(qTerms: _*))) ++
+          prefixes.map(pf => col("term").startsWith(pf))
+        ).reduceOption(_ || _).getOrElse(lit(false))
       val tfq = docTok
         .select(metaCols.map(col) :+ col("_pok") :+ col("dl") :+ explode(col("toks")).as("term"): _*)
-        .filter(if (qTerms.isEmpty) lit(false) else col("term").isin(qTerms: _*))
+        .filter(termPred)
         .groupBy((metaCols :+ "_pok" :+ "dl" :+ "term").map(col): _*)
         .agg(count(lit(1)).as("tf"))
 

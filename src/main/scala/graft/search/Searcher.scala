@@ -79,6 +79,27 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .collect()
       .sortBy(_._1)
 
+  /** Dictionary terms matching each prefix (ES `prefix` query with the
+    * `scoring_boolean` rewrite: every match becomes an ordinary scored term
+    * with its own idf). Deterministic cap: the lexicographically smallest
+    * `maxExpansions` matches per prefix — ES's `index_prefixes`-less rewrite
+    * cap analogue. Warm: a driver map scan; cold: ONE Spark job over the
+    * terms relation for the whole prefix set. */
+  def expandPrefixMap(
+      prefixes: Seq[String], maxExpansions: Int = 1024): Map[String, Array[String]] =
+    if (prefixes.isEmpty) Map.empty
+    else {
+      val matches: Array[String] =
+        if (dictMap != null)
+          dictMap.keysIterator.filter(t => prefixes.exists(t.startsWith)).toArray
+        else
+          termsDf
+            .filter(prefixes.map(pf => col("term").startsWith(pf)).reduce(_ || _))
+            .select("term").as[String].collect()
+      val sorted = matches.sorted
+      prefixes.map(pf => pf -> sorted.filter(_.startsWith(pf)).take(maxExpansions)).toMap
+    }
+
   /** term → (termId, df) for each query term present in the dictionary. */
   def lookupTermStats(terms: Seq[String]): Map[String, (Long, Long)] =
     if (terms.isEmpty) Map.empty
@@ -107,9 +128,13 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * must-phrase + should-term query). */
   def search(query: String, k: Int): Array[ScoredDoc] = {
     val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val expanded = pq.prefixes.flatMap(expandPrefixMap(pq.prefixes.toSeq).apply)
+    // ES must_not: excluded terms reject candidates, never affect stats; a
+    // term absent from the dictionary excludes nothing
+    val excludeIds: Set[Long] = lookupTerms(pq.excluded.toSeq).map(_._1).toSet
     if (pq.phrases.nonEmpty)
-      return searchPhrases(pq.phrases, pq.terms, pq.filters, k)
-    val qTerms = pq.terms
+      return searchPhrases(pq.phrases, (pq.terms ++ expanded).distinct, pq.filters, k, excludeIds)
+    val qTerms = (pq.terms ++ expanded).distinct
     val qFilters = pq.filters
     val stats = lookupTerms(qTerms.toSeq)
     if (stats.isEmpty) return Array.empty
@@ -121,7 +146,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     val idfById: Map[Long, Double] =
       stats.map { case (tid, df) => tid -> BM25.idf(n, df) }.toMap
     val filterIds: Set[Long] = filterStats.map(_._1).toSet
-    val termIds = stats.map(_._1) ++ filterIds
+    val termIds = stats.map(_._1) ++ filterIds ++ excludeIds
     val params = p
 
     val perShard = blocksDf
@@ -129,7 +154,8 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .as[PostingBlock]
       .groupByKey(_.shard)
       .flatMapGroups { (_, blocks) =>
-        Wand.topK(blocks, idfById, filterIds, avgdl, params, k)
+        Wand.topK(blocks, idfById, filterIds, avgdl, params, k,
+          excludeTermIds = excludeIds)
       }
 
     perShard
@@ -147,7 +173,8 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       phrases: Array[Array[String]],
       looseTerms: Array[String],
       qFilters: Array[String],
-      k: Int): Array[ScoredDoc] = {
+      k: Int,
+      excludeIds: Set[Long] = Set.empty): Array[ScoredDoc] = {
     if (!meta.hasPositions)
       throw new IllegalStateException(
         "phrase query on an index built without positions (IndexConfig.storePositions=false)")
@@ -169,7 +196,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .toMap
     val filterIds: Set[Long] = filterStats.map(_._1).toSet
     val phraseIdSeqs: Array[Array[Long]] = phrases.map(_.map(t => stats(t)._1))
-    val termIds = idfById.keys.toArray ++ optIdfById.keys ++ filterIds
+    val termIds = idfById.keys.toArray ++ optIdfById.keys ++ filterIds ++ excludeIds
     val params = p
 
     val perShard = blocksDf
@@ -177,7 +204,8 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .as[PostingBlock]
       .groupByKey(_.shard)
       .flatMapGroups { (_, blocks) =>
-        Phrase.topK(blocks, phraseIdSeqs, idfById, optIdfById, filterIds, avgdl, params, k)
+        Phrase.topK(blocks, phraseIdSeqs, idfById, optIdfById, filterIds, avgdl, params, k,
+          excludeTermIds = excludeIds)
       }
 
     perShard
@@ -203,8 +231,13 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     if (parsed.exists(_.phrases.nonEmpty) && !meta.hasPositions)
       throw new IllegalStateException(
         "phrase query on an index built without positions (IndexConfig.storePositions=false)")
+    // one dictionary pass expands every query's prefixes
+    val prefixMap = expandPrefixMap(parsed.flatMap(_.prefixes.toSeq).distinct)
+    def effTerms(pq: Searcher.ParsedQuery): Array[String] =
+      (pq.terms ++ pq.prefixes.flatMap(prefixMap.apply)).distinct
     val allTerms = parsed.flatMap(pq =>
-      pq.terms.toSeq ++ pq.filters.toSeq ++ pq.phrases.flatten.toSeq).distinct
+      effTerms(pq).toSeq ++ pq.filters.toSeq ++ pq.phrases.flatten.toSeq ++
+        pq.excluded.toSeq).distinct
     val statsByTerm: Map[String, (Long, Long)] = lookupTermStats(allTerms)
 
     val plans: Seq[Option[Plan]] = parsed.zip(queries).zipWithIndex.map {
@@ -216,13 +249,14 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
         else {
           val phraseIdf: Map[Long, Double] = phraseTerms
             .map { t => val (tid, df) = statsByTerm(t); tid -> BM25.idf(n, df) }.toMap
-          val loose: Map[Long, Double] = pq.terms.distinct
+          val loose: Map[Long, Double] = effTerms(pq)
             .flatMap(t => statsByTerm.get(t))
             .collect { case (tid, df) if !phraseIdf.contains(tid) => tid -> BM25.idf(n, df) }
             .toMap
+          val excl: Set[Long] = pq.excluded.flatMap(t => statsByTerm.get(t).map(_._1)).toSet
           if (phraseIdf.isEmpty && loose.isEmpty) None
           else Some(Plan(i, loose, filters.toSet, k,
-            pq.phrases.map(ph => ph.map(t => statsByTerm(t)._1).toSeq).toSeq, phraseIdf))
+            pq.phrases.map(ph => ph.map(t => statsByTerm(t)._1).toSeq).toSeq, phraseIdf, excl))
         }
     }
     val live = plans.flatten
@@ -236,14 +270,13 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .flatMapGroups { (_, blocks) =>
         val arr = blocks.toArray
         live.iterator.flatMap { pl =>
-          val subset = arr.iterator.filter(b =>
-            pl.idfById.contains(b.termId) || pl.phraseIdfById.contains(b.termId) ||
-              pl.filterIds.contains(b.termId))
+          val subset = arr.iterator.filter(b => pl.wantsBlock(b.termId))
           val hits =
             if (pl.phraseIdSeqs.nonEmpty)
               Phrase.topK(subset, pl.phraseIdSeqs.map(_.toArray).toArray, pl.phraseIdfById,
-                pl.idfById, pl.filterIds, avgdl, params, pl.k)
-            else Wand.topK(subset, pl.idfById, pl.filterIds, avgdl, params, pl.k)
+                pl.idfById, pl.filterIds, avgdl, params, pl.k, pl.excludeIds)
+            else Wand.topK(subset, pl.idfById, pl.filterIds, avgdl, params, pl.k,
+              excludeTermIds = pl.excludeIds)
           hits.map(sd => (pl.qIdx, sd.docId, sd.score))
         }
       }
@@ -284,8 +317,13 @@ object Searcher {
       filterIds: Set[Long],
       k: Int,
       phraseIdSeqs: Seq[Seq[Long]] = Nil,
-      phraseIdfById: Map[Long, Double] = Map.empty) {
-    def allTermIds: Iterable[Long] = idfById.keys ++ phraseIdfById.keys ++ filterIds
+      phraseIdfById: Map[Long, Double] = Map.empty,
+      excludeIds: Set[Long] = Set.empty) {
+    def allTermIds: Iterable[Long] =
+      idfById.keys ++ phraseIdfById.keys ++ filterIds ++ excludeIds
+    def wantsBlock(termId: Long): Boolean =
+      idfById.contains(termId) || phraseIdfById.contains(termId) ||
+        filterIds.contains(termId) || excludeIds.contains(termId)
   }
 
   /** Split a raw query into (content terms, keyword filter terms). Filter
@@ -306,22 +344,42 @@ object Searcher {
     (Analyzer.queryTerms(content.mkString(" ")), filters.distinct.sorted)
   }
 
-  /** A query parsed into loose terms, keyword filters, and exact phrases
+  /** A query parsed into loose terms, keyword filters, exact phrases
     * (each phrase = the analyzer's ORDERED token sequence for the quoted
-    * span — order and duplicates preserved, unlike loose terms). */
+    * span — order and duplicates preserved, unlike loose terms), excluded
+    * terms (`-token`, ES `must_not` match semantics: a document containing
+    * ANY of a token's analyzed terms is rejected; stats/idf stay
+    * index-wide), and prefix patterns (`stem*`, ES `prefix` query with the
+    * `scoring_boolean` rewrite: each dictionary term matching the stem
+    * becomes an ordinary scored term with its own idf). */
   final case class ParsedQuery(
-      terms: Array[String], filters: Array[String], phrases: Array[Array[String]])
+      terms: Array[String], filters: Array[String], phrases: Array[Array[String]],
+      excluded: Array[String] = Array.empty, prefixes: Array[String] = Array.empty)
 
   /** `"quoted span"` extractor, shared with the oracle. */
   val PhrasePattern: scala.util.matching.Regex = "\"([^\"]*)\"".r
 
-  /** [[parseQuery]] plus `"quoted phrase"` extraction. */
+  /** [[parseQuery]] plus `"quoted phrase"`, `-negated` and `prefix*`
+    * extraction. A `-token` excludes every analyzed term of the token; a
+    * `stem*` token is a prefix pattern when the stem analyzes to exactly
+    * one term (otherwise the `*` is dropped and the token is ordinary
+    * content — a multi-subtoken stem like `camelCase*` has no single
+    * dictionary prefix to scan). Phrase spans are extracted first, so `-`
+    * and `*` inside quotes are never operators. */
   def parseFull(query: String, keywordFields: Set[String]): ParsedQuery = {
     val phrases = PhrasePattern.findAllMatchIn(query)
       .map(m => Analyzer.tokenize(m.group(1))).filter(_.nonEmpty).toArray
     val rest = PhrasePattern.replaceAllIn(query, " ")
-    val (terms, filters) = parseQuery(rest, keywordFields)
-    ParsedQuery(terms, filters, phrases)
+    val parts = rest.trim.split("\\s+").filter(_.nonEmpty)
+    val (negParts, rest2) = parts.partition(t => t.length > 1 && t.startsWith("-"))
+    val (prefParts, plain) = rest2.partition { t =>
+      t.length > 1 && t.endsWith("*") &&
+        Analyzer.tokenize(t.dropRight(1)).length == 1
+    }
+    val excluded = Analyzer.queryTerms(negParts.map(_.drop(1)).mkString(" "))
+    val prefixes = prefParts.map(t => Analyzer.tokenize(t.dropRight(1)).head).distinct
+    val (terms, filters) = parseQuery(plain.mkString(" "), keywordFields)
+    ParsedQuery(terms, filters, phrases, excluded, prefixes)
   }
 }
 
@@ -388,7 +446,8 @@ object Phrase {
       filterTermIds: Set[Long],
       avgdl: Double,
       p: Bm25Params,
-      k: Int): Iterator[ScoredDoc] = {
+      k: Int,
+      excludeTermIds: Set[Long] = Set.empty): Iterator[ScoredDoc] = {
 
     val byTerm = blocks.toArray.groupBy(_.termId)
     // conjunctive: every phrase term must have postings in this shard
@@ -415,6 +474,10 @@ object Phrase {
       byTerm.get(tid).map(blks => new PCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p))
     }
     if (filters.length < filterTermIds.size) return Iterator.empty
+    // negative non-scoring cursors (ES must_not); see Wand.topK
+    val excludes: Array[PCursor] = excludeTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks => new PCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p))
+    }
 
     def passesFilters(d: Long): Boolean = {
       var j = 0
@@ -425,6 +488,17 @@ object Phrase {
         j += 1
       }
       true
+    }
+
+    def isExcluded(d: Long): Boolean = {
+      var j = 0
+      while (j < excludes.length) {
+        val e = excludes(j)
+        if (e.curDoc < d) e.advanceTo(d)
+        if (e.curDoc == d) return true
+        j += 1
+      }
+      false
     }
 
     val posByTid = new java.util.HashMap[Long, Array[Long]]()
@@ -474,7 +548,7 @@ object Phrase {
           j += 1
         }
         if (aligned) {
-          if (passesFilters(cand) && phrasesMatch()) {
+          if (passesFilters(cand) && !isExcluded(cand) && phrasesMatch()) {
             // required + present-optional contributions, ascending termId —
             // oracle-identical summation order
             var s = 0.0
@@ -623,7 +697,8 @@ object Wand {
       avgdl: Double,
       p: Bm25Params,
       k: Int,
-      exactBounds: Boolean = true): Iterator[ScoredDoc] = {
+      exactBounds: Boolean = true,
+      excludeTermIds: Set[Long] = Set.empty): Iterator[ScoredDoc] = {
 
     val byTerm = blocks.toArray.groupBy(_.termId)
     // required non-scoring cursors (keyword filters); conjunctive
@@ -632,8 +707,15 @@ object Wand {
     }
     // a required filter with no postings in this shard → nothing can match
     if (filters.length < filterTermIds.size) return Iterator.empty
+    // negative non-scoring cursors (ES must_not): a doc present in ANY is
+    // rejected. Removing candidates never loosens WAND's upper bounds, so
+    // pruning stays admissible; an excluded term with no postings in this
+    // shard excludes nothing.
+    val excludes: Array[TermCursor] = excludeTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks => new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p, exactBounds))
+    }
     val cursors: Array[TermCursor] = byTerm.iterator
-      .filter { case (tid, _) => !filterTermIds.contains(tid) }
+      .filter { case (tid, _) => !filterTermIds.contains(tid) && !excludeTermIds.contains(tid) }
       .map { case (tid, blks) =>
         new TermCursor(tid, idfByTermId(tid), blks.sortBy(_.firstDoc), avgdl, p, exactBounds)
       }.toArray
@@ -649,6 +731,18 @@ object Wand {
         i += 1
       }
       true
+    }
+
+    /** true iff any exclusion cursor contains `d`. */
+    def isExcluded(d: Long): Boolean = {
+      var i = 0
+      while (i < excludes.length) {
+        val e = excludes(i)
+        if (e.curDoc < d) e.advanceTo(d)
+        if (e.curDoc == d) return true
+        i += 1
+      }
+      false
     }
 
     val heap = new java.util.PriorityQueue[ScoredDoc](k, worstFirst)
@@ -717,7 +811,7 @@ object Wand {
         while (j < cursors.length && cursors(j).curDoc == pivotDoc) {
           matched(m) = cursors(j); m += 1; j += 1
         }
-        if (passesFilters(pivotDoc)) {
+        if (passesFilters(pivotDoc) && !isExcluded(pivotDoc)) {
           java.util.Arrays.sort(matched, 0, m, new java.util.Comparator[TermCursor] {
             def compare(a: TermCursor, b: TermCursor): Int =
               java.lang.Long.compare(a.termId, b.termId)

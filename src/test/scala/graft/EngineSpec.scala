@@ -55,7 +55,15 @@ class EngineSpec extends AnyFunSuite {
     ("lang:md the", 10),               // filter + stop term
     ("lang:go func return query", 10), // filter + multi-term
     ("lang:rs lang:go merge", 10),     // contradictory filters → empty
-    ("lang:cobol merge", 10))          // filter value absent from corpus
+    ("lang:cobol merge", 10),          // filter value absent from corpus
+    ("merge -index", 10),              // negated term (ES must_not)
+    ("query -def -return", 25),        // two negations
+    ("merge -zzz_not_a_term", 10),     // negating an absent term: no-op
+    ("lang:scala query -def", 10),     // filter + negation compose
+    ("ind* merge", 10),                // prefix + literal term
+    ("mer*", 10),                      // pure prefix query
+    ("qqqqzzzz*", 10),                 // prefix matching nothing → no hits
+    ("ind* -merge lang:scala", 10))    // prefix + negation + filter
 
   private def engineHits(q: String, k: Int): Seq[(String, String, String, Double)] = {
     val hits = searcher.search(q, k)
@@ -157,6 +165,37 @@ class EngineSpec extends AnyFunSuite {
     val eng = engineHits("merge", 1000)
     val ora = oracleHits("merge", 1000)
     assert(eng == ora)
+  }
+
+  test("negation semantics: excluded docs absent, survivors' scores unchanged") {
+    val base = searcher.search("merge", 1000).map(h => h.docId -> h.score).toMap
+    val neg = searcher.search("merge -index", 1000)
+    assert(neg.nonEmpty && neg.length < base.size, "negation must drop some docs")
+    // docs containing 'index' are gone; the rest keep their exact score
+    // (must_not rejects candidates, never perturbs stats)
+    val withIndex = searcher.search("index", 100000).map(_.docId).toSet
+    neg.foreach { h =>
+      assert(!withIndex.contains(h.docId), s"doc ${h.docId} contains the negated term")
+      assert(java.lang.Double.doubleToLongBits(h.score) ==
+        java.lang.Double.doubleToLongBits(base(h.docId)),
+        "negation changed a surviving doc's score")
+    }
+  }
+
+  test("prefix semantics: expansion unions the matching terms' result sets") {
+    val pre = searcher.search("mer*", 100000).map(_.docId).toSet
+    val lit = searcher.search("merge", 100000).map(_.docId).toSet
+    assert(pre.nonEmpty && lit.subsetOf(pre),
+      "prefix must cover at least the literal term's docs")
+    // every expanded doc must contain SOME dictionary term starting 'mer'
+    val merTerms = searcher.expandPrefixMap(Seq("mer")).apply("mer")
+    assert(merTerms.contains("merge") && merTerms.forall(_.startsWith("mer")))
+    // batch parity: negation + prefix queries through searchMany match search
+    val batchQs = Seq(("merge -index", 10), ("mer*", 10), ("ind* -merge lang:scala", 10))
+    val batch = searcher.searchMany(batchQs)
+    batchQs.zip(batch).foreach { case ((q, k), got) =>
+      assert(got.toSeq == searcher.search(q, k).toSeq, s"searchMany mismatch for '$q'")
+    }
   }
 
   test("kill/resume equivalence: crash after each stage, resume, identical index") {
@@ -304,7 +343,9 @@ class EngineSpec extends AnyFunSuite {
       ("\"index merge\" def score", 20), // phrase + two loose terms
       ("lang:scala \"def value\" query", 20), // filter + phrase + loose
       ("\"if else\" zzz_not_a_term", 20), // absent loose term contributes 0
-      ("\"if else\" if", 20)            // loose term inside the phrase: counted once
+      ("\"if else\" if", 20),           // loose term inside the phrase: counted once
+      ("\"if else\" -merge", 20),       // phrase + negation
+      ("\"if else\" ind*", 20)          // phrase + prefix extras
     )
     for ((q, k) <- phraseQueries) {
       val e = eng(q, k)

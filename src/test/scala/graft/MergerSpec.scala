@@ -65,4 +65,64 @@ class MergerSpec extends AnyFunSuite {
     // the updated docs are findable by their new content
     assert(sm.search("freshly updated tokens", 20).nonEmpty)
   }
+
+  test("deleteDocs purge is logically identical to a fresh build over the survivors") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-purge").toString
+
+    val corpus = CorpusGen.generate(spark, 250, seed = 11, partitions = 4).toDF()
+    new IndexBuilder(spark, cfg).build(corpus, s"$dir/idx", resume = false)
+    val keyHash = pmod(xxhash64(col("repo"), col("path"), col("commit")), lit(5))
+    val doomed = corpus.filter(keyHash === 0).select("repo", "path", "commit")
+    assert(doomed.count() > 0)
+
+    assert(graft.index.IndexMaintenance.deleteDocs(spark, s"$dir/idx", doomed, cfg))
+
+    val survivors = corpus.filter(keyHash =!= 0)
+    val freshMeta = new IndexBuilder(spark, cfg).build(survivors, s"$dir/fresh", resume = false)
+    val purgedMeta = graft.index.Json.read(s"$dir/idx/meta.json",
+      classOf[graft.index.IndexMeta])
+    assert(purgedMeta.copy(numBlocks = 0L) == freshMeta.copy(numBlocks = 0L))
+
+    def docsOf(d: String) = spark.read.parquet(s"$d/docs")
+      .select("docId", "repo", "path", "commit", "lang", "sha256", "dl")
+      .collect().map(_.toSeq).toSet
+    assert(docsOf(s"$dir/idx") == docsOf(s"$dir/fresh"))
+
+    def postings(d: String): Set[(Long, Long, Long)] =
+      spark.read.parquet(s"$d/blocks")
+        .select(graft.index.PostingBlock.columns.map(col): _*)
+        .as[PostingBlock].collect()
+        .flatMap { b =>
+          val ids = b.docIds; val tfs = b.tfValues
+          (0 until b.n).map(i => (b.termId, ids(i), tfs(i)))
+        }.toSet
+    assert(postings(s"$dir/idx") == postings(s"$dir/fresh"))
+
+    // query results bit-identical to the fresh build (stats fully
+    // recomputed — no ES-style df/avgdl drift from masked deletes)
+    val sp = new Searcher(spark, s"$dir/idx")
+    val sf = new Searcher(spark, s"$dir/fresh")
+    for (q <- Seq("merge index", "def", "lang:scala query", "query -def", "ind*")) {
+      assert(sp.search(q, 20).toSeq == sf.search(q, 20).toSeq,
+        s"purged/fresh mismatch for '$q'")
+    }
+
+    // deleting unknown identities is a no-op (returns false, index untouched)
+    val metaBefore = graft.index.Json.read(s"$dir/idx/meta.json",
+      classOf[graft.index.IndexMeta])
+    val unknown = Seq(("no-such-repo", "no/such/path", "0000")).toDF("repo", "path", "commit")
+    assert(!graft.index.IndexMaintenance.deleteDocs(spark, s"$dir/idx", unknown, cfg))
+    assert(graft.index.Json.read(s"$dir/idx/meta.json",
+      classOf[graft.index.IndexMeta]) == metaBefore)
+
+    // deleting EVERY document is refused (drop the directory instead)
+    intercept[IllegalStateException] {
+      graft.index.IndexMaintenance.deleteDocs(
+        spark, s"$dir/idx", survivors.select("repo", "path", "commit"), cfg)
+    }
+    // the refused delete must not have damaged the live index
+    assert(sp.search("merge index", 5).toSeq ==
+      new Searcher(spark, s"$dir/idx").search("merge index", 5).toSeq)
+  }
 }

@@ -20,7 +20,10 @@ class SegmentedSpec extends AnyFunSuite {
     buildPartitions = 4, docsPerShard = 64L, blockSize = 16, buildBuckets = 2)
 
   private val Queries = Seq("merge index", "def", "freshly updated tokens",
-    "lang:scala query", "query score")
+    "lang:scala query", "query score",
+    // negation (segment-local exclude ids) and prefix (expansion over the
+    // UNION of segment dictionaries) must stay oracle-identical segmented
+    "merge -index", "ind* query", "lang:scala query -def")
 
   private def assertMatchesOracle(ms: MultiSearcher, corpus: org.apache.spark.sql.DataFrame): Unit =
     for (q <- Queries) {
@@ -88,7 +91,8 @@ class SegmentedSpec extends AnyFunSuite {
     idx.ingest(CorpusGen.generate(spark, 80, seed = 99, partitions = 2).toDF())
     val ms = new MultiSearcher(spark, s"$dir/index")
     val qs = Seq(("merge index", 10), ("def", 15), ("lang:scala query", 10),
-      ("zzz_not_a_term", 5), ("query score", 10))
+      ("zzz_not_a_term", 5), ("query score", 10),
+      ("merge -index", 10), ("ind* query", 10), ("query -zzz_not_a_term", 10))
     val batch = ms.searchMany(qs)
     qs.zip(batch).foreach { case ((q, k), got) =>
       val want = ms.search(q, k)
@@ -166,6 +170,63 @@ class SegmentedSpec extends AnyFunSuite {
     assert(seg0After.collect().toSet == seg0DocsBefore)
     // queries unaffected
     assert(new MultiSearcher(spark, s"$dir/index").search("merge index", 10).toSeq == before)
+  }
+
+  test("segmented delete: only containing segments rewritten; emptied segments dropped") {
+    import java.nio.file.{Files => JFiles, Path, Paths}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-segd").toString
+    val idx = new SegmentedIndex(spark, s"$dir/index", cfg, maxSegments = 4)
+    val a = CorpusGen.generate(spark, 120, seed = 7, partitions = 2).toDF()
+    val b = CorpusGen.generate(spark, 80, seed = 99, partitions = 2).toDF()
+    val c = CorpusGen.generate(spark, 60, seed = 123, partitions = 2).toDF()
+    idx.ingest(a); idx.ingest(b); idx.ingest(c)
+    val m0 = idx.manifest.get
+    assert(m0.segments.length == 3)
+
+    def fileSnapshot(segName: String): Map[String, (Long, Long)] = {
+      val root = Paths.get(s"$dir/index/$segName")
+      val out = scala.collection.mutable.Map[String, (Long, Long)]()
+      JFiles.walk(root).filter(JFiles.isRegularFile(_)).forEach { (f: Path) =>
+        out += f.toString -> ((JFiles.size(f), JFiles.getLastModifiedTime(f).toMillis))
+      }
+      out.toMap
+    }
+    // segments holding b and c (ingest order) must stay byte-untouched
+    val untouched = Seq(m0.segments(1).name, m0.segments(2).name)
+    val snapBefore = untouched.map(fileSnapshot)
+
+    // delete ~1/4 of a's identities — they live only in segment 0
+    val keyHash = pmod(xxhash64(col("repo"), col("path"), col("commit")), lit(4))
+    val doomed = a.filter(keyHash === 0).select("repo", "path", "commit")
+    assert(doomed.count() > 0)
+    idx.delete(doomed)
+
+    val m1 = idx.manifest.get
+    assert(m1.segments.length == 3)
+    assert(m1.segments.map(_.name).toSet.intersect(untouched.toSet) == untouched.toSet,
+      "segments without deleted identities must keep their directories")
+    assert(!m1.segments.map(_.name).contains(m0.segments(0).name),
+      "the purged segment must be replaced under a new name")
+    assert(untouched.map(fileSnapshot) == snapBefore, "untouched segments were rewritten")
+    assert(m1.lastBatchId == m0.lastBatchId, "delete must not move the replay watermark")
+
+    // results bit-identical to the oracle over the surviving union
+    val survivors = a.join(doomed, Seq("repo", "path", "commit"), "left_anti")
+      .unionByName(b).unionByName(c)
+    assertMatchesOracle(new MultiSearcher(spark, s"$dir/index"), survivors)
+
+    // deleting EVERY document of one segment drops it from the manifest
+    idx.delete(b.select("repo", "path", "commit"))
+    val m2 = idx.manifest.get
+    assert(m2.segments.length == 2)
+    assertMatchesOracle(new MultiSearcher(spark, s"$dir/index"),
+      a.join(doomed, Seq("repo", "path", "commit"), "left_anti").unionByName(c))
+
+    // a delete matching nothing is a no-op (manifest byte-identical)
+    val manifestBytes = JFiles.readAllBytes(Paths.get(s"$dir/index/segments.json")).toSeq
+    idx.delete(Seq(("no-such-repo", "x", "y")).toDF("repo", "path", "commit"))
+    assert(JFiles.readAllBytes(Paths.get(s"$dir/index/segments.json")).toSeq == manifestBytes)
   }
 
   test("batch replay guard and orphan cleanup") {
