@@ -53,7 +53,12 @@ object Main {
   private def cfgFrom(rest: Seq[String]): IndexConfig = IndexConfig(
     buildPartitions = opt(rest, "--partitions").map(_.toInt).getOrElse(32),
     docsPerShard = opt(rest, "--docs-per-shard").map(_.toLong).getOrElse(1L << 16),
-    storePositions = flag(rest, "--positions"))
+    storePositions = flag(rest, "--positions"),
+    // `--meta k=v,k2=v2` — stamped into IndexMeta.userMeta (the reference's
+    // `_meta` globals export, e.g. dataset provenance / genome version)
+    userMeta = opt(rest, "--meta").map(_.split(",").map { kv =>
+      val Array(k, v) = kv.split("=", 2); k -> v
+    }.toMap).getOrElse(Map.empty))
 
   private def run(spark: SparkSession, args: Seq[String]): Unit = args(0) match {
     case "build" =>

@@ -863,6 +863,29 @@ object SparkEntry {
         .select(col("docId"), col("path").cast("bigint").as("doc_id"))
         .join(broadcast(hits), Seq("docId"))
         .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // negated keyword filter (`-lang:en`, ES must_not term filter): docs
+    // with the filtered value are rejected via the filter term's postings;
+    // scores of survivors are untouched. Shares fts3's cached index.
+    "fts9_neg_filter" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).search("spark query -lang:en", 50).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
     })
   )
 
@@ -1253,6 +1276,23 @@ object SparkEntry {
            |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
            |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
            |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // must_not TERM FILTER gate: docs with lang='en' rejected after
+      // stats — survivors keep their unnegated scores
+      "fts9_neg_filter" ->
+        s"""WITH dt AS (SELECT doc_id, lang, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, lang, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, lang, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, lang, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('spark','query') GROUP BY 1,2,3,4),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |WHERE lang != 'en'
            |GROUP BY doc_id
            |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
       "fts2_term_dict" ->

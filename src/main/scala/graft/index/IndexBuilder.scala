@@ -530,7 +530,8 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     docsTask.foreach(_.get())
     val meta = IndexMeta(numDocs, sumDl, numTerms, numPostings, numBlocks,
       Analyzer.Version, cfg.k1, cfg.b, cfg.blockSize, cfg.docsPerShard, lineage, cfg.configHash,
-      keywordFields = cfg.fields.keyword, hasPositions = cfg.storePositions)
+      keywordFields = cfg.fields.keyword, hasPositions = cfg.storePositions,
+      userMeta = cfg.userMeta)
     Json.write(s"$staging/meta.json", meta)
     cfg.io.dropTree(spark, doctfDir)
     cfg.io.dropTree(spark, tfDir)

@@ -44,13 +44,20 @@ object IndexMerger {
     // refuse to mix incompatible segments: different analyzer versions,
     // BM25 constants, block sizes or shard widths would silently corrupt
     // the merged postings (ADVICE: fail fast on configHash mismatch)
-    for (d <- Seq(dirA, dirB)) {
+    val sideMetas = Seq(dirA, dirB).map { d =>
       val m = Json.read(s"$d/meta.json", classOf[IndexMeta])
       require(m.configHash == cfg.configHash,
         s"segment $d was built with configHash ${m.configHash}, merge cfg is ${cfg.configHash}")
       require(m.analyzer == graft.analysis.Analyzer.Version,
         s"segment $d was built with analyzer ${m.analyzer}, current is ${graft.analysis.Analyzer.Version}")
+      m
     }
+    // user metadata (the reference's `_meta` export): caller's wins, else
+    // the newer segment's (create_or_update_mapping semantics), else A's
+    val mergedUserMeta =
+      if (cfg.userMeta.nonEmpty) cfg.userMeta
+      else if (sideMetas(1).meta.nonEmpty) sideMetas(1).meta
+      else sideMetas(0).meta
 
     val staging = outDir + ".staging"
     cfg.io.dropTree(spark, staging)
@@ -127,7 +134,8 @@ object IndexMerger {
     val emptyCorpus = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       graft.sources.CorpusIO.CorpusSchema)
-    new IndexBuilder(spark, cfg).build(emptyCorpus, outDir, resume = true)
+    new IndexBuilder(spark, cfg.copy(userMeta = mergedUserMeta))
+      .build(emptyCorpus, outDir, resume = true)
   }
 
   /** Delete-by-identity via PHYSICAL purge: rebuild the index from its own
@@ -224,6 +232,9 @@ object IndexMerger {
     val emptyCorpus = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       graft.sources.CorpusIO.CorpusSchema)
-    Some(new IndexBuilder(spark, cfg).build(emptyCorpus, outDir, resume = true))
+    // user metadata survives the purge (caller's wins when supplied)
+    val keptUserMeta = if (cfg.userMeta.nonEmpty) cfg.userMeta else m.meta
+    Some(new IndexBuilder(spark, cfg.copy(userMeta = keptUserMeta))
+      .build(emptyCorpus, outDir, resume = true))
   }
 }

@@ -72,7 +72,11 @@ final case class IndexConfig(
       * the build into a narrow map stage. Beyond it (truly web-scale
       * dictionaries) the join falls back to sort-merge. Execution strategy,
       * not index bytes → excluded from configHash. */
-    broadcastDictMaxTerms: Long = 5_000_000L) {
+    broadcastDictMaxTerms: Long = 5_000_000L,
+    /** caller metadata stamped into the published IndexMeta (the `_meta`
+      * globals export of the reference, `hail_elasticsearch_client.py:90`).
+      * Informational only — excluded from configHash. */
+    userMeta: Map[String, String] = Map.empty) {
 
   /** Stable fingerprint of everything that affects index bytes; a stage
     * checkpoint from a different config must never be resumed. */
@@ -174,10 +178,17 @@ final case class IndexMeta(
       * (null-safe default for metas written before this field existed) */
     keywordFields: Seq[String] = Seq("lang", "repo"),
     /** whether posting blocks carry per-posting positions (phrase queries) */
-    hasPositions: Boolean = false) {
+    hasPositions: Boolean = false,
+    /** caller-supplied metadata stamped into the published index — the
+      * reference's `_meta` globals export (dataset provenance, genome
+      * version, seed: `hail_elasticsearch_client.py:90,177-181`). Purely
+      * informational: never part of configHash, carried through purge,
+      * newest side wins on merge (create_or_update_mapping semantics). */
+    userMeta: Map[String, String] = Map.empty) {
   def avgdl: Double = sumDl.toDouble / numDocs.toDouble
   def keywords: Seq[String] =
     if (keywordFields == null) Seq("lang", "repo") else keywordFields
+  def meta: Map[String, String] = if (userMeta == null) Map.empty else userMeta
 }
 
 /** Per-stage / per-bucket checkpoint manifest (the `_SUCCESS` marker

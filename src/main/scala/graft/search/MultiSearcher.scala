@@ -143,7 +143,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       (pq.terms ++ pq.prefixes.flatMap(prefixMap.apply)).distinct
     val allTerms = parsed.flatMap(pq =>
       effTerms(pq).toSeq ++ pq.filters.toSeq ++ pq.phrases.flatten.toSeq ++
-        pq.excluded.toSeq).distinct
+        pq.allExcluded.toSeq).distinct
     if (allTerms.isEmpty) return (Nil, avgdl)
     val dicts = lookup(allTerms)
 
@@ -176,7 +176,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
               }.toMap
             // ES must_not: segment-local ids of the excluded terms — a term
             // absent from THIS segment excludes nothing here
-            val excl: Set[Long] = pq.excluded.flatMap(t => dict.get(t).map(_._1)).toSet
+            val excl: Set[Long] = pq.allExcluded.flatMap(t => dict.get(t).map(_._1)).toSet
             if (phraseIdf.isEmpty && loose.isEmpty) Nil
             else Seq(SegPlan(qi, s, loose, filterIds.toSet, k,
               pq.phrases.map(ph => ph.map(t => dict(t)._1).toSeq).toSeq, phraseIdf,

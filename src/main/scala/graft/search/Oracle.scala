@@ -60,10 +60,19 @@ object Oracle {
     val qTerms = (pq.terms ++ phraseSeqs.flatten).distinct.sorted.toSeq
     val prefixes = pq.prefixes.toSeq
     val excluded = pq.excluded.toSeq
-    val filterPred: Column = pq.filters.toSeq.map { f =>
-      val Array(field, value) = f.split(":", 2)
-      col(field) === value
-    }.foldLeft(lit(true))(_ && _)
+    val filterPred: Column = (
+      pq.filters.toSeq.map { f =>
+        val Array(field, value) = f.split(":", 2)
+        col(field) === value
+      } ++
+        // negated keyword filters (ES must_not term filter): null-safe so a
+        // doc with a missing field passes, matching the engine (no posting
+        // for the filter term → never excluded)
+        pq.excludedFilters.toSeq.map { f =>
+          val Array(field, value) = f.split(":", 2)
+          !(col(field) <=> value)
+        }
+      ).foldLeft(lit(true))(_ && _)
     // carry every non-content column: any of them may be a keyword filter
     val metaCols = corpus.columns.filterNot(_ == "content").toSeq
     val phraseOk: Column = phraseSeqs.map { ph =>

@@ -129,9 +129,10 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
   def search(query: String, k: Int): Array[ScoredDoc] = {
     val pq = Searcher.parseFull(query, meta.keywords.toSet)
     val expanded = pq.prefixes.flatMap(expandPrefixMap(pq.prefixes.toSeq).apply)
-    // ES must_not: excluded terms reject candidates, never affect stats; a
-    // term absent from the dictionary excludes nothing
-    val excludeIds: Set[Long] = lookupTerms(pq.excluded.toSeq).map(_._1).toSet
+    // ES must_not: excluded terms (and negated keyword filters — dictionary
+    // terms like any other) reject candidates, never affect stats; a term
+    // absent from the dictionary excludes nothing
+    val excludeIds: Set[Long] = lookupTerms(pq.allExcluded.toSeq).map(_._1).toSet
     if (pq.phrases.nonEmpty)
       return searchPhrases(pq.phrases, (pq.terms ++ expanded).distinct, pq.filters, k, excludeIds)
     val qTerms = (pq.terms ++ expanded).distinct
@@ -237,7 +238,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       (pq.terms ++ pq.prefixes.flatMap(prefixMap.apply)).distinct
     val allTerms = parsed.flatMap(pq =>
       effTerms(pq).toSeq ++ pq.filters.toSeq ++ pq.phrases.flatten.toSeq ++
-        pq.excluded.toSeq).distinct
+        pq.allExcluded.toSeq).distinct
     val statsByTerm: Map[String, (Long, Long)] = lookupTermStats(allTerms)
 
     val plans: Seq[Option[Plan]] = parsed.zip(queries).zipWithIndex.map {
@@ -253,7 +254,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
             .flatMap(t => statsByTerm.get(t))
             .collect { case (tid, df) if !phraseIdf.contains(tid) => tid -> BM25.idf(n, df) }
             .toMap
-          val excl: Set[Long] = pq.excluded.flatMap(t => statsByTerm.get(t).map(_._1)).toSet
+          val excl: Set[Long] = pq.allExcluded.flatMap(t => statsByTerm.get(t).map(_._1)).toSet
           if (phraseIdf.isEmpty && loose.isEmpty) None
           else Some(Plan(i, loose, filters.toSet, k,
             pq.phrases.map(ph => ph.map(t => statsByTerm(t)._1).toSeq).toSeq, phraseIdf, excl))
@@ -354,7 +355,15 @@ object Searcher {
     * becomes an ordinary scored term with its own idf). */
   final case class ParsedQuery(
       terms: Array[String], filters: Array[String], phrases: Array[Array[String]],
-      excluded: Array[String] = Array.empty, prefixes: Array[String] = Array.empty)
+      excluded: Array[String] = Array.empty, prefixes: Array[String] = Array.empty,
+      /** negated keyword filters (`-lang:scala`, ES must_not term filter):
+        * the literal `field:value` filter terms whose documents are
+        * rejected — looked up in the dictionary exactly like positive
+        * filters, driven as anti-cursors exactly like excluded terms. */
+      excludedFilters: Array[String] = Array.empty) {
+    /** every dictionary lookup the exclusion side needs */
+    def allExcluded: Array[String] = excluded ++ excludedFilters
+  }
 
   /** `"quoted span"` extractor, shared with the oracle. */
   val PhrasePattern: scala.util.matching.Regex = "\"([^\"]*)\"".r
@@ -376,10 +385,16 @@ object Searcher {
       t.length > 1 && t.endsWith("*") &&
         Analyzer.tokenize(t.dropRight(1)).length == 1
     }
-    val excluded = Analyzer.queryTerms(negParts.map(_.drop(1)).mkString(" "))
+    // a negated token that is itself a keyword filter (`-lang:scala`) is a
+    // must_not TERM FILTER, not a negated content match
+    val (negFilters, negContent) = negParts.map(_.drop(1)).partition { t =>
+      val i = t.indexOf(':')
+      i > 0 && keywordFields.contains(t.substring(0, i))
+    }
+    val excluded = Analyzer.queryTerms(negContent.mkString(" "))
     val prefixes = prefParts.map(t => Analyzer.tokenize(t.dropRight(1)).head).distinct
     val (terms, filters) = parseQuery(plain.mkString(" "), keywordFields)
-    ParsedQuery(terms, filters, phrases, excluded, prefixes)
+    ParsedQuery(terms, filters, phrases, excluded, prefixes, negFilters.distinct.sorted)
   }
 }
 

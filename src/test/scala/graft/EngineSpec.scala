@@ -63,7 +63,10 @@ class EngineSpec extends AnyFunSuite {
     ("ind* merge", 10),                // prefix + literal term
     ("mer*", 10),                      // pure prefix query
     ("qqqqzzzz*", 10),                 // prefix matching nothing → no hits
-    ("ind* -merge lang:scala", 10))    // prefix + negation + filter
+    ("ind* -merge lang:scala", 10),    // prefix + negation + filter
+    ("query -lang:scala", 25),         // negated keyword filter (must_not)
+    ("merge -lang:md -index", 10),     // negated filter + negated term
+    ("query -lang:cobol", 10))         // negating an absent filter value: no-op
 
   private def engineHits(q: String, k: Int): Seq[(String, String, String, Double)] = {
     val hits = searcher.search(q, k)
@@ -180,6 +183,12 @@ class EngineSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(base(h.docId)),
         "negation changed a surviving doc's score")
     }
+    // negated keyword filter (must_not term filter): filtered value absent
+    val langs = spark.read.parquet(s"$indexDir/docs")
+      .select("docId", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nf = searcher.search("query -lang:scala", 100000)
+    assert(nf.nonEmpty && nf.forall(h => langs(h.docId) != "scala"))
+    assert(nf.length < searcher.search("query", 100000).length)
   }
 
   test("prefix semantics: expansion unions the matching terms' result sets") {

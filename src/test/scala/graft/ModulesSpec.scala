@@ -144,6 +144,32 @@ class ModulesSpec extends AnyFunSuite {
       == Map("g1" -> "BRCA1", "g2" -> "TP53"))
   }
 
+  test("userMeta: stamped at build, carried through purge, newest wins on merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-umeta").toString
+    val cfg = graft.index.IndexConfig(buildPartitions = 2, docsPerShard = 64L,
+      blockSize = 16, buildBuckets = 2)
+    val cfgA = cfg.copy(userMeta = Map("dataset" -> "A", "genomeVersion" -> "38"))
+    val cfgB = cfg.copy(userMeta = Map("dataset" -> "B"))
+    assert(cfgA.configHash == cfg.configHash, "userMeta must not change configHash")
+    val a = graft.corpus.CorpusGen.generate(spark, 30, seed = 3, partitions = 2).toDF()
+    val b = graft.corpus.CorpusGen.generate(spark, 20, seed = 5, partitions = 2).toDF()
+    val mA = new graft.index.IndexBuilder(spark, cfgA).build(a, s"$dir/A", resume = false)
+    val mB = new graft.index.IndexBuilder(spark, cfgB).build(b, s"$dir/B", resume = false)
+    assert(mA.meta == Map("dataset" -> "A", "genomeVersion" -> "38"))
+    assert(mB.meta == Map("dataset" -> "B"))
+    // merge: newer (B) side's metadata wins when the caller supplies none
+    val merged = graft.index.IndexMerger.merge(spark, s"$dir/A", s"$dir/B", s"$dir/AB", cfg)
+    assert(merged.meta == Map("dataset" -> "B"))
+    // purge: metadata survives the rewrite
+    val doomed = a.orderBy("repo", "path", "commit").limit(5)
+      .select("repo", "path", "commit")
+    assert(graft.index.IndexMaintenance.deleteDocs(spark, s"$dir/A", doomed, cfg))
+    val purged = graft.index.Json.read(s"$dir/A/meta.json", classOf[graft.index.IndexMeta])
+    assert(purged.meta == Map("dataset" -> "A", "genomeVersion" -> "38"))
+    assert(purged.numDocs == 25 && spark.read.parquet(s"$dir/A/docs")
+      .join(doomed, Seq("repo", "path", "commit"), "left_semi").count() == 0)
+  }
+
   test("order-preserving union construction (O5): union chunks → one range sort") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -23,7 +23,7 @@ class SegmentedSpec extends AnyFunSuite {
     "lang:scala query", "query score",
     // negation (segment-local exclude ids) and prefix (expansion over the
     // UNION of segment dictionaries) must stay oracle-identical segmented
-    "merge -index", "ind* query", "lang:scala query -def")
+    "merge -index", "ind* query", "lang:scala query -def", "query -lang:scala")
 
   private def assertMatchesOracle(ms: MultiSearcher, corpus: org.apache.spark.sql.DataFrame): Unit =
     for (q <- Queries) {
