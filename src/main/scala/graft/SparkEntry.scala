@@ -886,6 +886,52 @@ object SparkEntry {
         .select(col("docId"), col("path").cast("bigint").as("doc_id"))
         .join(broadcast(hits), Seq("docId"))
         .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // fuzzy pattern (`merge~1`, ES fuzzy query with the scoring_boolean
+    // rewrite): every dictionary term within the Levenshtein bound becomes
+    // an ordinary scored term with its own idf. Shares fts3's cached index.
+    "fts10_fuzzy" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).search("merge~1 query", 50).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // query-time boost (`spark^2`, the ES boost): the boosted term's
+    // contribution (idf×tfNorm) is scaled ×2; global stats untouched.
+    // Shares fts3's cached index.
+    "fts11_boost" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).search("spark^2 query merge", 50).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
     })
   )
 
@@ -1293,6 +1339,41 @@ object SparkEntry {
            |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
            |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
            |WHERE lang != 'en'
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // fuzzy expansion: every corpus term within Levenshtein distance 1 of
+      // 'merge' is scored with its own per-term df (scoring_boolean
+      // rewrite), plus the literal term 'query' — DuckDB's levenshtein uses
+      // the same unit-cost model as the engine's editWithin
+      "fts10_fuzzy" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE levenshtein(term, 'merge') <= 1 OR term = 'query' GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // query-time boost: 'spark' contributions scaled ×2.0 (idf×boost),
+      // 'query'/'merge' unboosted; global n/avgdl/df untouched
+      "fts11_boost" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('spark','query','merge') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  (CASE WHEN tf.term = 'spark' THEN 2.0 ELSE 1.0 END) *
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
            |GROUP BY doc_id
            |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
       "fts2_term_dict" ->

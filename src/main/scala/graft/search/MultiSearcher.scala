@@ -123,6 +123,29 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       prefixes.map(pf => pf -> sorted.filter(_.startsWith(pf)).take(maxExpansions)).toMap
     }
 
+  /** Dictionary terms within the edit bound of each fuzzy stem across ALL
+    * segments — the segmented analogue of [[Searcher.expandFuzzyMap]].
+    * Warm: driver map scans; cold: one job over the unioned terms. */
+  private def expandFuzzyMap(
+      fuzzies: Seq[(String, Int)],
+      maxExpansions: Int = 1024): Map[(String, Int), Array[String]] =
+    if (fuzzies.isEmpty) Map.empty
+    else {
+      val matches: Array[String] =
+        if (dictMaps != null)
+          dictMaps.iterator.flatMap(_.keysIterator)
+            .filter(t => fuzzies.exists { case (st, b) => Searcher.editWithin(st, t, b) })
+            .toArray.distinct
+        else
+          termsAll.filter(fuzzies.map { case (st, b) =>
+              levenshtein(col("term"), lit(st)) <= b }.reduce(_ || _))
+            .select("term").distinct().as[String].collect()
+      val sorted = matches.sorted
+      fuzzies.map { case (st, b) =>
+        (st, b) -> sorted.filter(t => Searcher.editWithin(st, t, b)).take(maxExpansions)
+      }.toMap
+    }
+
   /** Top-k, ordered (score desc, identity asc); identity-keyed results. */
   def search(query: String, k: Int): Array[ScoredHit] = searchMany(Seq(query -> k)).head
 
@@ -139,8 +162,10 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
         "phrase query but a segment was built without positions (storePositions=false)")
 
     val prefixMap = expandPrefixMap(parsed.flatMap(_.prefixes.toSeq).distinct)
+    val fuzzyMap = expandFuzzyMap(parsed.flatMap(_.fuzzies.toSeq).distinct)
     def effTerms(pq: Searcher.ParsedQuery): Array[String] =
-      (pq.terms ++ pq.prefixes.flatMap(prefixMap.apply)).distinct
+      (pq.terms ++ pq.prefixes.flatMap(prefixMap.apply) ++
+        pq.fuzzies.flatMap(fuzzyMap.apply)).distinct
     val allTerms = parsed.flatMap(pq =>
       effTerms(pq).toSeq ++ pq.filters.toSeq ++ pq.phrases.flatten.toSeq ++
         pq.allExcluded.toSeq).distinct
@@ -167,12 +192,15 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
           if (phraseTerms.exists(t => !dict.contains(t)) ||
             filterIds.length < pq.filters.length) Nil
           else {
+            // per-query boost folds into the plan's idf (global idf values
+            // stay shared across queries; boost scales a term's
+            // contribution AND its WAND bound — still admissible)
             val phraseIdf: Map[Long, Double] =
-              phraseTerms.map(t => dict(t)._1 -> idfByTerm(t)).toMap
+              phraseTerms.map(t => dict(t)._1 -> idfByTerm(t) * pq.boostOf(t)).toMap
             val loose: Map[Long, Double] = effTerms(pq)
               .flatMap(t => dict.get(t).map(st => (st._1, t)))
               .collect { case (tid, t) if !phraseIdf.contains(tid) && idfByTerm.contains(t) =>
-                tid -> idfByTerm(t)
+                tid -> idfByTerm(t) * pq.boostOf(t)
               }.toMap
             // ES must_not: segment-local ids of the excluded terms — a term
             // absent from THIS segment excludes nothing here

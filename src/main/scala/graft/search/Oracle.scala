@@ -103,7 +103,11 @@ object Oracle {
       // corpus term scan see the same term set by construction)
       val termPred: Column = (
         (if (qTerms.isEmpty) Seq.empty[Column] else Seq(col("term").isin(qTerms: _*))) ++
-          prefixes.map(pf => col("term").startsWith(pf))
+          prefixes.map(pf => col("term").startsWith(pf)) ++
+          // fuzzy stems: every corpus term within the edit bound is scored
+          // (Spark's levenshtein = the engine's editWithin cost model)
+          pq.fuzzies.toSeq.map { case (st, b) =>
+            levenshtein(col("term"), lit(st)) <= b }
         ).reduceOption(_ || _).getOrElse(lit(false))
       val tfq = docTok
         .select(metaCols.map(col) :+ col("_pok") :+ col("dl") :+ explode(col("toks")).as("term"): _*)
@@ -113,8 +117,10 @@ object Oracle {
 
       val dfByTerm: Map[String, Long] = tfq.groupBy("term").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // query-time boost folds into the per-term idf (identical JVM product
+      // to the engine's driver-side idf×boost — bit-exact for ×1.0 terms)
       val idfByTerm: Map[String, Double] =
-        dfByTerm.map { case (t, df) => t -> BM25.idf(n, df) }
+        dfByTerm.map { case (t, df) => t -> BM25.idf(n, df) * pq.boostOf(t) }
 
       if (idfByTerm.isEmpty)
         return corpus.sparkSession.emptyDataFrame

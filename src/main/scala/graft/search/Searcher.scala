@@ -100,6 +100,34 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       prefixes.map(pf => pf -> sorted.filter(_.startsWith(pf)).take(maxExpansions)).toMap
     }
 
+  /** Dictionary terms within edit distance ≤ maxEdits of each fuzzy stem
+    * (ES `fuzzy` query with the `scoring_boolean` rewrite: every match
+    * becomes an ordinary scored term with its own idf). Deterministic cap:
+    * the lexicographically smallest `maxExpansions` matches per stem. Warm:
+    * a driver map scan using [[Searcher.editWithin]] (the same unit-cost
+    * model as Spark's and DuckDB's `levenshtein`); cold: ONE Spark job over
+    * the terms relation for the whole fuzzy set. */
+  def expandFuzzyMap(
+      fuzzies: Seq[(String, Int)],
+      maxExpansions: Int = 1024): Map[(String, Int), Array[String]] =
+    if (fuzzies.isEmpty) Map.empty
+    else {
+      val matches: Array[String] =
+        if (dictMap != null)
+          dictMap.keysIterator
+            .filter(t => fuzzies.exists { case (st, b) => Searcher.editWithin(st, t, b) })
+            .toArray
+        else
+          termsDf
+            .filter(fuzzies.map { case (st, b) =>
+              levenshtein(col("term"), lit(st)) <= b }.reduce(_ || _))
+            .select("term").as[String].collect()
+      val sorted = matches.sorted
+      fuzzies.map { case (st, b) =>
+        (st, b) -> sorted.filter(t => Searcher.editWithin(st, t, b)).take(maxExpansions)
+      }.toMap
+    }
+
   /** term → (termId, df) for each query term present in the dictionary. */
   def lookupTermStats(terms: Seq[String]): Map[String, (Long, Long)] =
     if (terms.isEmpty) Map.empty
@@ -128,26 +156,31 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * must-phrase + should-term query). */
   def search(query: String, k: Int): Array[ScoredDoc] = {
     val pq = Searcher.parseFull(query, meta.keywords.toSet)
-    val expanded = pq.prefixes.flatMap(expandPrefixMap(pq.prefixes.toSeq).apply)
+    val expanded = pq.prefixes.flatMap(expandPrefixMap(pq.prefixes.toSeq).apply) ++
+      pq.fuzzies.flatMap(expandFuzzyMap(pq.fuzzies.toSeq).apply)
     // ES must_not: excluded terms (and negated keyword filters — dictionary
     // terms like any other) reject candidates, never affect stats; a term
     // absent from the dictionary excludes nothing
     val excludeIds: Set[Long] = lookupTerms(pq.allExcluded.toSeq).map(_._1).toSet
     if (pq.phrases.nonEmpty)
-      return searchPhrases(pq.phrases, (pq.terms ++ expanded).distinct, pq.filters, k, excludeIds)
+      return searchPhrases(pq.phrases, (pq.terms ++ expanded).distinct, pq.filters, k,
+        excludeIds, pq.boostOf)
     val qTerms = (pq.terms ++ expanded).distinct
     val qFilters = pq.filters
-    val stats = lookupTerms(qTerms.toSeq)
+    val stats = lookupTermStats(qTerms.toSeq)
     if (stats.isEmpty) return Array.empty
     val filterStats = lookupTerms(qFilters.toSeq)
     // a filter term absent from the dictionary matches no document at all
     if (filterStats.length < qFilters.length) return Array.empty
     val n = meta.numDocs
     val avgdl = meta.avgdl
+    // query-time boost folds into the per-term idf driver-side (score =
+    // (idf×boost)×tfNorm) — the oracle computes the identical JVM product,
+    // so unboosted terms (×1.0) stay bit-exact
     val idfById: Map[Long, Double] =
-      stats.map { case (tid, df) => tid -> BM25.idf(n, df) }.toMap
+      stats.map { case (t, (tid, df)) => tid -> BM25.idf(n, df) * pq.boostOf(t) }.toMap
     val filterIds: Set[Long] = filterStats.map(_._1).toSet
-    val termIds = stats.map(_._1) ++ filterIds ++ excludeIds
+    val termIds = stats.values.map(_._1).toArray ++ filterIds ++ excludeIds
     val params = p
 
     val perShard = blocksDf
@@ -175,7 +208,8 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       looseTerms: Array[String],
       qFilters: Array[String],
       k: Int,
-      excludeIds: Set[Long] = Set.empty): Array[ScoredDoc] = {
+      excludeIds: Set[Long] = Set.empty,
+      boostOf: String => Double = _ => 1.0): Array[ScoredDoc] = {
     if (!meta.hasPositions)
       throw new IllegalStateException(
         "phrase query on an index built without positions (IndexConfig.storePositions=false)")
@@ -188,12 +222,16 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     val n = meta.numDocs
     val avgdl = meta.avgdl
     val idfById: Map[Long, Double] =
-      phraseTerms.map { t => val (tid, df) = stats(t); tid -> BM25.idf(n, df) }.toMap
+      phraseTerms.map { t =>
+        val (tid, df) = stats(t); tid -> BM25.idf(n, df) * boostOf(t)
+      }.toMap
     // loose terms: optional, scored only where present; a term that is also
     // part of a phrase contributes once (distinct-term scoring, as oracle)
     val optIdfById: Map[Long, Double] = looseTerms.distinct
-      .flatMap(t => stats.get(t))
-      .collect { case (tid, df) if !idfById.contains(tid) => tid -> BM25.idf(n, df) }
+      .flatMap(t => stats.get(t).map(t -> _))
+      .collect { case (t, (tid, df)) if !idfById.contains(tid) =>
+        tid -> BM25.idf(n, df) * boostOf(t)
+      }
       .toMap
     val filterIds: Set[Long] = filterStats.map(_._1).toSet
     val phraseIdSeqs: Array[Array[Long]] = phrases.map(_.map(t => stats(t)._1))
@@ -232,10 +270,13 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     if (parsed.exists(_.phrases.nonEmpty) && !meta.hasPositions)
       throw new IllegalStateException(
         "phrase query on an index built without positions (IndexConfig.storePositions=false)")
-    // one dictionary pass expands every query's prefixes
+    // one dictionary pass expands every query's prefixes (and another every
+    // query's fuzzy stems)
     val prefixMap = expandPrefixMap(parsed.flatMap(_.prefixes.toSeq).distinct)
+    val fuzzyMap = expandFuzzyMap(parsed.flatMap(_.fuzzies.toSeq).distinct)
     def effTerms(pq: Searcher.ParsedQuery): Array[String] =
-      (pq.terms ++ pq.prefixes.flatMap(prefixMap.apply)).distinct
+      (pq.terms ++ pq.prefixes.flatMap(prefixMap.apply) ++
+        pq.fuzzies.flatMap(fuzzyMap.apply)).distinct
     val allTerms = parsed.flatMap(pq =>
       effTerms(pq).toSeq ++ pq.filters.toSeq ++ pq.phrases.flatten.toSeq ++
         pq.allExcluded.toSeq).distinct
@@ -249,10 +290,14 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
           filters.length < pq.filters.length) None
         else {
           val phraseIdf: Map[Long, Double] = phraseTerms
-            .map { t => val (tid, df) = statsByTerm(t); tid -> BM25.idf(n, df) }.toMap
+            .map { t =>
+              val (tid, df) = statsByTerm(t); tid -> BM25.idf(n, df) * pq.boostOf(t)
+            }.toMap
           val loose: Map[Long, Double] = effTerms(pq)
-            .flatMap(t => statsByTerm.get(t))
-            .collect { case (tid, df) if !phraseIdf.contains(tid) => tid -> BM25.idf(n, df) }
+            .flatMap(t => statsByTerm.get(t).map(t -> _))
+            .collect { case (t, (tid, df)) if !phraseIdf.contains(tid) =>
+              tid -> BM25.idf(n, df) * pq.boostOf(t)
+            }
             .toMap
           val excl: Set[Long] = pq.allExcluded.flatMap(t => statsByTerm.get(t).map(_._1)).toSet
           if (phraseIdf.isEmpty && loose.isEmpty) None
@@ -360,30 +405,60 @@ object Searcher {
         * the literal `field:value` filter terms whose documents are
         * rejected — looked up in the dictionary exactly like positive
         * filters, driven as anti-cursors exactly like excluded terms. */
-      excludedFilters: Array[String] = Array.empty) {
+      excludedFilters: Array[String] = Array.empty,
+      /** per-term boosts (`term^2.5`, the ES query-time boost): the boosted
+        * token's analyzed terms each score `boost × idf × tfNorm`. Keys are
+        * ANALYZED terms; stats (df/idf base) stay untouched — a boost
+        * scales a term's contribution, never global statistics. */
+      boosts: Map[String, Double] = Map.empty,
+      /** fuzzy patterns (`token~1` / `token~2`, ES `fuzzy` query with the
+        * scoring_boolean rewrite): (stem, maxEdits) pairs expanded against
+        * the dictionary by Levenshtein distance; each match becomes an
+        * ordinary scored term with its own idf. */
+      fuzzies: Array[(String, Int)] = Array.empty) {
     /** every dictionary lookup the exclusion side needs */
     def allExcluded: Array[String] = excluded ++ excludedFilters
+    /** boost for an analyzed term (1.0 unless the query marked it `term^w`;
+      * multiplying by 1.0 is bit-exact, so unboosted paths are unchanged) */
+    def boostOf(t: String): Double = boosts.getOrElse(t, 1.0)
   }
 
   /** `"quoted span"` extractor, shared with the oracle. */
   val PhrasePattern: scala.util.matching.Regex = "\"([^\"]*)\"".r
 
-  /** [[parseQuery]] plus `"quoted phrase"`, `-negated` and `prefix*`
-    * extraction. A `-token` excludes every analyzed term of the token; a
-    * `stem*` token is a prefix pattern when the stem analyzes to exactly
-    * one term (otherwise the `*` is dropped and the token is ordinary
-    * content — a multi-subtoken stem like `camelCase*` has no single
-    * dictionary prefix to scan). Phrase spans are extracted first, so `-`
-    * and `*` inside quotes are never operators. */
+  /** `token~N` fuzzy pattern (N ∈ 1..2, the ES edit-distance bound). */
+  private val FuzzyPattern = "^(.+)~([12])$".r
+
+  /** `token^W` boost suffix (W a positive decimal). */
+  private val BoostPattern = "^(.+)\\^(\\d+(?:\\.\\d+)?)$".r
+
+  /** [[parseQuery]] plus `"quoted phrase"`, `-negated`, `prefix*`,
+    * `fuzzy~N` and `term^boost` extraction. A `-token` excludes every
+    * analyzed term of the token; a `stem*` token is a prefix pattern and a
+    * `stem~N` token a fuzzy pattern when the stem analyzes to exactly one
+    * term (otherwise the operator suffix is dropped and the token is
+    * ordinary content — a multi-subtoken stem like `camelCase*` has no
+    * single dictionary pattern to scan); a `tok^2.5` token is ordinary
+    * scored content whose analyzed terms each carry the boost. Phrase spans
+    * are extracted first, so `-`, `*`, `~`, `^` inside quotes are never
+    * operators. */
   def parseFull(query: String, keywordFields: Set[String]): ParsedQuery = {
     val phrases = PhrasePattern.findAllMatchIn(query)
       .map(m => Analyzer.tokenize(m.group(1))).filter(_.nonEmpty).toArray
     val rest = PhrasePattern.replaceAllIn(query, " ")
     val parts = rest.trim.split("\\s+").filter(_.nonEmpty)
     val (negParts, rest2) = parts.partition(t => t.length > 1 && t.startsWith("-"))
-    val (prefParts, plain) = rest2.partition { t =>
+    val (fuzzyParts, rest3) = rest2.partition {
+      case FuzzyPattern(stem, _) => Analyzer.tokenize(stem).length == 1
+      case _ => false
+    }
+    val (prefParts, rest4) = rest3.partition { t =>
       t.length > 1 && t.endsWith("*") &&
         Analyzer.tokenize(t.dropRight(1)).length == 1
+    }
+    val (boostParts, plain) = rest4.partition {
+      case BoostPattern(stem, _) => Analyzer.queryTerms(stem).nonEmpty
+      case _ => false
     }
     // a negated token that is itself a keyword filter (`-lang:scala`) is a
     // must_not TERM FILTER, not a negated content match
@@ -393,8 +468,48 @@ object Searcher {
     }
     val excluded = Analyzer.queryTerms(negContent.mkString(" "))
     val prefixes = prefParts.map(t => Analyzer.tokenize(t.dropRight(1)).head).distinct
+    val fuzzies = fuzzyParts.collect {
+      case FuzzyPattern(stem, nStr) => (Analyzer.tokenize(stem).head, nStr.toInt)
+    }.distinct
+    // boosted tokens are scored content; each analyzed term carries the
+    // boost (last occurrence wins on a repeated term)
+    val boosts: Map[String, Double] = boostParts.collect {
+      case BoostPattern(stem, w) => Analyzer.queryTerms(stem).map(_ -> w.toDouble)
+    }.flatten.toMap
     val (terms, filters) = parseQuery(plain.mkString(" "), keywordFields)
-    ParsedQuery(terms, filters, phrases, excluded, prefixes, negFilters.distinct.sorted)
+    ParsedQuery((terms ++ boosts.keys).distinct, filters, phrases, excluded, prefixes,
+      negFilters.distinct.sorted, boosts, fuzzies)
+  }
+
+  /** Unrestricted Levenshtein edit distance ≤ `bound` test — the SAME cost
+    * model as Spark's and DuckDB's `levenshtein` (unit insert/delete/
+    * substitute), so warm driver-map expansion, cold Spark-job expansion and
+    * the DuckDB oracle agree on the match set. Early-exits on the length
+    * bound and on a row whose minimum exceeds the bound. */
+  def editWithin(a: String, b: String, bound: Int): Boolean = {
+    val (n, m) = (a.length, b.length)
+    if (math.abs(n - m) > bound) return false
+    var prev = Array.tabulate(m + 1)(identity)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      var rowMin = i
+      var j = 1
+      while (j <= m) {
+        val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+        val del = prev(j) + 1
+        val ins = cur(j - 1) + 1
+        val v = math.min(sub, math.min(del, ins))
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > bound) return false
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m) <= bound
   }
 }
 

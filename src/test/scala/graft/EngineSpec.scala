@@ -66,7 +66,14 @@ class EngineSpec extends AnyFunSuite {
     ("ind* -merge lang:scala", 10),    // prefix + negation + filter
     ("query -lang:scala", 25),         // negated keyword filter (must_not)
     ("merge -lang:md -index", 10),     // negated filter + negated term
-    ("query -lang:cobol", 10))         // negating an absent filter value: no-op
+    ("query -lang:cobol", 10),         // negating an absent filter value: no-op
+    ("merge~1", 10),                   // fuzzy: edit-distance-1 expansion
+    ("indxe~2 query", 10),             // fuzzy typo (distance 2) + literal
+    ("qzqzqzqz~2", 10),                // fuzzy matching nothing → no hits
+    ("merge~1 -index lang:scala", 10), // fuzzy + negation + filter
+    ("index^2 merge", 10),             // boosted term reorders vs unboosted
+    ("query^0.5 def score", 25),       // fractional down-boost
+    ("index^2 merge~1 -def", 10))      // boost + fuzzy + negation compose
 
   private def engineHits(q: String, k: Int): Seq[(String, String, String, Double)] = {
     val hits = searcher.search(q, k)
@@ -203,6 +210,56 @@ class EngineSpec extends AnyFunSuite {
     val batchQs = Seq(("merge -index", 10), ("mer*", 10), ("ind* -merge lang:scala", 10))
     val batch = searcher.searchMany(batchQs)
     batchQs.zip(batch).foreach { case ((q, k), got) =>
+      assert(got.toSeq == searcher.search(q, k).toSeq, s"searchMany mismatch for '$q'")
+    }
+  }
+
+  test("fuzzy semantics: dictionary expansion by edit distance, each match scored") {
+    // every expanded term is within the bound; the stem itself (distance 0)
+    // is covered when present
+    val m = searcher.expandFuzzyMap(Seq(("merge", 1)))(("merge", 1))
+    assert(m.contains("merge") && m.forall(t => Searcher.editWithin("merge", t, 1)))
+    val fz = searcher.search("merge~1", 100000).map(_.docId).toSet
+    val lit = searcher.search("merge", 100000).map(_.docId).toSet
+    assert(fz.nonEmpty && lit.subsetOf(fz),
+      "fuzzy must cover at least the exact term's docs")
+    // editWithin agrees with the classic DP distance on a property sweep
+    val words = Seq("index", "indexes", "indxe", "merge", "mrege", "a", "", "query")
+    for (a <- words; b <- words; bound <- 1 to 2) {
+      val full = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      assert(Searcher.editWithin(a, b, bound) == (full <= bound),
+        s"editWithin('$a','$b',$bound) disagrees with DP distance $full")
+    }
+    // a fuzzy stem absent within its bound matches nothing
+    assert(searcher.search("qzqzqzqz~1", 10).isEmpty)
+  }
+
+  test("boost semantics: scales the term's contribution, never global stats") {
+    // single boosted term: exactly 2× the unboosted scores, same ranking
+    val base = searcher.search("merge", 50).toSeq
+    val boosted = searcher.search("merge^2", 50).toSeq
+    assert(base.map(_.docId) == boosted.map(_.docId))
+    base.zip(boosted).foreach { case (b, w) =>
+      assert(java.lang.Double.doubleToLongBits(b.score * 2.0) ==
+        java.lang.Double.doubleToLongBits(w.score),
+        "boost must scale the per-term contribution exactly")
+    }
+    // multi-term: a strong boost reorders in favor of the boosted term
+    val up = searcher.search("index^100 merge", 1000)
+    val idxDocs = searcher.search("index", 100000).map(_.docId).toSet
+    assert(idxDocs.contains(up.head.docId),
+      "heavily boosted term must dominate the top hit")
+    // batch parity for fuzzy + boost through searchMany
+    val batchQs = Seq(("merge~1", 10), ("index^2 merge", 10),
+      ("index^2 merge~1 -def", 10))
+    searcher.searchMany(batchQs).zip(batchQs).foreach { case (got, (q, k)) =>
       assert(got.toSeq == searcher.search(q, k).toSeq, s"searchMany mismatch for '$q'")
     }
   }

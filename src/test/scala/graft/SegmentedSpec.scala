@@ -92,7 +92,8 @@ class SegmentedSpec extends AnyFunSuite {
     val ms = new MultiSearcher(spark, s"$dir/index")
     val qs = Seq(("merge index", 10), ("def", 15), ("lang:scala query", 10),
       ("zzz_not_a_term", 5), ("query score", 10),
-      ("merge -index", 10), ("ind* query", 10), ("query -zzz_not_a_term", 10))
+      ("merge -index", 10), ("ind* query", 10), ("query -zzz_not_a_term", 10),
+      ("merge~1", 10), ("index^2 merge", 10), ("indxe~2 query^0.5 -def", 10))
     val batch = ms.searchMany(qs)
     qs.zip(batch).foreach { case ((q, k), got) =>
       val want = ms.search(q, k)
