@@ -932,6 +932,55 @@ object SparkEntry {
         .select(col("docId"), col("path").cast("bigint").as("doc_id"))
         .join(broadcast(hits), Seq("docId"))
         .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // numeric range filter (`n_chars:>=300`, the ES `range` query in FILTER
+    // context over a stored doc_values column — the reference exports xpos
+    // as an int64 for exactly this, variant_id.py:86-91): candidates are
+    // gated by a docs-relation scan with the predicate pushed into the
+    // columnar read; global stats (N, avgdl, df) untouched, so surviving
+    // docs keep their unfiltered BM25 scores. Own cached index — the range
+    // column rides the docs relation as a stored-only (disable_index) field.
+    "fts12_range" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("n_chars"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts12-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("n_chars")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).search("spark query merge n_chars:>=300", 50).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // facet counts (the ES `terms` aggregation in query context): for every
+    // value of a stored column, how many documents match the bool query —
+    // the FULL match set (≥1 scored term), not top-k. Shares fts3's cached
+    // index; the match kernel streams per-shard, the count aggregates
+    // distributed with partial aggregation.
+    "fts13_facets" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).facets("spark query merge", "lang", 10).toSeq
+        .toDF("value", "cnt")
     })
   )
 
@@ -1376,6 +1425,30 @@ object SparkEntry {
            |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
            |GROUP BY doc_id
            |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // range filter gates CANDIDATES only — stats/df stay corpus-wide, so
+      // the WHERE lands after tf/dfc are computed over all docs
+      "fts12_range" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('spark','query','merge') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |WHERE doc_id IN (SELECT doc_id FROM documents WHERE n_chars >= 300)
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // ES terms aggregation in query context: every doc matching ≥1 scored
+      // term, grouped by the facet field, (count desc, value asc), topN
+      "fts13_facets" ->
+        s"""SELECT lang AS value, count(*) AS cnt
+           |FROM (SELECT doc_id, lang, $tokExpr AS tk FROM documents)
+           |WHERE len(list_intersect(tk, ['spark','query','merge'])) > 0
+           |GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 10""".stripMargin,
       "fts2_term_dict" ->
         """WITH tf AS (
           |  SELECT doc_id, term, count(*) AS tf FROM (

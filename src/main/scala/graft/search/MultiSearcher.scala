@@ -208,7 +208,8 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
             if (phraseIdf.isEmpty && loose.isEmpty) Nil
             else Seq(SegPlan(qi, s, loose, filterIds.toSet, k,
               pq.phrases.map(ph => ph.map(t => dict(t)._1).toSeq).toSeq, phraseIdf,
-              exactBounds = segs(s)._2.avgdl == gAvgdl, excludeIds = excl))
+              exactBounds = segs(s)._2.avgdl == gAvgdl, excludeIds = excl,
+              ranges = pq.ranges.toSeq))
           }
         }
     }
@@ -281,29 +282,35 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       params: Bm25Params): Array[(Int, Int, Long, Double)] = {
     val plansBySeg: Map[Int, Seq[MultiSearcher.SegPlan]] = plans.groupBy(_.seg)
     val kByIdx: Map[Int, Int] = plans.map(pl => pl.qIdx -> pl.k).toMap
-    val pred = plansBySeg.map { case (s, pls) =>
-      val ids = pls.flatMap(_.allTermIds).distinct
-      col("seg") === s && col("termId").isin(ids.map(Long.box): _*)
-    }.reduce(_ || _)
 
-    blocksAll.filter(pred)
-      .select(col("seg").as("_1"), struct(PostingBlock.columns.map(col): _*).as("_2"))
-      .as[(Int, PostingBlock)]
-      .groupByKey { case (s, b) => (s, b.shard) }
-      .flatMapGroups { (key, it) =>
-        val s = key._1
-        val arr = it.map(_._2).toArray
-        plansBySeg(s).iterator.flatMap { pl =>
-          val subset = arr.iterator.filter(b => pl.wantsBlock(b.termId))
-          val hits =
-            if (pl.phraseIdSeqs.nonEmpty)
-              Phrase.topK(subset, pl.phraseIdSeqs.map(_.toArray).toArray, pl.phraseIdfById,
-                pl.idfById, pl.filterIds, gAvgdl, params, pl.k, pl.excludeIds)
-            else Wand.topK(subset, pl.idfById, pl.filterIds, gAvgdl, params, pl.k,
-              pl.exactBounds, pl.excludeIds)
-          hits.map(sd => (pl.qIdx, s, sd.docId, sd.score))
-        }
+    def run(s: Int, blocks: Iterator[PostingBlock],
+        acceptByQ: Map[Int, Array[Long]]): Iterator[(Int, Int, Long, Double)] = {
+      val arr = blocks.toArray
+      plansBySeg(s).iterator.flatMap { pl =>
+        val subset = arr.iterator.filter(b => pl.wantsBlock(b.termId))
+        val accept =
+          if (pl.ranges.isEmpty) null
+          else acceptByQ.getOrElse(pl.qIdx, Array.empty[Long])
+        val hits =
+          if (pl.phraseIdSeqs.nonEmpty)
+            Phrase.topK(subset, pl.phraseIdSeqs.map(_.toArray).toArray, pl.phraseIdfById,
+              pl.idfById, pl.filterIds, gAvgdl, params, pl.k, pl.excludeIds, accept)
+          else Wand.topK(subset, pl.idfById, pl.filterIds, gAvgdl, params, pl.k,
+            pl.exactBounds, pl.excludeIds, accept)
+        hits.map(sd => (pl.qIdx, s, sd.docId, sd.score))
       }
+    }
+
+    val grouped = segBlocks(plansBySeg)
+    val perSeg = acceptsKV(plans) match {
+      case None =>
+        grouped.flatMapGroups { (key, it) => run(key._1, it.map(_._2), Map.empty) }
+      case Some(acc) =>
+        grouped.cogroup(acc) { (key, it, accIt) =>
+          run(key._1, it.map(_._2), MultiSearcher.acceptArrays(accIt))
+        }
+    }
+    perSeg
       .groupByKey(t => (t._1, t._2))
       .flatMapGroups { (_, it) =>
         val arr = it.toArray
@@ -312,9 +319,113 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       }
       .collect()
   }
+
+  /** The segment-tagged blocks relation filtered to the plans' termIds,
+    * grouped by (segment, shard) — the kernel-input shape. */
+  private def segBlocks(plansBySeg: Map[Int, Seq[MultiSearcher.SegPlan]]) = {
+    val pred = plansBySeg.map { case (s, pls) =>
+      val ids = pls.flatMap(_.allTermIds).distinct
+      col("seg") === s && col("termId").isin(ids.map(Long.box): _*)
+    }.reduce(_ || _)
+    blocksAll.filter(pred)
+      .select(col("seg").as("_1"), struct(PostingBlock.columns.map(col): _*).as("_2"))
+      .as[(Int, PostingBlock)]
+      .groupByKey { case (s, b) => (s, b.shard) }
+  }
+
+  /** qIdx-tagged range-accept rows for every ranged query, keyed by
+    * (segment, shard) for the kernel cogroup — ONE unioned scan of the
+    * segments' docs relations with the range predicates pushed down. None
+    * when no query carries a range filter. */
+  private def acceptsKV(plans: Seq[MultiSearcher.SegPlan])
+      : Option[org.apache.spark.sql.KeyValueGroupedDataset[(Int, Long), (Int, Int, Long)]] = {
+    val byQuery: Map[Int, Seq[Searcher.RangeFilter]] = plans
+      .filter(_.ranges.nonEmpty).groupBy(_.qIdx).map { case (q, pls) => q -> pls.head.ranges }
+    if (byQuery.isEmpty) return None
+    val fields = byQuery.values.flatten.map(_.field).toSeq.distinct
+    val docsSchema = io.read(spark, s"${segs.head._1}/docs").schema
+    fields.foreach { f =>
+      val fld = docsSchema.fields.find(_.name == f).getOrElse(throw new IllegalArgumentException(
+        s"range filter field '$f' is not a stored docs column " +
+          s"(have: ${docsSchema.fieldNames.mkString(", ")})"))
+      require(fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"range filter field '$f' is not numeric (${fld.dataType.simpleString})")
+    }
+    val docsForRanges = taggedUnion("docs", Seq("docId") ++ fields)
+    val dpsBySeg: Array[Long] = segs.map(_._2.docsPerShard).toArray
+    val accepts = byQuery.toSeq.map { case (q, rs) =>
+      docsForRanges.filter(rs.map(_.pred).reduce(_ && _))
+        .select(lit(q).cast("int").as("q"), col("seg"), col("docId"))
+        .as[(Int, Int, Long)]
+    }.reduce(_ union _)
+    Some(accepts.groupByKey(t => (t._2, t._3 / dpsBySeg(t._2))))
+  }
+
+  /** Facet counts over the segmented index — [[Searcher.facets]] semantics
+    * (ES `terms` aggregation in query context), EXACT across segments:
+    * identities are disjoint (the SegmentedIndex invariant), so per-value
+    * counts sum. One distributed pass: match-only kernels per (segment,
+    * shard) → join each segment's docs relation for the field → global
+    * partial-aggregated count → TakeOrdered(topN). */
+  def facets(query: String, field: String, topN: Int): Array[(String, Long)] = {
+    val docsSchema = io.read(spark, s"${segs.head._1}/docs").schema
+    require(docsSchema.fieldNames.contains(field),
+      s"facet field '$field' is not a stored docs column (have: ${docsSchema.fieldNames.mkString(", ")})")
+    val (plans, gAvgdl) = planQueries(Seq(query -> 1))
+    if (plans.isEmpty) return Array.empty
+    val params = p
+    val plansBySeg = plans.groupBy(_.seg)
+
+    def run(s: Int, blocks: Iterator[PostingBlock],
+        acceptByQ: Map[Int, Array[Long]]): Iterator[(Int, Long)] = {
+      val arr = blocks.toArray
+      plansBySeg(s).iterator.flatMap { pl =>
+        val subset = arr.iterator.filter(b => pl.wantsBlock(b.termId))
+        val accept =
+          if (pl.ranges.isEmpty) null
+          else acceptByQ.getOrElse(pl.qIdx, Array.empty[Long])
+        val ids =
+          if (pl.phraseIdSeqs.nonEmpty)
+            Phrase.matching(subset, pl.phraseIdSeqs.map(_.toArray).toArray,
+              pl.phraseIdfById.keySet, pl.filterIds, gAvgdl, params, pl.excludeIds, accept)
+          else Wand.matching(subset, pl.idfById.keySet, pl.filterIds, gAvgdl, params,
+            pl.excludeIds, accept)
+        ids.map(d => (s, d))
+      }
+    }
+
+    val grouped = segBlocks(plansBySeg)
+    val matched = acceptsKV(plans) match {
+      case None => grouped.flatMapGroups { (key, it) => run(key._1, it.map(_._2), Map.empty) }
+      case Some(acc) =>
+        grouped.cogroup(acc) { (key, it, accIt) =>
+          run(key._1, it.map(_._2), MultiSearcher.acceptArrays(accIt))
+        }
+    }
+    matched.toDF("seg", "docId")
+      .join(taggedUnion("docs", Seq("docId", field)), Seq("seg", "docId"))
+      .filter(col(field).isNotNull)
+      .groupBy(col(field).cast("string").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("value"))
+      .limit(topN)
+      .as[(String, Long)]
+      .collect()
+  }
 }
 
 object MultiSearcher {
+  /** Executor-side regroup of qIdx-tagged accept rows into per-query sorted
+    * docId arrays. Lives on the companion so the cogroup kernel closure
+    * never captures the [[MultiSearcher]] instance (which holds the
+    * SparkSession and driver-side Datasets — not serializable). */
+  private[search] def acceptArrays(accIt: Iterator[(Int, Int, Long)]): Map[Int, Array[Long]] =
+    accIt.toArray.groupBy(_._1).map { case (q, xs) =>
+      val a = xs.map(_._3)
+      java.util.Arrays.sort(a)
+      q -> a
+    }
+
   /** One (query, segment) unit of kernel work inside [[MultiSearcher]]'s
     * executors: segment-local termIds, global idf values. */
   private[search] final case class SegPlan(
@@ -326,7 +437,8 @@ object MultiSearcher {
       phraseIdSeqs: Seq[Seq[Long]],
       phraseIdfById: Map[Long, Double],
       exactBounds: Boolean,
-      excludeIds: Set[Long] = Set.empty) {
+      excludeIds: Set[Long] = Set.empty,
+      ranges: Seq[Searcher.RangeFilter] = Nil) {
     def allTermIds: Iterable[Long] =
       idfById.keys ++ phraseIdfById.keys ++ filterIds ++ excludeIds
     def wantsBlock(termId: Long): Boolean =

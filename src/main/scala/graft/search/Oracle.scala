@@ -60,34 +60,12 @@ object Oracle {
     val qTerms = (pq.terms ++ phraseSeqs.flatten).distinct.sorted.toSeq
     val prefixes = pq.prefixes.toSeq
     val excluded = pq.excluded.toSeq
-    val filterPred: Column = (
-      pq.filters.toSeq.map { f =>
-        val Array(field, value) = f.split(":", 2)
-        col(field) === value
-      } ++
-        // negated keyword filters (ES must_not term filter): null-safe so a
-        // doc with a missing field passes, matching the engine (no posting
-        // for the filter term → never excluded)
-        pq.excludedFilters.toSeq.map { f =>
-          val Array(field, value) = f.split(":", 2)
-          !(col(field) <=> value)
-        }
-      ).foldLeft(lit(true))(_ && _)
+    val filterPred: Column = filterGate(pq)
     // carry every non-content column: any of them may be a keyword filter
     val metaCols = corpus.columns.filterNot(_ == "content").toSeq
-    val phraseOk: Column = phraseSeqs.map { ph =>
-      val m = ph.length
-      when(size(col("toks")) >= m,
-        exists(sequence(lit(1), size(col("toks")) - m + 1),
-          i => ph.zipWithIndex.map { case (t, j) =>
-            element_at(col("toks"), i + j) === lit(t)
-          }.reduce(_ && _)))
-        .otherwise(lit(false))
-    }.foldLeft(lit(true))(_ && _)
+    val phraseOk: Column = phraseGate(phraseSeqs)
     // ES must_not gate: true iff the doc contains ANY excluded term
-    val exHit: Column =
-      if (excluded.isEmpty) lit(false)
-      else exists(col("toks"), t => t.isin(excluded: _*))
+    val exHit: Column = excludedGate(excluded)
     val docTok = corpus
       .select(metaCols.map(col) :+ Analyzer.analyze(col("content")).as("toks"): _*)
       .select(metaCols.map(col) :+ size(col("toks")).cast("long").as("dl") :+ col("toks"): _*)
@@ -145,5 +123,83 @@ object Oracle {
         .orderBy(desc("score"), asc("repo"), asc("path"), asc("commit"))
         .limit(k)
     } finally docTok.unpersist()
+  }
+
+  /** keyword / negated-keyword / range filter gate (ES filter context). */
+  private def filterGate(pq: Searcher.ParsedQuery): Column = (
+    pq.filters.toSeq.map { f =>
+      val Array(field, value) = f.split(":", 2)
+      col(field) === value
+    } ++
+      // negated keyword filters (ES must_not term filter): null-safe so a
+      // doc with a missing field passes, matching the engine (no posting
+      // for the filter term → never excluded)
+      pq.excludedFilters.toSeq.map { f =>
+        val Array(field, value) = f.split(":", 2)
+        !(col(field) <=> value)
+      } ++
+      // numeric range filters (ES range query, filter context): the SHARED
+      // RangeFilter.pred Column — the engine's docs-relation accept scan
+      // evaluates the identical predicate
+      pq.ranges.toSeq.map(_.pred)
+    ).foldLeft(lit(true))(_ && _)
+
+  /** All-phrases-aligned gate over the analyzed `toks` column. */
+  private def phraseGate(phraseSeqs: Seq[Seq[String]]): Column =
+    phraseSeqs.map { ph =>
+      val m = ph.length
+      when(size(col("toks")) >= m,
+        exists(sequence(lit(1), size(col("toks")) - m + 1),
+          i => ph.zipWithIndex.map { case (t, j) =>
+            element_at(col("toks"), i + j) === lit(t)
+          }.reduce(_ && _)))
+        .otherwise(lit(false))
+    }.foldLeft(lit(true))(_ && _)
+
+  /** ES must_not gate: true iff the doc contains ANY excluded term. */
+  private def excludedGate(excluded: Seq[String]): Column =
+    if (excluded.isEmpty) lit(false)
+    else exists(col("toks"), t => t.isin(excluded: _*))
+
+  /** Facet counts the brute-force way — the oracle for
+    * [[Searcher.facets]] / [[MultiSearcher.facets]] (ES `terms`
+    * aggregation in query context): group the documents MATCHING the query
+    * (≥1 scored term — with prefix/fuzzy token expansion — or, for phrase
+    * queries, every phrase aligned; filters/ranges passed; no excluded
+    * term) by a metadata column and count, ordered (count desc, value asc),
+    * top `topN`. Docs with a null field value are skipped (ES agg rule). */
+  def facets(
+      corpus: DataFrame,
+      query: String,
+      field: String,
+      topN: Int,
+      keywordFields: Option[Set[String]] = None): Array[(String, Long)] = {
+    val kwFields: Set[String] = keywordFields.getOrElse(
+      graft.index.FieldConfig.derive(corpus.schema).keyword.toSet)
+    val pq = Searcher.parseFull(query, kwFields)
+    val phraseSeqs: Seq[Seq[String]] = pq.phrases.map(_.toSeq).toSeq
+    val qTerms = pq.terms.distinct.toSeq
+    // ≥1 scored-term hit: literal terms, prefix-matching and fuzzy-matching
+    // corpus tokens (the engine expands against the dictionary — same set)
+    val termHit: Column = (
+      (if (qTerms.isEmpty) Seq.empty[Column]
+       else Seq(exists(col("toks"), t => t.isin(qTerms: _*)))) ++
+        pq.prefixes.toSeq.map(pf => exists(col("toks"), t => t.startsWith(pf))) ++
+        pq.fuzzies.toSeq.map { case (st, b) =>
+          exists(col("toks"), t => levenshtein(t, lit(st)) <= b)
+        }
+      ).reduceOption(_ || _).getOrElse(lit(false))
+    val matchPred: Column =
+      if (phraseSeqs.nonEmpty) phraseGate(phraseSeqs) else termHit
+    corpus
+      .withColumn("toks", Analyzer.analyze(col("content")))
+      .filter(matchPred && !excludedGate(pq.excluded.toSeq) && filterGate(pq) &&
+        col(field).isNotNull)
+      .groupBy(col(field).cast("string").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("value"))
+      .limit(topN)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
   }
 }

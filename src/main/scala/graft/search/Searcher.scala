@@ -45,6 +45,29 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
   private val termsDf = io.read(spark, s"$indexDir/terms")
   private val blocksDf = io.read(spark, s"$indexDir/blocks")
     .select(PostingBlock.columns.map(col): _*)
+  private lazy val docsDf = io.read(spark, s"$indexDir/docs")
+
+  /** Range filters apply to stored NUMERIC docs columns (ES doc_values). */
+  private def validateRanges(ranges: Array[Searcher.RangeFilter]): Unit =
+    ranges.foreach { r =>
+      val f = docsDf.schema.fields.find(_.name == r.field).getOrElse(throw new IllegalArgumentException(
+        s"range filter field '${r.field}' is not a stored docs column " +
+          s"(have: ${docsDf.columns.mkString(", ")})"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"range filter field '${r.field}' is not numeric (${f.dataType.simpleString})")
+    }
+
+  /** docIds passing ALL the query's range filters, keyed by shard — computed
+    * from the docs relation with the predicate pushed into the columnar scan
+    * (doc_values-style evaluation). Grouped per shard so the kernel-side
+    * accept array is bounded by docsPerShard regardless of corpus size. */
+  private def acceptsByShard(
+      ranges: Array[Searcher.RangeFilter]): org.apache.spark.sql.KeyValueGroupedDataset[Long, Long] = {
+    validateRanges(ranges)
+    val pred = ranges.map(_.pred).reduce(_ && _)
+    val dps = meta.docsPerShard
+    docsDf.filter(pred).select(col("docId")).as[Long].groupByKey(_ / dps)
+  }
 
   /** Driver-side dictionary (term → (termId, df)), populated by [[warm]] —
     * the reference's J10 broadcast-map pattern for a served index: term
@@ -164,7 +187,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     val excludeIds: Set[Long] = lookupTerms(pq.allExcluded.toSeq).map(_._1).toSet
     if (pq.phrases.nonEmpty)
       return searchPhrases(pq.phrases, (pq.terms ++ expanded).distinct, pq.filters, k,
-        excludeIds, pq.boostOf)
+        excludeIds, pq.boostOf, pq.ranges)
     val qTerms = (pq.terms ++ expanded).distinct
     val qFilters = pq.filters
     val stats = lookupTermStats(qTerms.toSeq)
@@ -183,14 +206,26 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     val termIds = stats.values.map(_._1).toArray ++ filterIds ++ excludeIds
     val params = p
 
-    val perShard = blocksDf
+    val blocksKV = blocksDf
       .filter(col("termId").isin(termIds.map(Long.box): _*))
       .as[PostingBlock]
       .groupByKey(_.shard)
-      .flatMapGroups { (_, blocks) =>
-        Wand.topK(blocks, idfById, filterIds, avgdl, params, k,
-          excludeTermIds = excludeIds)
-      }
+    val perShard =
+      if (pq.ranges.isEmpty)
+        blocksKV.flatMapGroups { (_, blocks) =>
+          Wand.topK(blocks, idfById, filterIds, avgdl, params, k,
+            excludeTermIds = excludeIds)
+        }
+      else
+        // range filters: cogroup the per-shard accept set (docs-relation
+        // scan with the predicate pushed down) into the kernel — a shard
+        // with no accepted doc emits nothing
+        blocksKV.cogroup(acceptsByShard(pq.ranges)) { (_, blocks, acc) =>
+          val a = acc.toArray
+          java.util.Arrays.sort(a)
+          Wand.topK(blocks, idfById, filterIds, avgdl, params, k,
+            excludeTermIds = excludeIds, accept = a)
+        }
 
     perShard
       .orderBy(desc("score"), asc("docId"))
@@ -209,7 +244,8 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       qFilters: Array[String],
       k: Int,
       excludeIds: Set[Long] = Set.empty,
-      boostOf: String => Double = _ => 1.0): Array[ScoredDoc] = {
+      boostOf: String => Double = _ => 1.0,
+      ranges: Array[Searcher.RangeFilter] = Array.empty): Array[ScoredDoc] = {
     if (!meta.hasPositions)
       throw new IllegalStateException(
         "phrase query on an index built without positions (IndexConfig.storePositions=false)")
@@ -238,14 +274,23 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     val termIds = idfById.keys.toArray ++ optIdfById.keys ++ filterIds ++ excludeIds
     val params = p
 
-    val perShard = blocksDf
+    val blocksKV = blocksDf
       .filter(col("termId").isin(termIds.map(Long.box): _*))
       .as[PostingBlock]
       .groupByKey(_.shard)
-      .flatMapGroups { (_, blocks) =>
-        Phrase.topK(blocks, phraseIdSeqs, idfById, optIdfById, filterIds, avgdl, params, k,
-          excludeTermIds = excludeIds)
-      }
+    val perShard =
+      if (ranges.isEmpty)
+        blocksKV.flatMapGroups { (_, blocks) =>
+          Phrase.topK(blocks, phraseIdSeqs, idfById, optIdfById, filterIds, avgdl, params, k,
+            excludeTermIds = excludeIds)
+        }
+      else
+        blocksKV.cogroup(acceptsByShard(ranges)) { (_, blocks, acc) =>
+          val a = acc.toArray
+          java.util.Arrays.sort(a)
+          Phrase.topK(blocks, phraseIdSeqs, idfById, optIdfById, filterIds, avgdl, params, k,
+            excludeTermIds = excludeIds, accept = a)
+        }
 
     perShard
       .orderBy(desc("score"), asc("docId"))
@@ -302,28 +347,57 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
           val excl: Set[Long] = pq.allExcluded.flatMap(t => statsByTerm.get(t).map(_._1)).toSet
           if (phraseIdf.isEmpty && loose.isEmpty) None
           else Some(Plan(i, loose, filters.toSet, k,
-            pq.phrases.map(ph => ph.map(t => statsByTerm(t)._1).toSeq).toSeq, phraseIdf, excl))
+            pq.phrases.map(ph => ph.map(t => statsByTerm(t)._1).toSeq).toSeq, phraseIdf, excl,
+            pq.ranges.toSeq))
         }
     }
     val live = plans.flatten
     if (live.isEmpty) return queries.map(_ => Array.empty[ScoredDoc])
 
+    def runPlans(pls: Seq[Plan], blocks: Iterator[PostingBlock],
+        acceptByQ: Map[Int, Array[Long]]): Iterator[(Int, Long, Double)] = {
+      val arr = blocks.toArray
+      pls.iterator.flatMap { pl =>
+        val subset = arr.iterator.filter(b => pl.wantsBlock(b.termId))
+        val accept =
+          if (pl.ranges.isEmpty) null
+          else acceptByQ.getOrElse(pl.qIdx, Array.empty[Long])
+        val hits =
+          if (pl.phraseIdSeqs.nonEmpty)
+            Phrase.topK(subset, pl.phraseIdSeqs.map(_.toArray).toArray, pl.phraseIdfById,
+              pl.idfById, pl.filterIds, avgdl, params, pl.k, pl.excludeIds, accept)
+          else Wand.topK(subset, pl.idfById, pl.filterIds, avgdl, params, pl.k,
+            excludeTermIds = pl.excludeIds, accept = accept)
+        hits.map(sd => (pl.qIdx, sd.docId, sd.score))
+      }
+    }
+
     val neededIds = live.flatMap(_.allTermIds).distinct
-    val perShard = blocksDf
+    val blocksKV = blocksDf
       .filter(col("termId").isin(neededIds.map(Long.box): _*))
       .as[PostingBlock]
       .groupByKey(_.shard)
-      .flatMapGroups { (_, blocks) =>
-        val arr = blocks.toArray
-        live.iterator.flatMap { pl =>
-          val subset = arr.iterator.filter(b => pl.wantsBlock(b.termId))
-          val hits =
-            if (pl.phraseIdSeqs.nonEmpty)
-              Phrase.topK(subset, pl.phraseIdSeqs.map(_.toArray).toArray, pl.phraseIdfById,
-                pl.idfById, pl.filterIds, avgdl, params, pl.k, pl.excludeIds)
-            else Wand.topK(subset, pl.idfById, pl.filterIds, avgdl, params, pl.k,
-              excludeTermIds = pl.excludeIds)
-          hits.map(sd => (pl.qIdx, sd.docId, sd.score))
+    val ranged = live.filter(_.ranges.nonEmpty)
+    val perShard =
+      if (ranged.isEmpty)
+        blocksKV.flatMapGroups((_, blocks) => runPlans(live, blocks, Map.empty))
+      else {
+        // qIdx-tagged accept rows for every ranged query in ONE docs scan
+        // union (still one action), cogrouped into the shared kernel pass
+        ranged.foreach(pl => validateRanges(pl.ranges.toArray))
+        val dps = meta.docsPerShard
+        val accepts = ranged.map { pl =>
+          docsDf.filter(pl.ranges.map(_.pred).reduce(_ && _))
+            .select(lit(pl.qIdx).cast("int").as("q"), col("docId"))
+            .as[(Int, Long)]
+        }.reduce(_ union _)
+        blocksKV.cogroup(accepts.groupByKey(_._2 / dps)) { (_, blocks, accIt) =>
+          val byQ: Map[Int, Array[Long]] = accIt.toArray.groupBy(_._1).map { case (q, xs) =>
+            val a = xs.map(_._2)
+            java.util.Arrays.sort(a)
+            q -> a
+          }
+          runPlans(live, blocks, byQ)
         }
       }
 
@@ -344,10 +418,77 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * are the broadcast side — the docs table is the 10^12-row side. */
   def searchWithIdentity(query: String, k: Int): DataFrame = {
     val hits = search(query, k).toSeq.toDF("docId", "score")
-    val docs = io.read(spark, s"$indexDir/docs")
-    docs.join(broadcast(hits), Seq("docId"))
+    docsDf.join(broadcast(hits), Seq("docId"))
       .select("docId", "repo", "path", "commit", "score")
       .orderBy(desc("score"), asc("docId"))
+  }
+
+  /** Facet counts — the ES `terms` aggregation in query context: for every
+    * value of a stored docs column, how many documents MATCH the query
+    * (all matches, not top-k). Match semantics are the bool query's: ≥1
+    * scored term (should, minimum_should_match=1), every phrase aligned
+    * (must), every keyword filter and range passed (filter), no excluded
+    * term (must_not). Docs missing the field are skipped (ES agg rule).
+    * Returns ≤ topN (value, count) rows ordered (count desc, value asc).
+    *
+    * Plan: match-only kernel walk per shard (no heap — emission bounded by
+    * docsPerShard per task) → distributed join with the docs relation on
+    * docId → partial-aggregated groupBy(field) → TakeOrdered(topN). */
+  def facets(query: String, field: String, topN: Int): Array[(String, Long)] = {
+    require(docsDf.columns.contains(field),
+      s"facet field '$field' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})")
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    if (pq.phrases.nonEmpty && !meta.hasPositions)
+      throw new IllegalStateException(
+        "phrase query on an index built without positions (IndexConfig.storePositions=false)")
+    val expanded = pq.prefixes.flatMap(expandPrefixMap(pq.prefixes.toSeq).apply) ++
+      pq.fuzzies.flatMap(expandFuzzyMap(pq.fuzzies.toSeq).apply)
+    val qTerms = (pq.terms ++ expanded).distinct
+    val phraseTerms = pq.phrases.flatten.distinct
+    val stats = lookupTermStats((qTerms ++ phraseTerms ++ pq.filters).distinct.toSeq)
+    val excludeIds: Set[Long] = lookupTerms(pq.allExcluded.toSeq).map(_._1).toSet
+    val filterIdArr = pq.filters.flatMap(f => stats.get(f).map(_._1))
+    if (filterIdArr.length < pq.filters.length) return Array.empty
+    val filterIds = filterIdArr.toSet
+    val params = p
+    val avgdl = meta.avgdl
+
+    def run(termIds: Set[Long],
+        kern: (Iterator[PostingBlock], Array[Long]) => Iterator[Long]): Dataset[Long] = {
+      val kv = blocksDf
+        .filter(col("termId").isin(termIds.toSeq.map(Long.box): _*))
+        .as[PostingBlock]
+        .groupByKey(_.shard)
+      if (pq.ranges.isEmpty) kv.flatMapGroups((_, b) => kern(b, null))
+      else kv.cogroup(acceptsByShard(pq.ranges)) { (_, b, acc) =>
+        val a = acc.toArray
+        java.util.Arrays.sort(a)
+        kern(b, a)
+      }
+    }
+
+    val matchIds: Dataset[Long] =
+      if (pq.phrases.nonEmpty) {
+        if (phraseTerms.exists(t => !stats.contains(t))) return Array.empty
+        val reqIds = phraseTerms.map(t => stats(t)._1).toSet
+        val phraseIdSeqs = pq.phrases.map(_.map(t => stats(t)._1))
+        run(reqIds ++ filterIds ++ excludeIds, (b, a) =>
+          Phrase.matching(b, phraseIdSeqs, reqIds, filterIds, avgdl, params, excludeIds, a))
+      } else {
+        val anyIds = qTerms.flatMap(t => stats.get(t).map(_._1)).toSet
+        if (anyIds.isEmpty) return Array.empty
+        run(anyIds ++ filterIds ++ excludeIds, (b, a) =>
+          Wand.matching(b, anyIds, filterIds, avgdl, params, excludeIds, a))
+      }
+
+    docsDf.join(matchIds.toDF("docId"), Seq("docId"))
+      .filter(col(field).isNotNull)
+      .groupBy(col(field).cast("string").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("value"))
+      .limit(topN)
+      .as[(String, Long)]
+      .collect()
   }
 }
 
@@ -364,7 +505,8 @@ object Searcher {
       k: Int,
       phraseIdSeqs: Seq[Seq[Long]] = Nil,
       phraseIdfById: Map[Long, Double] = Map.empty,
-      excludeIds: Set[Long] = Set.empty) {
+      excludeIds: Set[Long] = Set.empty,
+      ranges: Seq[RangeFilter] = Nil) {
     def allTermIds: Iterable[Long] =
       idfById.keys ++ phraseIdfById.keys ++ filterIds ++ excludeIds
     def wantsBlock(termId: Long): Boolean =
@@ -415,12 +557,62 @@ object Searcher {
         * scoring_boolean rewrite): (stem, maxEdits) pairs expanded against
         * the dictionary by Levenshtein distance; each match becomes an
         * ordinary scored term with its own idf. */
-      fuzzies: Array[(String, Int)] = Array.empty) {
+      fuzzies: Array[(String, Int)] = Array.empty,
+      /** numeric range filters (`field:>=N` / `field:<N` / `field:lo..hi`,
+        * the ES `range` query in FILTER context over doc-values columns —
+        * the reference exports `xpos` as an int64 precisely for this:
+        * `hail_scripts/computed_fields/variant_id.py:86-91`). Candidates
+        * only; never stats. Negated (`-field:>=N`) = ES must_not range. */
+      ranges: Array[RangeFilter] = Array.empty) {
     /** every dictionary lookup the exclusion side needs */
     def allExcluded: Array[String] = excluded ++ excludedFilters
     /** boost for an analyzed term (1.0 unless the query marked it `term^w`;
       * multiplying by 1.0 is bit-exact, so unboosted paths are unchanged) */
     def boostOf(t: String): Double = boosts.getOrElse(t, 1.0)
+  }
+
+  /** One parsed numeric range filter over a stored docs column (ES `range`
+    * filter over doc_values). Bounds are doubles (absent side = ±Inf);
+    * `pred` is the shared Catalyst predicate — used verbatim by the
+    * engine's docs-relation accept scan AND the oracle's corpus gate, so
+    * the two cannot diverge. A missing (null) field value never matches the
+    * range; under negation it therefore PASSES (ES must_not semantics: a
+    * doc without the field is not in the must_not set). */
+  final case class RangeFilter(
+      field: String,
+      lo: Double, loInc: Boolean,
+      hi: Double, hiInc: Boolean,
+      negated: Boolean = false) {
+    def pred: org.apache.spark.sql.Column = {
+      val c = col(field).cast("double")
+      val lp =
+        if (lo.isNegInfinity) lit(true) else if (loInc) c >= lit(lo) else c > lit(lo)
+      val hp =
+        if (hi.isPosInfinity) lit(true) else if (hiInc) c <= lit(hi) else c < lit(hi)
+      val in = coalesce(lp && hp, lit(false))
+      if (negated) !in else in
+    }
+  }
+
+  /** `field:>=N` / `field:>N` / `field:<=N` / `field:<N` / `field:lo..hi`
+    * range-filter token shape (values numeric; `..` bounds inclusive). */
+  private val RangePattern =
+    ("^([A-Za-z_][A-Za-z0-9_]*):(?:(>=|<=|>|<)(-?\\d+(?:\\.\\d+)?)" +
+      "|(-?\\d+(?:\\.\\d+)?)\\.\\.(-?\\d+(?:\\.\\d+)?))$").r
+
+  /** Parse one token as a range filter, if it has the range shape. */
+  def parseRange(tok: String, negated: Boolean): Option[RangeFilter] = tok match {
+    case RangePattern(f, op, v, lo, hi) =>
+      if (op != null) {
+        val d = v.toDouble
+        op match {
+          case ">=" => Some(RangeFilter(f, d, loInc = true, Double.PositiveInfinity, hiInc = true, negated))
+          case ">" => Some(RangeFilter(f, d, loInc = false, Double.PositiveInfinity, hiInc = true, negated))
+          case "<=" => Some(RangeFilter(f, Double.NegativeInfinity, loInc = true, d, hiInc = true, negated))
+          case _ => Some(RangeFilter(f, Double.NegativeInfinity, loInc = true, d, hiInc = false, negated))
+        }
+      } else Some(RangeFilter(f, lo.toDouble, loInc = true, hi.toDouble, hiInc = true, negated))
+    case _ => None
   }
 
   /** `"quoted span"` extractor, shared with the oracle. */
@@ -447,7 +639,13 @@ object Searcher {
       .map(m => Analyzer.tokenize(m.group(1))).filter(_.nonEmpty).toArray
     val rest = PhrasePattern.replaceAllIn(query, " ")
     val parts = rest.trim.split("\\s+").filter(_.nonEmpty)
-    val (negParts, rest2) = parts.partition(t => t.length > 1 && t.startsWith("-"))
+    val (negParts0, rest1) = parts.partition(t => t.length > 1 && t.startsWith("-"))
+    // range-shaped tokens (both polarities) before any other operator: the
+    // `field:OP num` shape is unambiguous and must not fall through to the
+    // content analyzer
+    val (rangeParts, rest2) = rest1.partition(t => parseRange(t, negated = false).isDefined)
+    val (negRangeParts, negParts) =
+      negParts0.partition(t => parseRange(t.drop(1), negated = true).isDefined)
     val (fuzzyParts, rest3) = rest2.partition {
       case FuzzyPattern(stem, _) => Analyzer.tokenize(stem).length == 1
       case _ => false
@@ -477,8 +675,10 @@ object Searcher {
       case BoostPattern(stem, w) => Analyzer.queryTerms(stem).map(_ -> w.toDouble)
     }.flatten.toMap
     val (terms, filters) = parseQuery(plain.mkString(" "), keywordFields)
+    val ranges = (rangeParts.flatMap(parseRange(_, negated = false)) ++
+      negRangeParts.flatMap(t => parseRange(t.drop(1), negated = true))).distinct
     ParsedQuery((terms ++ boosts.keys).distinct, filters, phrases, excluded, prefixes,
-      negFilters.distinct.sorted, boosts, fuzzies)
+      negFilters.distinct.sorted, boosts, fuzzies, ranges)
   }
 
   /** Unrestricted Levenshtein edit distance ≤ `bound` test — the SAME cost
@@ -577,8 +777,12 @@ object Phrase {
       avgdl: Double,
       p: Bm25Params,
       k: Int,
-      excludeTermIds: Set[Long] = Set.empty): Iterator[ScoredDoc] = {
+      excludeTermIds: Set[Long] = Set.empty,
+      /** sorted docIds passing the query's range filters in THIS shard
+        * (null = no range filter); see [[Wand.topK]] */
+      accept: Array[Long] = null): Iterator[ScoredDoc] = {
 
+    if (accept != null && accept.isEmpty) return Iterator.empty
     val byTerm = blocks.toArray.groupBy(_.termId)
     // conjunctive: every phrase term must have postings in this shard
     val reqIds = idfByTermId.keys.toArray.sorted
@@ -678,7 +882,8 @@ object Phrase {
           j += 1
         }
         if (aligned) {
-          if (passesFilters(cand) && !isExcluded(cand) && phrasesMatch()) {
+          if ((accept == null || java.util.Arrays.binarySearch(accept, cand) >= 0) &&
+            passesFilters(cand) && !isExcluded(cand) && phrasesMatch()) {
             // required + present-optional contributions, ascending termId —
             // oracle-identical summation order
             var s = 0.0
@@ -703,6 +908,106 @@ object Phrase {
     val out = new Array[ScoredDoc](heap.size)
     i = 0
     while (!heap.isEmpty) { out(i) = heap.poll(); i += 1 }
+    out.iterator
+  }
+
+  /** All docIds whose positions align EVERY phrase in this shard (the ES
+    * query-context match set of a must-phrase bool query) gated by filter/
+    * must_not/range clauses — the phrase analogue of [[Wand.matching]].
+    * Loose terms never gate (should clauses); no scoring, no heap. */
+  def matching(
+      blocks: Iterator[PostingBlock],
+      phraseIdSeqs: Array[Array[Long]],
+      requiredTermIds: Set[Long],
+      filterTermIds: Set[Long],
+      avgdl: Double,
+      p: Bm25Params,
+      excludeTermIds: Set[Long] = Set.empty,
+      accept: Array[Long] = null): Iterator[Long] = {
+    if (accept != null && accept.isEmpty) return Iterator.empty
+    val byTerm = blocks.toArray.groupBy(_.termId)
+    val reqIds = requiredTermIds.toArray.sorted
+    val req = new Array[PCursor](reqIds.length)
+    var i = 0
+    while (i < reqIds.length) {
+      byTerm.get(reqIds(i)) match {
+        case Some(blks) => req(i) = new PCursor(reqIds(i), 0.0, blks.sortBy(_.firstDoc), avgdl, p)
+        case None => return Iterator.empty
+      }
+      i += 1
+    }
+    val filters: Array[PCursor] = filterTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks => new PCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p))
+    }
+    if (filters.length < filterTermIds.size) return Iterator.empty
+    val excludes: Array[PCursor] = excludeTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks => new PCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p))
+    }
+    def passesFilters(d: Long): Boolean = {
+      var j = 0
+      while (j < filters.length) {
+        val f = filters(j)
+        if (f.curDoc < d) f.advanceTo(d)
+        if (f.curDoc != d) return false
+        j += 1
+      }
+      true
+    }
+    def isExcluded(d: Long): Boolean = {
+      var j = 0
+      while (j < excludes.length) {
+        val e = excludes(j)
+        if (e.curDoc < d) e.advanceTo(d)
+        if (e.curDoc == d) return true
+        j += 1
+      }
+      false
+    }
+    val posByTid = new java.util.HashMap[Long, Array[Long]]()
+    def phrasesMatch(): Boolean = {
+      posByTid.clear()
+      var j = 0
+      while (j < req.length) { posByTid.put(req(j).termId, req(j).positions); j += 1 }
+      phraseIdSeqs.forall { seq =>
+        val first = posByTid.get(seq(0))
+        var f = 0
+        var ok = false
+        while (!ok && f < first.length) {
+          val p0 = first(f)
+          var j = 1
+          var all = true
+          while (all && j < seq.length) {
+            if (java.util.Arrays.binarySearch(posByTid.get(seq(j)), p0 + j) < 0) all = false
+            j += 1
+          }
+          ok = all
+          f += 1
+        }
+        ok
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var done = false
+    while (!done) {
+      var cand = Long.MinValue
+      var j = 0
+      while (j < req.length) { if (req(j).curDoc > cand) cand = req(j).curDoc; j += 1 }
+      if (cand == Long.MaxValue) done = true
+      else {
+        var aligned = true
+        j = 0
+        while (j < req.length) {
+          if (req(j).curDoc < cand) { req(j).advanceTo(cand); if (req(j).curDoc != cand) aligned = false }
+          j += 1
+        }
+        if (aligned) {
+          if ((accept == null || java.util.Arrays.binarySearch(accept, cand) >= 0) &&
+            passesFilters(cand) && !isExcluded(cand) && phrasesMatch()) out += cand
+          j = 0
+          while (j < req.length) { req(j).next(); j += 1 }
+        }
+      }
+    }
     out.iterator
   }
 }
@@ -828,8 +1133,14 @@ object Wand {
       p: Bm25Params,
       k: Int,
       exactBounds: Boolean = true,
-      excludeTermIds: Set[Long] = Set.empty): Iterator[ScoredDoc] = {
+      excludeTermIds: Set[Long] = Set.empty,
+      /** sorted docIds passing the query's range filters in THIS shard
+        * (null = no range filter). Pruning-only gate at full evaluation —
+        * removing candidates never loosens WAND's upper bounds, so block
+        * skipping stays admissible. */
+      accept: Array[Long] = null): Iterator[ScoredDoc] = {
 
+    if (accept != null && accept.isEmpty) return Iterator.empty
     val byTerm = blocks.toArray.groupBy(_.termId)
     // required non-scoring cursors (keyword filters); conjunctive
     val filters: Array[TermCursor] = filterTermIds.toArray.sorted.flatMap { tid =>
@@ -941,7 +1252,8 @@ object Wand {
         while (j < cursors.length && cursors(j).curDoc == pivotDoc) {
           matched(m) = cursors(j); m += 1; j += 1
         }
-        if (passesFilters(pivotDoc) && !isExcluded(pivotDoc)) {
+        if ((accept == null || java.util.Arrays.binarySearch(accept, pivotDoc) >= 0) &&
+          passesFilters(pivotDoc) && !isExcluded(pivotDoc)) {
           java.util.Arrays.sort(matched, 0, m, new java.util.Comparator[TermCursor] {
             def compare(a: TermCursor, b: TermCursor): Int =
               java.lang.Long.compare(a.termId, b.termId)
@@ -971,6 +1283,79 @@ object Wand {
     val out = new Array[ScoredDoc](heap.size)
     var i = 0
     while (!heap.isEmpty) { out(i) = heap.poll(); i += 1 }
+    out.iterator
+  }
+
+  /** All matching docIds in this shard — the ES QUERY-CONTEXT match set of
+    * a bool query (should-terms with minimum_should_match=1, filter,
+    * must_not, range): a doc matches iff it contains ≥1 scored term, every
+    * filter term, no excluded term, and passes the range accept set. No
+    * scoring, no heap — a plain disjunctive document-at-a-time walk;
+    * output ≤ docsPerShard per task. Drives facet (ES terms-aggregation)
+    * counting, where every match counts, so no block-max skipping applies. */
+  def matching(
+      blocks: Iterator[PostingBlock],
+      anyTermIds: Set[Long],
+      filterTermIds: Set[Long],
+      avgdl: Double,
+      p: Bm25Params,
+      excludeTermIds: Set[Long] = Set.empty,
+      accept: Array[Long] = null): Iterator[Long] = {
+    if (accept != null && accept.isEmpty) return Iterator.empty
+    val byTerm = blocks.toArray.groupBy(_.termId)
+    val filters: Array[TermCursor] = filterTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks =>
+        new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p, exactBounds = true))
+    }
+    if (filters.length < filterTermIds.size) return Iterator.empty
+    val excludes: Array[TermCursor] = excludeTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks =>
+        new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p, exactBounds = true))
+    }
+    val any: Array[TermCursor] = anyTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks =>
+        new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p, exactBounds = true))
+    }
+    if (any.isEmpty) return Iterator.empty
+
+    def passesFilters(d: Long): Boolean = {
+      var i = 0
+      while (i < filters.length) {
+        val f = filters(i)
+        if (f.curDoc < d) f.advanceTo(d)
+        if (f.curDoc != d) return false
+        i += 1
+      }
+      true
+    }
+    def isExcluded(d: Long): Boolean = {
+      var i = 0
+      while (i < excludes.length) {
+        val e = excludes(i)
+        if (e.curDoc < d) e.advanceTo(d)
+        if (e.curDoc == d) return true
+        i += 1
+      }
+      false
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var d = Long.MaxValue
+    var i = 0
+    while (i < any.length) { if (any(i).curDoc < d) d = any(i).curDoc; i += 1 }
+    while (d != Long.MaxValue) {
+      if ((accept == null || java.util.Arrays.binarySearch(accept, d) >= 0) &&
+        passesFilters(d) && !isExcluded(d)) out += d
+      var nd = Long.MaxValue
+      i = 0
+      while (i < any.length) {
+        val c = any(i)
+        if (c.curDoc == d) c.next()
+        if (c.curDoc < nd) nd = c.curDoc
+        i += 1
+      }
+      d = nd
+    }
     out.iterator
   }
 }

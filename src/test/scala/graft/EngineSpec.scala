@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.corpus.CorpusGen
-import graft.index.{IndexBuilder, IndexConfig, PostingBlock}
+import graft.index.{FieldConfig, IndexBuilder, IndexConfig, PostingBlock}
 import graft.search.{Oracle, Searcher}
 
 /** End-to-end engine tests: build over the deterministic synthesized corpus,
@@ -21,10 +21,14 @@ class EngineSpec extends AnyFunSuite {
   private val NumFiles = 400L
   private val Seed = 7L
   // small shards/blocks so multi-shard + multi-block + block-skip paths run
+  // `nbytes` is a stored-only NUMERIC column (no postings, ES doc_values
+  // analogue) so range-filter queries run against the main index
   private val cfg = IndexConfig(
-    buildPartitions = 8, docsPerShard = 64L, blockSize = 16, buildBuckets = 3)
+    buildPartitions = 8, docsPerShard = 64L, blockSize = 16, buildBuckets = 3,
+    fields = FieldConfig(keyword = Seq("lang", "repo"), storedOnly = Seq("nbytes")))
 
   private lazy val corpus = CorpusGen.generate(spark, NumFiles, Seed, partitions = 8).toDF()
+    .withColumn("nbytes", length(col("content")).cast("long"))
 
   private lazy val workDir = Files.createTempDirectory("graft-engine").toString
   private lazy val indexDir = {
@@ -73,7 +77,12 @@ class EngineSpec extends AnyFunSuite {
     ("merge~1 -index lang:scala", 10), // fuzzy + negation + filter
     ("index^2 merge", 10),             // boosted term reorders vs unboosted
     ("query^0.5 def score", 25),       // fractional down-boost
-    ("index^2 merge~1 -def", 10))      // boost + fuzzy + negation compose
+    ("index^2 merge~1 -def", 10),      // boost + fuzzy + negation compose
+    ("merge nbytes:>=500", 10),        // numeric range filter (ES range, filter ctx)
+    ("query nbytes:200..800", 25),     // bounded range
+    ("index nbytes:<400 lang:scala", 10),  // range + keyword filter
+    ("merge -nbytes:>=500", 10),       // negated range (must_not range)
+    ("query nbytes:>=99999999", 10))   // range matching nothing → no hits
 
   private def engineHits(q: String, k: Int): Seq[(String, String, String, Double)] = {
     val hits = searcher.search(q, k)
@@ -264,6 +273,53 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("range filter semantics: doc-values gate on candidates, stats untouched") {
+    import java.lang.Double.doubleToLongBits
+    // split at the median so both sides are non-trivial
+    val med = corpus.stat.approxQuantile("nbytes", Array(0.5), 0.0).head.toLong
+    val base = searcher.search("merge", 100000).map(h => h.docId -> h.score).toMap
+    val ranged = searcher.search(s"merge nbytes:>=$med", 100000)
+    assert(ranged.nonEmpty && ranged.length < base.size, "range must actually filter")
+    val nbById = spark.read.parquet(s"$indexDir/docs")
+      .select("docId", "nbytes").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ranged.foreach { h =>
+      assert(nbById(h.docId) >= med, s"doc ${h.docId} fails the range")
+      assert(doubleToLongBits(h.score) == doubleToLongBits(base(h.docId)),
+        "range filter changed a surviving doc's score (filter context must not touch stats)")
+    }
+    // negated range = exact complement over the matching docs
+    val negRanged = searcher.search(s"merge -nbytes:>=$med", 100000).map(_.docId).toSet
+    assert(negRanged == base.keySet -- ranged.map(_.docId))
+    // unknown field and non-numeric field both reject loudly
+    intercept[IllegalArgumentException](searcher.search("merge zzz:>=1", 10))
+    intercept[IllegalArgumentException](searcher.search("merge lang:1..2", 10))
+    // batch parity through searchMany (mixed ranged + unranged queries)
+    val batchQs = Seq((s"merge nbytes:>=$med", 10), ("query nbytes:200..800", 25),
+      ("index", 10), (s"index -nbytes:<$med lang:scala", 10))
+    searcher.searchMany(batchQs).zip(batchQs).foreach { case (got, (q, k)) =>
+      assert(got.toSeq == searcher.search(q, k).toSeq, s"searchMany mismatch for '$q'")
+    }
+  }
+
+  test("facets: ES terms aggregation over the full match set, oracle-identical") {
+    val kw = Some(searcher.meta.keywords.toSet)
+    val qs = Seq("merge", "merge index", "lang:scala def", "merge -index", "mer*",
+      "merge~1", "query nbytes:>=500")
+    for (q <- qs) {
+      val eng = searcher.facets(q, "lang", 10).toSeq
+      val ora = Oracle.facets(corpus, q, "lang", 10, kw).toSeq
+      assert(eng == ora, s"facet mismatch for '$q': engine=$eng oracle=$ora")
+    }
+    // numeric facet field (values stringified identically on both sides)
+    assert(searcher.facets("merge", "nbytes", 5).toSeq ==
+      Oracle.facets(corpus, "merge", "nbytes", 5, kw).toSeq)
+    // counts sum to the match-set size (lang is never null here)
+    val total = searcher.facets("merge", "lang", 100).map(_._2).sum
+    assert(total == searcher.search("merge", 100000).length.toLong)
+    // unknown facet field rejects loudly
+    intercept[IllegalArgumentException](searcher.facets("merge", "zzz", 5))
+  }
+
   test("kill/resume equivalence: crash after each stage, resume, identical index") {
     import spark.implicits._
     def logical(dir: String): Set[(Long, Long, Long, Long)] =
@@ -411,7 +467,9 @@ class EngineSpec extends AnyFunSuite {
       ("\"if else\" zzz_not_a_term", 20), // absent loose term contributes 0
       ("\"if else\" if", 20),           // loose term inside the phrase: counted once
       ("\"if else\" -merge", 20),       // phrase + negation
-      ("\"if else\" ind*", 20)          // phrase + prefix extras
+      ("\"if else\" ind*", 20),         // phrase + prefix extras
+      ("\"if else\" nbytes:>=400", 20), // phrase + numeric range filter
+      ("\"if else\" query -nbytes:<400", 20) // mixed + negated range
     )
     for ((q, k) <- phraseQueries) {
       val e = eng(q, k)
@@ -442,6 +500,12 @@ class EngineSpec extends AnyFunSuite {
     val pure = eng("\"if else\"", 1000).map(t => (t._1, t._2, t._3)).toSet
     val mixed = eng("\"if else\" query", 1000).map(t => (t._1, t._2, t._3)).toSet
     assert(mixed == pure, "loose terms must not change the phrase candidate set")
+
+    // phrase facets: the full phrase match set grouped by lang, oracle-equal
+    for (q <- Seq("\"if else\"", "\"if else\" -merge", "\"if else\" nbytes:>=400"))
+      assert(s.facets(q, "lang", 10).toSeq ==
+        Oracle.facets(corpus, q, "lang", 10, Some(s.meta.keywords.toSet)).toSeq,
+        s"phrase facet mismatch for $q")
 
     // batch form: phrases and mixed queries in searchMany match per-query
     val batchQs = Seq(("\"if else\"", 20), ("\"index merge\" def", 20),

@@ -84,6 +84,41 @@ class SegmentedSpec extends AnyFunSuite {
     assertMatchesOracle(new MultiSearcher(spark, s"$dir/index"), union2)
   }
 
+  test("segmented range filters and facets: oracle-identical across segments") {
+    val dir = Files.createTempDirectory("graft-segr").toString
+    val rcfg = cfg.copy(fields = graft.index.FieldConfig(
+      keyword = Seq("lang", "repo"), storedOnly = Seq("nbytes")))
+    val idx = new SegmentedIndex(spark, s"$dir/index", rcfg)
+    def withNb(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("nbytes", length(col("content")).cast("long"))
+    val a = withNb(CorpusGen.generate(spark, 150, seed = 7, partitions = 2).toDF())
+    val b = withNb(CorpusGen.generate(spark, 90, seed = 99, partitions = 2).toDF())
+    idx.ingest(a)
+    idx.ingest(b)
+    val union = a.unionByName(b)
+    val ms = new MultiSearcher(spark, s"$dir/index")
+    assert(ms.manifest.segments.length == 2, "fixture must span segments")
+    val kw = Some(rcfg.fields.keyword.toSet)
+    val med = union.stat.approxQuantile("nbytes", Array(0.5), 0.0).head.toLong
+    val rq = Seq(s"merge nbytes:>=$med", s"query nbytes:200..$med",
+      s"def -nbytes:>=$med", s"lang:scala query nbytes:<$med", "merge nbytes:>=99999999")
+    for (q <- rq) {
+      val got = ms.search(q, 15).toSeq.map(h => (h.repo, h.path, h.commit, h.score))
+      val want = Oracle.bm25(union, q, 15, keywordFields = kw).collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      assert(got == want, s"segmented range mismatch for '$q'")
+    }
+    // batch parity with ranged + unranged queries interleaved
+    val qs = rq.map(_ -> 10) :+ ("merge index" -> 10)
+    ms.searchMany(qs).zip(qs).foreach { case (got, (q, k)) =>
+      assert(got.toSeq == ms.search(q, k).toSeq, s"segmented ranged batch mismatch for '$q'")
+    }
+    // facets: counts sum EXACTLY across disjoint segments
+    for (q <- Seq("merge", "merge -index", s"query nbytes:>=$med", "ind* query"))
+      assert(ms.facets(q, "lang", 10).toSeq == Oracle.facets(union, q, "lang", 10, kw).toSeq,
+        s"segmented facet mismatch for '$q'")
+  }
+
   test("segmented searchMany batch results identical to per-query search") {
     val dir = Files.createTempDirectory("graft-segb").toString
     val idx = new SegmentedIndex(spark, s"$dir/index", cfg)
