@@ -981,6 +981,269 @@ object SparkEntry {
       }
       new Searcher(s, idxDir).facets("spark query merge", "lang", 10).toSeq
         .toDF("value", "cnt")
+    }),
+
+    // ES `_count` in query context: how many documents match the bool query
+    // (≥1 scored term + keyword filter) — the full match set via the
+    // match-only kernels, no scoring, no top-k heap. Shares fts3's index.
+    "fts14_count" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      Seq(new Searcher(s, idxDir).count("spark query merge lang:scala")).toDF("cnt")
+    }),
+
+    // ES `stats` aggregation in query context over a stored numeric column
+    // (doc_values): one row (cnt, mn, mx, sm, av) over the match set.
+    // Shares fts12's index (n_chars stored).
+    "fts15_stats" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("n_chars"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts12-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("n_chars")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).statsAgg("spark query merge", "n_chars")
+        .select(col("cnt"), col("mn"), col("mx"), col("sm"), round(col("av"), 4).as("av"))
+    }),
+
+    // ES `histogram` aggregation in query context: fixed-interval buckets
+    // over the match set's field values (min_doc_count 1). Shares fts12's
+    // index.
+    "fts16_histogram" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("n_chars"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts12-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("n_chars")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).histogram("spark query merge", "n_chars", 100.0)
+    }),
+
+    // ES sort-by-field (doc_values sort, missing last): the match set
+    // ordered by a stored numeric column instead of relevance; ties break
+    // docId asc = doc_id asc by construction. Shares fts12's index.
+    "fts17_sortby" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("n_chars"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts12-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("n_chars")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir)
+        .searchSortedBy("spark query merge", "n_chars", ascending = false, 50)
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // ES `minimum_should_match`: a doc needs ≥2 distinct scored terms to
+    // match — WAND prunes as usual (rejecting candidates never loosens the
+    // bounds). Shares fts3's index.
+    "fts18_msm" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir)
+        .search("spark query merge index stream", 50, minShouldMatch = 2).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES pagination (`from`/`size`): hits ranked [10, 30) of the same total
+    // order as fts3's query — the engine computes the top from+k and drops
+    // the prefix, exactly the ES per-shard rule. Shares fts3's index.
+    "fts19_from" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).search("spark query merge", 20, from = 10).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES filter-context-only bool query (constant score): no scoring clause
+    // at all — every filter+range-passing doc matches with score 0, ordered
+    // docId asc (= _doc). Shares fts12's index.
+    "fts20_filter_only" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("n_chars"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts12-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("n_chars")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).search("lang:scala n_chars:>=300", 50).toSeq
+        .toDF("docId", "score")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), col("score"))
+    }),
+
+    // ES `search_after` deep pagination: page 2 is everything STRICTLY
+    // after page 1's last (score, docId) cursor in the one total order —
+    // one k-heap per page regardless of depth, unlike from/size's
+    // O(from+k) heap (ES caps from+size at 10k for exactly this reason).
+    // Shares fts3's index; equals ranks [10, 20) of the fts3 order.
+    "fts21_search_after" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val searcher = new Searcher(s, idxDir)
+      val page1 = searcher.search("spark query merge", 10)
+      val hits = searcher.search("spark query merge", 10, after = page1.last).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES scroll / reindex-export: the query's FULL match set as a
+    // DataFrame of stored fields — fully distributed, never collected to
+    // the driver (a downstream pipeline writes it straight back out).
+    // Shares fts12's index (lang keyword + n_chars stored).
+    "fts22_scan" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("n_chars"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts12-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("n_chars")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).scan("spark query merge", Seq("path", "lang", "n_chars"))
+        .select(col("path").cast("bigint").as("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(asc("doc_id"))
+    }),
+
+    // ES `terms` aggregation with a `stats` SUB-aggregation: per lang over
+    // the match set, doc count + min/max/sum/avg of n_chars — buckets
+    // ordered (count desc, value asc), the ES terms-agg order. Shares
+    // fts12's index.
+    "fts23_facet_stats" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("n_chars"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts12-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("n_chars")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).facetsStats("spark query merge", "lang", "n_chars", 10)
+        .select(col("value"), col("cnt"), col("mn"), col("mx"), col("sm"),
+          round(col("av"), 4).as("av"))
+    }),
+
+    // ES `range` aggregation: explicit half-open buckets (-inf,200),
+    // [200,400), [400,800), [800,inf) over the match set's n_chars — every
+    // bucket present even when empty (the ES range-agg contract). Shares
+    // fts12's index.
+    "fts24_range_agg" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("n_chars"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts12-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("n_chars")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).rangeAgg("spark query merge", "n_chars", Seq(200.0, 400.0, 800.0))
+    }),
+
+    // ES `cardinality` aggregation (exact mode — the DuckDB-comparable
+    // form; the HLL++ approx mode is the scale shape, recall-tested in
+    // ScalaTest): distinct langs over the match set. Shares fts12's index.
+    "fts25_cardinality" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("n_chars"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts12-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("n_chars")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      Seq(new Searcher(s, idxDir).cardinality("spark query merge", "lang", exact = true))
+        .toDF("cnt")
     })
   )
 
@@ -1456,7 +1719,121 @@ object SparkEntry {
           |    FROM documents) GROUP BY 1,2)
           |SELECT term, cast(row_number() OVER (ORDER BY term) - 1 as bigint) AS term_id,
           |  count(*) AS df, cast(sum(tf) as bigint) AS cf
-          |FROM tf GROUP BY term""".stripMargin
+          |FROM tf GROUP BY term""".stripMargin,
+      // ES _count: docs matching ≥1 scored term AND the keyword filter
+      "fts14_count" ->
+        s"""SELECT count(*) AS cnt
+           |FROM (SELECT lang, $tokExpr AS tk FROM documents)
+           |WHERE len(list_intersect(tk, ['spark','query','merge'])) > 0
+           |  AND lang = 'scala'""".stripMargin,
+      // ES stats aggregation over the match set's numeric field
+      "fts15_stats" ->
+        s"""SELECT count(*) AS cnt,
+           |  cast(min(n_chars) as double) AS mn, cast(max(n_chars) as double) AS mx,
+           |  cast(sum(n_chars) as double) AS sm, round(avg(n_chars), 4) AS av
+           |FROM (SELECT n_chars, $tokExpr AS tk FROM documents)
+           |WHERE len(list_intersect(tk, ['spark','query','merge'])) > 0""".stripMargin,
+      // ES histogram aggregation: floor(value/interval)*interval buckets
+      "fts16_histogram" ->
+        s"""SELECT floor(n_chars / 100.0) * 100.0 AS bucket, count(*) AS cnt
+           |FROM (SELECT n_chars, $tokExpr AS tk FROM documents)
+           |WHERE len(list_intersect(tk, ['spark','query','merge'])) > 0
+           |GROUP BY 1 ORDER BY bucket ASC""".stripMargin,
+      // ES sort-by-field: match set ordered by the field, doc_id tie-break
+      "fts17_sortby" ->
+        s"""SELECT doc_id, n_chars
+           |FROM (SELECT doc_id, n_chars, $tokExpr AS tk FROM documents)
+           |WHERE len(list_intersect(tk, ['spark','query','merge'])) > 0
+           |ORDER BY n_chars DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // ES minimum_should_match=2: BM25 over docs with ≥2 distinct terms
+      "fts18_msm" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('spark','query','merge','index','stream') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |GROUP BY doc_id
+           |HAVING count(*) >= 2
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // ES from/size pagination: ranks [10, 30) of fts3's total order
+      "fts19_from" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('spark','query','merge') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 20 OFFSET 10""".stripMargin,
+      // ES filter-context-only (constant score 0, _doc order)
+      "fts20_filter_only" ->
+        """SELECT doc_id, cast(0.0 as double) AS score FROM documents
+          |WHERE lang = 'scala' AND n_chars >= 300
+          |ORDER BY doc_id ASC LIMIT 50""".stripMargin,
+      // ES search_after: ranks [10, 20) of fts3's total order — the cursor
+      // is page 1's last (score, docId), so page 2 IS the next slice
+      "fts21_search_after" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('spark','query','merge') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10""".stripMargin,
+      // ES scroll/export: the full match set's stored fields, doc order
+      "fts22_scan" ->
+        s"""SELECT doc_id, lang, n_chars
+           |FROM (SELECT doc_id, lang, n_chars, $tokExpr AS tk FROM documents)
+           |WHERE len(list_intersect(tk, ['spark','query','merge'])) > 0
+           |ORDER BY doc_id ASC""".stripMargin,
+      // ES terms agg + stats sub-agg: per-lang count and n_chars stats
+      "fts23_facet_stats" ->
+        s"""SELECT lang AS value, count(*) AS cnt,
+           |  cast(min(n_chars) as double) AS mn, cast(max(n_chars) as double) AS mx,
+           |  cast(sum(n_chars) as double) AS sm, round(avg(n_chars), 4) AS av
+           |FROM (SELECT lang, n_chars, $tokExpr AS tk FROM documents)
+           |WHERE len(list_intersect(tk, ['spark','query','merge'])) > 0
+           |  AND lang IS NOT NULL
+           |GROUP BY lang ORDER BY cnt DESC, value ASC LIMIT 10""".stripMargin,
+      // ES range agg: every explicit bucket present, from-incl/to-excl
+      "fts24_range_agg" ->
+        s"""WITH m AS (SELECT n_chars
+           |  FROM (SELECT n_chars, $tokExpr AS tk FROM documents)
+           |  WHERE len(list_intersect(tk, ['spark','query','merge'])) > 0
+           |    AND n_chars IS NOT NULL),
+           |b(idx, lo, hi) AS (VALUES
+           |  (0, cast(NULL as double), 200.0), (1, 200.0, 400.0),
+           |  (2, 400.0, 800.0), (3, 800.0, cast(NULL as double))),
+           |c AS (SELECT
+           |    (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+           |   + CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END
+           |   + CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END) AS idx,
+           |    count(*) AS n FROM m GROUP BY 1)
+           |SELECT b.lo AS lo, b.hi AS hi, cast(coalesce(c.n, 0) as bigint) AS cnt
+           |FROM b LEFT JOIN c USING (idx) ORDER BY lo ASC NULLS FIRST""".stripMargin,
+      // ES cardinality agg (exact form): distinct langs over the match set
+      "fts25_cardinality" ->
+        s"""SELECT cast(count(DISTINCT lang) as bigint) AS cnt
+           |FROM (SELECT lang, $tokExpr AS tk FROM documents)
+           |WHERE len(list_intersect(tk, ['spark','query','merge'])) > 0
+           |  AND lang IS NOT NULL""".stripMargin
     )
   }
 }

@@ -1,7 +1,8 @@
 package graft.search
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{count => sqlCount}
 
 import graft.index.{IndexMeta, Json, ParquetDirIO, PostingBlock, SegmentedIndex, SegmentsManifest, TableIO}
 
@@ -361,19 +362,16 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     Some(accepts.groupByKey(t => (t._2, t._3 / dpsBySeg(t._2))))
   }
 
-  /** Facet counts over the segmented index — [[Searcher.facets]] semantics
-    * (ES `terms` aggregation in query context), EXACT across segments:
-    * identities are disjoint (the SegmentedIndex invariant), so per-value
-    * counts sum. One distributed pass: match-only kernels per (segment,
-    * shard) → join each segment's docs relation for the field → global
-    * partial-aggregated count → TakeOrdered(topN). */
-  def facets(query: String, field: String, topN: Int): Array[(String, Long)] = {
-    val docsSchema = io.read(spark, s"${segs.head._1}/docs").schema
-    require(docsSchema.fieldNames.contains(field),
-      s"facet field '$field' is not a stored docs column (have: ${docsSchema.fieldNames.mkString(", ")})")
-    val (plans, gAvgdl) = planQueries(Seq(query -> 1))
-    if (plans.isEmpty) return Array.empty
+  /** Match-only kernel pass over a plan set: per-(segment, shard) walks with
+    * no heap and no scoring, emitting the (seg, docId) match set. Plans with
+    * scoring clauses run the disjunctive walk (≥ `minShouldMatch` distinct
+    * should-cursors present), phrase plans the position-verified walk, and
+    * SCORELESS plans (idfById and phrases both empty — ES filter context)
+    * the conjunctive walk driven by their filter postings. */
+  private def runMatchKernels(plans: Seq[MultiSearcher.SegPlan], gAvgdl: Double,
+      minShouldMatch: Int = 1): Dataset[(Int, Long)] = {
     val params = p
+    val msm = minShouldMatch
     val plansBySeg = plans.groupBy(_.seg)
 
     def run(s: Int, blocks: Iterator[PostingBlock],
@@ -388,29 +386,239 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
           if (pl.phraseIdSeqs.nonEmpty)
             Phrase.matching(subset, pl.phraseIdSeqs.map(_.toArray).toArray,
               pl.phraseIdfById.keySet, pl.filterIds, gAvgdl, params, pl.excludeIds, accept)
-          else Wand.matching(subset, pl.idfById.keySet, pl.filterIds, gAvgdl, params,
-            pl.excludeIds, accept)
+          else if (pl.idfById.nonEmpty)
+            Wand.matching(subset, pl.idfById.keySet, pl.filterIds, gAvgdl, params,
+              pl.excludeIds, accept, msm)
+          else
+            Wand.matchingConjunctive(subset, pl.filterIds, gAvgdl, params,
+              pl.excludeIds, accept)
         ids.map(d => (s, d))
       }
     }
 
     val grouped = segBlocks(plansBySeg)
-    val matched = acceptsKV(plans) match {
+    acceptsKV(plans) match {
       case None => grouped.flatMapGroups { (key, it) => run(key._1, it.map(_._2), Map.empty) }
       case Some(acc) =>
         grouped.cogroup(acc) { (key, it, accIt) =>
           run(key._1, it.map(_._2), MultiSearcher.acceptArrays(accIt))
         }
     }
-    matched.toDF("seg", "docId")
+  }
+
+  /** The query's FULL match set as (seg, docId) — [[Searcher]]'s
+    * `matchIdsDs` semantics across the segmented index: scored terms are
+    * should clauses (≥ minShouldMatch present), phrases must, keyword
+    * filters and ranges filter, negations must_not; a query with no scoring
+    * clause is pure filter context and an entirely empty query is
+    * match_all. Segment identities are disjoint (the SegmentedIndex
+    * invariant), so the union over segments IS the global match set. */
+  private def matchedSegDoc(query: String, minShouldMatch: Int = 1): DataFrame = {
+    import MultiSearcher.SegPlan
+    val kw = segs.head._2.keywords.toSet
+    val pq = Searcher.parseFull(query, kw)
+    def emptyOut = spark.emptyDataset[(Int, Long)].toDF("seg", "docId")
+
+    if (pq.hasScoringClauses || pq.phrases.nonEmpty) {
+      val (plans, gAvgdl) = planQueries(Seq(query -> 1))
+      if (plans.isEmpty) return emptyOut
+      runMatchKernels(plans, gAvgdl, minShouldMatch).toDF("seg", "docId")
+    } else if (pq.filters.nonEmpty) {
+      // ES filter context: conjunctive plans per segment that has EVERY
+      // filter term (a missing filter posting matches nothing there)
+      val allTerms = (pq.filters ++ pq.allExcluded).distinct.toSeq
+      val dicts = lookup(allTerms)
+      val plans: Seq[SegPlan] = segs.indices.flatMap { s =>
+        val dict = dicts(s)
+        val filterIds = pq.filters.flatMap(f => dict.get(f).map(_._1))
+        if (filterIds.length < pq.filters.length) Nil
+        else Seq(SegPlan(0, s, Map.empty, filterIds.toSet, 1, Nil, Map.empty,
+          exactBounds = true,
+          excludeIds = pq.allExcluded.flatMap(t => dict.get(t).map(_._1)).toSet,
+          ranges = pq.ranges.toSeq))
+      }
+      if (plans.isEmpty) return emptyOut
+      runMatchKernels(plans, avgdl).toDF("seg", "docId")
+    } else {
+      // match_all / range-only / must_not-only: base set from the unioned
+      // docs relations (range predicate pushed into the columnar scans),
+      // minus the excluded terms' disjunctive match set
+      val rangeFields = pq.ranges.map(_.field).distinct.toSeq
+      val base = {
+        val docs = taggedUnion("docs", Seq("docId") ++ rangeFields)
+        val filtered =
+          if (pq.ranges.isEmpty) docs
+          else docs.filter(pq.ranges.map(_.pred).reduce(_ && _))
+        filtered.select(col("seg"), col("docId"))
+      }
+      if (pq.allExcluded.isEmpty) return base
+      val dicts = lookup(pq.allExcluded.distinct.toSeq)
+      val exPlans: Seq[SegPlan] = segs.indices.flatMap { s =>
+        val ids = pq.allExcluded.flatMap(t => dicts(s).get(t).map(_._1)).toSet
+        if (ids.isEmpty) Nil
+        else Seq(SegPlan(0, s, ids.map(_ -> 0.0).toMap, Set.empty, 1, Nil, Map.empty,
+          exactBounds = true))
+      }
+      if (exPlans.isEmpty) return base
+      val ex = runMatchKernels(exPlans, avgdl).toDF("seg", "docId")
+      base.join(ex, Seq("seg", "docId"), "left_anti")
+    }
+  }
+
+  /** Facet counts over the segmented index — [[Searcher.facets]] semantics
+    * (ES `terms` aggregation in query context), EXACT across segments:
+    * identities are disjoint (the SegmentedIndex invariant), so per-value
+    * counts sum. One distributed pass: match-only kernels per (segment,
+    * shard) → join each segment's docs relation for the field → global
+    * partial-aggregated count → TakeOrdered(topN). */
+  def facets(query: String, field: String, topN: Int): Array[(String, Long)] = {
+    val docsSchema = io.read(spark, s"${segs.head._1}/docs").schema
+    require(docsSchema.fieldNames.contains(field),
+      s"facet field '$field' is not a stored docs column (have: ${docsSchema.fieldNames.mkString(", ")})")
+    matchedSegDoc(query)
       .join(taggedUnion("docs", Seq("docId", field)), Seq("seg", "docId"))
       .filter(col(field).isNotNull)
       .groupBy(col(field).cast("string").as("value"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sqlCount(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("value"))
       .limit(topN)
       .as[(String, Long)]
       .collect()
+  }
+
+  /** ES `_count` over the segmented index: exact (disjoint identities sum);
+    * an empty query counts every live document (match_all). */
+  def count(query: String, minShouldMatch: Int = 1): Long =
+    matchedSegDoc(query, minShouldMatch).count()
+
+  /** ES `stats` aggregation in query context over a stored NUMERIC docs
+    * column — [[Searcher.statsAgg]] semantics, exact across segments. */
+  def statsAgg(query: String, field: String, minShouldMatch: Int = 1): DataFrame = {
+    validateNumericDocsField(field)
+    val v = col(field).cast("double")
+    matchedSegDoc(query, minShouldMatch)
+      .join(taggedUnion("docs", Seq("docId", field)), Seq("seg", "docId"))
+      .filter(col(field).isNotNull)
+      .agg(sqlCount(lit(1)).as("cnt"),
+        min(v).as("mn"), max(v).as("mx"), sum(v).as("sm"), avg(v).as("av"))
+  }
+
+  /** ES `histogram` aggregation in query context — [[Searcher.histogram]]
+    * semantics (fixed-interval buckets, min_doc_count 1, nulls skipped),
+    * exact across segments. */
+  def histogram(query: String, field: String, interval: Double,
+      minShouldMatch: Int = 1): DataFrame = {
+    require(interval > 0, s"histogram interval must be > 0 (got $interval)")
+    validateNumericDocsField(field)
+    matchedSegDoc(query, minShouldMatch)
+      .join(taggedUnion("docs", Seq("docId", field)), Seq("seg", "docId"))
+      .filter(col(field).isNotNull)
+      .groupBy((floor(col(field).cast("double") / interval) * interval).as("bucket"))
+      .agg(sqlCount(lit(1)).as("cnt"))
+      .orderBy(asc("bucket"))
+  }
+
+  /** ES sort-by-field over the segmented index — [[Searcher.searchSortedBy]]
+    * semantics, with DOCUMENT IDENTITY as the tie/missing break (docIds are
+    * per-segment and not globally comparable). Returns ≤k rows
+    * (repo, path, commit, field). */
+  def searchSortedBy(query: String, field: String, ascending: Boolean, k: Int,
+      minShouldMatch: Int = 1): DataFrame = {
+    validateNumericDocsField(field)
+    val ord = if (ascending) col(field).asc_nulls_last else col(field).desc_nulls_last
+    matchedSegDoc(query, minShouldMatch)
+      .join(taggedUnion("docs", Seq("docId", "repo", "path", "commit", field)),
+        Seq("seg", "docId"))
+      .select(col("repo"), col("path"), col("commit"), col(field))
+      .orderBy(ord, asc("repo"), asc("path"), asc("commit"))
+      .limit(k)
+  }
+
+  private def validateNumericDocsField(name: String): Unit = {
+    val docsSchema = io.read(spark, s"${segs.head._1}/docs").schema
+    val f = docsSchema.fields.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+      s"field '$name' is not a stored docs column (have: ${docsSchema.fieldNames.mkString(", ")})"))
+    require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"field '$name' is not numeric (${f.dataType.simpleString})")
+  }
+
+  /** ES scroll / export analogue over the segmented index —
+    * [[Searcher.scan]] semantics: the FULL match set as a DataFrame of
+    * stored fields, never collected, no order. Identity columns
+    * (repo, path, commit) always ride along (docIds are per-segment). */
+  def scan(query: String, fields: Seq[String] = Nil, minShouldMatch: Int = 1): DataFrame = {
+    val docsSchema = io.read(spark, s"${segs.head._1}/docs").schema
+    val cols =
+      if (fields.isEmpty) docsSchema.fieldNames.toSeq
+      else {
+        fields.foreach(f => require(docsSchema.fieldNames.contains(f),
+          s"scan field '$f' is not a stored docs column (have: ${docsSchema.fieldNames.mkString(", ")})"))
+        (Seq("docId", "repo", "path", "commit") ++ fields).distinct
+      }
+    matchedSegDoc(query, minShouldMatch)
+      .join(taggedUnion("docs", cols), Seq("seg", "docId"))
+      .drop("seg", "docId")
+  }
+
+  /** ES `terms` aggregation with a `stats` sub-aggregation —
+    * [[Searcher.facetsStats]] semantics, exact across segments (disjoint
+    * identities sum/merge). */
+  def facetsStats(query: String, bucketField: String, valueField: String, topN: Int,
+      minShouldMatch: Int = 1): DataFrame = {
+    val docsSchema = io.read(spark, s"${segs.head._1}/docs").schema
+    require(docsSchema.fieldNames.contains(bucketField),
+      s"bucket field '$bucketField' is not a stored docs column (have: ${docsSchema.fieldNames.mkString(", ")})")
+    validateNumericDocsField(valueField)
+    val v = col(valueField).cast("double")
+    matchedSegDoc(query, minShouldMatch)
+      .join(taggedUnion("docs", Seq("docId", bucketField, valueField)), Seq("seg", "docId"))
+      .filter(col(bucketField).isNotNull)
+      .groupBy(col(bucketField).cast("string").as("value"))
+      .agg(sqlCount(lit(1)).as("cnt"),
+        min(v).as("mn"), max(v).as("mx"), sum(v).as("sm"), avg(v).as("av"))
+      .orderBy(desc("cnt"), asc("value"))
+      .limit(topN)
+  }
+
+  /** ES `range` aggregation — [[Searcher.rangeAgg]] semantics (explicit
+    * half-open buckets, every bucket present), exact across segments. */
+  def rangeAgg(query: String, field: String, bounds: Seq[Double],
+      minShouldMatch: Int = 1): DataFrame = {
+    require(bounds.nonEmpty, "range aggregation needs at least one bound")
+    require(bounds == bounds.sorted && bounds.distinct == bounds,
+      s"range bounds must be strictly increasing (got ${bounds.mkString(", ")})")
+    validateNumericDocsField(field)
+    val v = col(field).cast("double")
+    val bucketIdx = bounds.foldLeft(lit(0))((acc, b) => acc + when(v >= b, 1).otherwise(0))
+    val counts = matchedSegDoc(query, minShouldMatch)
+      .join(taggedUnion("docs", Seq("docId", field)), Seq("seg", "docId"))
+      .filter(col(field).isNotNull)
+      .groupBy(bucketIdx.as("idx"))
+      .agg(sqlCount(lit(1)).as("cnt"))
+    val buckets = (0 to bounds.size).map { i =>
+      (i,
+        if (i == 0) None else Some(bounds(i - 1)),
+        if (i == bounds.size) None else Some(bounds(i)))
+    }.toDF("idx", "lo", "hi")
+    buckets.join(counts, Seq("idx"), "left")
+      .select(col("lo"), col("hi"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy(asc_nulls_first("lo"))
+  }
+
+  /** ES `cardinality` aggregation — [[Searcher.cardinality]] semantics.
+    * Exact across segments in BOTH modes: distinct values dedup globally in
+    * the exact shuffle, and HyperLogLog++ sketches merge losslessly across
+    * the segment-tagged union. */
+  def cardinality(query: String, field: String, exact: Boolean = false,
+      rsd: Double = 0.05, minShouldMatch: Int = 1): Long = {
+    val docsSchema = io.read(spark, s"${segs.head._1}/docs").schema
+    require(docsSchema.fieldNames.contains(field),
+      s"cardinality field '$field' is not a stored docs column (have: ${docsSchema.fieldNames.mkString(", ")})")
+    val matched = matchedSegDoc(query, minShouldMatch)
+      .join(taggedUnion("docs", Seq("docId", field)), Seq("seg", "docId"))
+      .filter(col(field).isNotNull)
+    val aggCol = if (exact) countDistinct(col(field)) else approx_count_distinct(col(field), rsd)
+    matched.agg(aggCol.as("c")).head().getLong(0)
   }
 }
 

@@ -40,7 +40,12 @@ object Oracle {
         * falls back to the schema-derived rule (FieldConfig.derive) — pass
         * the engine's set when the index was built with a custom FieldConfig
         * so `col:value` tokens split filter-vs-content identically. */
-      keywordFields: Option[Set[String]] = None): DataFrame = {
+      keywordFields: Option[Set[String]] = None,
+      /** ES `minimum_should_match` over the scored (should) clauses: a doc
+        * needs ≥ this many DISTINCT contributing terms — mirrors the
+        * engine's per-cursor count exactly (each prefix/fuzzy expansion is
+        * its own clause under the scoring_boolean rewrite). */
+      minShouldMatch: Int = 1): DataFrame = {
     // The full query grammar is parsed by the ENGINE's parser (shared on
     // purpose — the split rules cannot diverge): `"quoted spans"` are
     // exact-phrase requirements matched over the same analyzed token stream
@@ -116,10 +121,14 @@ object Oracle {
         .select(col("repo"), col("path"), col("commit"),
           struct(col("term"), contrib.as("c")).as("tc"))
         .groupBy("repo", "path", "commit")
-        .agg(aggregate(
-          array_sort(collect_list(col("tc"))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("c")).as("score"))
+        .agg(
+          aggregate(
+            array_sort(collect_list(col("tc"))),
+            lit(0.0),
+            (acc, x) => acc + x.getField("c")).as("score"),
+          count(lit(1)).as("_nclauses")) // distinct terms: tfq is per (doc, term)
+        .filter(col("_nclauses") >= minShouldMatch)
+        .drop("_nclauses")
         .orderBy(desc("score"), asc("repo"), asc("path"), asc("commit"))
         .limit(k)
     } finally docTok.unpersist()
@@ -161,45 +170,69 @@ object Oracle {
     if (excluded.isEmpty) lit(false)
     else exists(col("toks"), t => t.isin(excluded: _*))
 
+  /** The full bool-query match gate over a corpus row with an analyzed
+    * `toks` column — mirrors [[Searcher]]'s `matchIdsDs` semantics exactly:
+    * phrases are must clauses (all aligned; loose terms don't gate), scored
+    * terms are should clauses (≥ `minShouldMatch` DISTINCT matching terms —
+    * each prefix/fuzzy-expanded corpus term is its own clause under the
+    * scoring_boolean rewrite, and the engine dedups expanded cursors so a
+    * term matching two patterns still counts once), keyword/range filters
+    * are filter clauses, negations must_not. A query with NO scoring clause
+    * is pure filter context; entirely empty = match_all. */
+  private def matchGate(pq: Searcher.ParsedQuery, minShouldMatch: Int): Column = {
+    val phraseSeqs: Seq[Seq[String]] = pq.phrases.map(_.toSeq).toSeq
+    val base = filterGate(pq) && !excludedGate(pq.excluded.toSeq)
+    if (phraseSeqs.nonEmpty) phraseGate(phraseSeqs) && base
+    else if (pq.hasScoringClauses) {
+      val qTerms = pq.terms.distinct.toSeq
+      // one should-clause per DISTINCT matching term (engine cursor = one
+      // dense termId; expansions are deduped against literals)
+      val tokPred: Column => Column = t => (
+        (if (qTerms.isEmpty) Seq.empty[Column] else Seq(t.isin(qTerms: _*))) ++
+          pq.prefixes.toSeq.map(pf => t.startsWith(pf)) ++
+          pq.fuzzies.toSeq.map { case (st, b) => levenshtein(t, lit(st)) <= b }
+        ).reduce(_ || _)
+      val clauseHits = size(filter(array_distinct(col("toks")), tokPred))
+      (clauseHits >= minShouldMatch) && base
+    } else base // ES filter context / match_all
+  }
+
+  /** The query's FULL match set the brute-force way — the oracle for
+    * [[Searcher]] match-set consumers (`count`, `facets`, `statsAgg`,
+    * `histogram`, `searchSortedBy`): every corpus row passing [[matchGate]],
+    * original columns preserved. */
+  def matchingDocs(
+      corpus: DataFrame,
+      query: String,
+      keywordFields: Option[Set[String]] = None,
+      minShouldMatch: Int = 1): DataFrame = {
+    val kwFields: Set[String] = keywordFields.getOrElse(
+      graft.index.FieldConfig.derive(corpus.schema).keyword.toSet)
+    val pq = Searcher.parseFull(query, kwFields)
+    corpus
+      .withColumn("toks", Analyzer.analyze(col("content")))
+      .filter(matchGate(pq, minShouldMatch))
+      .drop("toks")
+  }
+
   /** Facet counts the brute-force way — the oracle for
     * [[Searcher.facets]] / [[MultiSearcher.facets]] (ES `terms`
     * aggregation in query context): group the documents MATCHING the query
-    * (≥1 scored term — with prefix/fuzzy token expansion — or, for phrase
-    * queries, every phrase aligned; filters/ranges passed; no excluded
-    * term) by a metadata column and count, ordered (count desc, value asc),
-    * top `topN`. Docs with a null field value are skipped (ES agg rule). */
+    * ([[matchGate]] semantics) by a metadata column and count, ordered
+    * (count desc, value asc), top `topN`. Docs with a null field value are
+    * skipped (ES agg rule). */
   def facets(
       corpus: DataFrame,
       query: String,
       field: String,
       topN: Int,
-      keywordFields: Option[Set[String]] = None): Array[(String, Long)] = {
-    val kwFields: Set[String] = keywordFields.getOrElse(
-      graft.index.FieldConfig.derive(corpus.schema).keyword.toSet)
-    val pq = Searcher.parseFull(query, kwFields)
-    val phraseSeqs: Seq[Seq[String]] = pq.phrases.map(_.toSeq).toSeq
-    val qTerms = pq.terms.distinct.toSeq
-    // ≥1 scored-term hit: literal terms, prefix-matching and fuzzy-matching
-    // corpus tokens (the engine expands against the dictionary — same set)
-    val termHit: Column = (
-      (if (qTerms.isEmpty) Seq.empty[Column]
-       else Seq(exists(col("toks"), t => t.isin(qTerms: _*)))) ++
-        pq.prefixes.toSeq.map(pf => exists(col("toks"), t => t.startsWith(pf))) ++
-        pq.fuzzies.toSeq.map { case (st, b) =>
-          exists(col("toks"), t => levenshtein(t, lit(st)) <= b)
-        }
-      ).reduceOption(_ || _).getOrElse(lit(false))
-    val matchPred: Column =
-      if (phraseSeqs.nonEmpty) phraseGate(phraseSeqs) else termHit
-    corpus
-      .withColumn("toks", Analyzer.analyze(col("content")))
-      .filter(matchPred && !excludedGate(pq.excluded.toSeq) && filterGate(pq) &&
-        col(field).isNotNull)
+      keywordFields: Option[Set[String]] = None): Array[(String, Long)] =
+    matchingDocs(corpus, query, keywordFields)
+      .filter(col(field).isNotNull)
       .groupBy(col(field).cast("string").as("value"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("value"))
       .limit(topN)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-  }
 }

@@ -2,6 +2,7 @@ package graft.search
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{count => sqlCount}
 
 import graft.analysis.Analyzer
 import graft.index.{IndexMeta, Json, ParquetDirIO, PostingBlock, TableIO}
@@ -47,15 +48,18 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     .select(PostingBlock.columns.map(col): _*)
   private lazy val docsDf = io.read(spark, s"$indexDir/docs")
 
+  /** Numeric stored-column check shared by range filters, stats/histogram
+    * aggregations and field sort (all ES doc_values consumers). */
+  private def validateNumericField(name: String): Unit = {
+    val f = docsDf.schema.fields.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+      s"field '$name' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})"))
+    require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"field '$name' is not numeric (${f.dataType.simpleString})")
+  }
+
   /** Range filters apply to stored NUMERIC docs columns (ES doc_values). */
   private def validateRanges(ranges: Array[Searcher.RangeFilter]): Unit =
-    ranges.foreach { r =>
-      val f = docsDf.schema.fields.find(_.name == r.field).getOrElse(throw new IllegalArgumentException(
-        s"range filter field '${r.field}' is not a stored docs column " +
-          s"(have: ${docsDf.columns.mkString(", ")})"))
-      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"range filter field '${r.field}' is not numeric (${f.dataType.simpleString})")
-    }
+    ranges.foreach(r => validateNumericField(r.field))
 
   /** docIds passing ALL the query's range filters, keyed by shard — computed
     * from the docs relation with the predicate pushed into the columnar scan
@@ -176,8 +180,26 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * the oracle. Loose terms may be mixed with phrases (`"exact phrase"
     * extra term`): phrases stay required, loose terms are optional scored
     * contributions on phrase-matching documents (ES semantics for a
-    * must-phrase + should-term query). */
-  def search(query: String, k: Int): Array[ScoredDoc] = {
+    * must-phrase + should-term query).
+    *
+    * `from` is the ES `from`/`size` pagination offset: hits ranked
+    * `[from, from+k)` of the same total order (the engine computes the top
+    * `from+k` and drops the prefix — ES does exactly this per shard).
+    * `minShouldMatch` is the ES `minimum_should_match` bound on the scored
+    * (should) clauses; phrases are must clauses and unaffected by it.
+    *
+    * `after` is the ES `search_after` cursor — the LAST hit of the previous
+    * page: only hits strictly after it in the (score desc, docId asc) total
+    * order are returned, so page N+1 costs one k-heap regardless of depth
+    * (the scale-correct deep-paging shape; `from`/`size` pays an O(from+k)
+    * heap and is capped at 10k in ES for exactly this reason). Mutually
+    * exclusive with `from`, as in ES. */
+  def search(query: String, k: Int, from: Int = 0, minShouldMatch: Int = 1,
+      after: ScoredDoc = null): Array[ScoredDoc] = {
+    require(from >= 0, s"from must be >= 0 (got $from)")
+    require(from == 0 || after == null, "search_after cannot be combined with from (ES rule)")
+    require(minShouldMatch >= 1, s"minShouldMatch must be >= 1 (got $minShouldMatch)")
+    val kEff = from + k
     val pq = Searcher.parseFull(query, meta.keywords.toSet)
     val expanded = pq.prefixes.flatMap(expandPrefixMap(pq.prefixes.toSeq).apply) ++
       pq.fuzzies.flatMap(expandFuzzyMap(pq.fuzzies.toSeq).apply)
@@ -186,12 +208,28 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     // absent from the dictionary excludes nothing
     val excludeIds: Set[Long] = lookupTerms(pq.allExcluded.toSeq).map(_._1).toSet
     if (pq.phrases.nonEmpty)
-      return searchPhrases(pq.phrases, (pq.terms ++ expanded).distinct, pq.filters, k,
-        excludeIds, pq.boostOf, pq.ranges)
+      return searchPhrases(pq.phrases, (pq.terms ++ expanded).distinct, pq.filters, kEff,
+        excludeIds, pq.boostOf, pq.ranges, after).drop(from)
     val qTerms = (pq.terms ++ expanded).distinct
     val qFilters = pq.filters
     val stats = lookupTermStats(qTerms.toSeq)
-    if (stats.isEmpty) return Array.empty
+    if (stats.isEmpty) {
+      // ES filter-context-only bool query (no scoring clause at all):
+      // every filter-passing doc matches with constant score 0, ordered
+      // docId asc. A query that HAS should clauses but none in the
+      // dictionary matches nothing (minimum_should_match >= 1).
+      if (pq.hasScoringClauses ||
+        (pq.filters.isEmpty && pq.ranges.isEmpty && pq.allExcluded.isEmpty))
+        return Array.empty
+      // search_after on the constant-score order: every hit scores 0.0, so
+      // the cursor reduces to docId > after.docId (a cursor with score > 0
+      // precedes all constant-score hits and excludes nothing)
+      val ids = matchIdsDs(pq).toDF("docId")
+      val paged = if (after == null || after.score > 0.0) ids
+        else ids.filter(col("docId") > after.docId)
+      return paged.orderBy(asc("docId")).limit(kEff)
+        .as[Long].collect().drop(from).map(ScoredDoc(_, 0.0))
+    }
     val filterStats = lookupTerms(qFilters.toSeq)
     // a filter term absent from the dictionary matches no document at all
     if (filterStats.length < qFilters.length) return Array.empty
@@ -210,11 +248,13 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .filter(col("termId").isin(termIds.map(Long.box): _*))
       .as[PostingBlock]
       .groupByKey(_.shard)
+    val msm = minShouldMatch
+    val aft = after
     val perShard =
       if (pq.ranges.isEmpty)
         blocksKV.flatMapGroups { (_, blocks) =>
-          Wand.topK(blocks, idfById, filterIds, avgdl, params, k,
-            excludeTermIds = excludeIds)
+          Wand.topK(blocks, idfById, filterIds, avgdl, params, kEff,
+            excludeTermIds = excludeIds, minShouldMatch = msm, after = aft)
         }
       else
         // range filters: cogroup the per-shard accept set (docs-relation
@@ -223,15 +263,16 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
         blocksKV.cogroup(acceptsByShard(pq.ranges)) { (_, blocks, acc) =>
           val a = acc.toArray
           java.util.Arrays.sort(a)
-          Wand.topK(blocks, idfById, filterIds, avgdl, params, k,
-            excludeTermIds = excludeIds, accept = a)
+          Wand.topK(blocks, idfById, filterIds, avgdl, params, kEff,
+            excludeTermIds = excludeIds, accept = a, minShouldMatch = msm, after = aft)
         }
 
     perShard
       .orderBy(desc("score"), asc("docId"))
-      .limit(k)
+      .limit(kEff)
       .as[ScoredDoc]
       .collect()
+      .drop(from)
   }
 
   /** Exact-phrase top-k: conjunctive document-at-a-time over the phrase
@@ -245,7 +286,8 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       k: Int,
       excludeIds: Set[Long] = Set.empty,
       boostOf: String => Double = _ => 1.0,
-      ranges: Array[Searcher.RangeFilter] = Array.empty): Array[ScoredDoc] = {
+      ranges: Array[Searcher.RangeFilter] = Array.empty,
+      after: ScoredDoc = null): Array[ScoredDoc] = {
     if (!meta.hasPositions)
       throw new IllegalStateException(
         "phrase query on an index built without positions (IndexConfig.storePositions=false)")
@@ -278,18 +320,19 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .filter(col("termId").isin(termIds.map(Long.box): _*))
       .as[PostingBlock]
       .groupByKey(_.shard)
+    val aft = after
     val perShard =
       if (ranges.isEmpty)
         blocksKV.flatMapGroups { (_, blocks) =>
           Phrase.topK(blocks, phraseIdSeqs, idfById, optIdfById, filterIds, avgdl, params, k,
-            excludeTermIds = excludeIds)
+            excludeTermIds = excludeIds, after = aft)
         }
       else
         blocksKV.cogroup(acceptsByShard(ranges)) { (_, blocks, acc) =>
           val a = acc.toArray
           java.util.Arrays.sort(a)
           Phrase.topK(blocks, phraseIdSeqs, idfById, optIdfById, filterIds, avgdl, params, k,
-            excludeTermIds = excludeIds, accept = a)
+            excludeTermIds = excludeIds, accept = a, after = aft)
         }
 
     perShard
@@ -423,21 +466,18 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .orderBy(desc("score"), asc("docId"))
   }
 
-  /** Facet counts — the ES `terms` aggregation in query context: for every
-    * value of a stored docs column, how many documents MATCH the query
-    * (all matches, not top-k). Match semantics are the bool query's: ≥1
-    * scored term (should, minimum_should_match=1), every phrase aligned
-    * (must), every keyword filter and range passed (filter), no excluded
-    * term (must_not). Docs missing the field are skipped (ES agg rule).
-    * Returns ≤ topN (value, count) rows ordered (count desc, value asc).
-    *
-    * Plan: match-only kernel walk per shard (no heap — emission bounded by
-    * docsPerShard per task) → distributed join with the docs relation on
-    * docId → partial-aggregated groupBy(field) → TakeOrdered(topN). */
-  def facets(query: String, field: String, topN: Int): Array[(String, Long)] = {
-    require(docsDf.columns.contains(field),
-      s"facet field '$field' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})")
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+  /** The query's FULL match set as a Dataset[docId] — the ES QUERY-CONTEXT
+    * bool match: scored terms are should clauses (≥ minShouldMatch must be
+    * present; each prefix/fuzzy expansion is its own clause), phrases are
+    * must clauses (position-verified), keyword filters and ranges are
+    * filter clauses, negations are must_not. An entirely empty query is
+    * `match_all` (the ES default query for aggregations). Plan: match-only
+    * kernel walk per shard (no heap — emission bounded by docsPerShard per
+    * task); filter-context-only queries drive the walk from the filter
+    * conjunction's postings; match_all/range-only queries come straight off
+    * the docs relation (predicate pushed into the columnar scan). */
+  private def matchIdsDs(
+      pq: Searcher.ParsedQuery, minShouldMatch: Int = 1): Dataset[Long] = {
     if (pq.phrases.nonEmpty && !meta.hasPositions)
       throw new IllegalStateException(
         "phrase query on an index built without positions (IndexConfig.storePositions=false)")
@@ -447,8 +487,9 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     val phraseTerms = pq.phrases.flatten.distinct
     val stats = lookupTermStats((qTerms ++ phraseTerms ++ pq.filters).distinct.toSeq)
     val excludeIds: Set[Long] = lookupTerms(pq.allExcluded.toSeq).map(_._1).toSet
+    val empty = spark.emptyDataset[Long]
     val filterIdArr = pq.filters.flatMap(f => stats.get(f).map(_._1))
-    if (filterIdArr.length < pq.filters.length) return Array.empty
+    if (filterIdArr.length < pq.filters.length) return empty
     val filterIds = filterIdArr.toSet
     val params = p
     val avgdl = meta.avgdl
@@ -467,28 +508,208 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       }
     }
 
-    val matchIds: Dataset[Long] =
-      if (pq.phrases.nonEmpty) {
-        if (phraseTerms.exists(t => !stats.contains(t))) return Array.empty
-        val reqIds = phraseTerms.map(t => stats(t)._1).toSet
-        val phraseIdSeqs = pq.phrases.map(_.map(t => stats(t)._1))
-        run(reqIds ++ filterIds ++ excludeIds, (b, a) =>
-          Phrase.matching(b, phraseIdSeqs, reqIds, filterIds, avgdl, params, excludeIds, a))
-      } else {
-        val anyIds = qTerms.flatMap(t => stats.get(t).map(_._1)).toSet
-        if (anyIds.isEmpty) return Array.empty
-        run(anyIds ++ filterIds ++ excludeIds, (b, a) =>
-          Wand.matching(b, anyIds, filterIds, avgdl, params, excludeIds, a))
+    if (pq.phrases.nonEmpty) {
+      if (phraseTerms.exists(t => !stats.contains(t))) return empty
+      val reqIds = phraseTerms.map(t => stats(t)._1).toSet
+      val phraseIdSeqs = pq.phrases.map(_.map(t => stats(t)._1))
+      run(reqIds ++ filterIds ++ excludeIds, (b, a) =>
+        Phrase.matching(b, phraseIdSeqs, reqIds, filterIds, avgdl, params, excludeIds, a))
+    } else if (pq.hasScoringClauses) {
+      val anyIds = qTerms.flatMap(t => stats.get(t).map(_._1)).toSet
+      if (anyIds.isEmpty) empty
+      else run(anyIds ++ filterIds ++ excludeIds, (b, a) =>
+        Wand.matching(b, anyIds, filterIds, avgdl, params, excludeIds, a, minShouldMatch))
+    } else if (filterIds.nonEmpty) {
+      // ES filter context only: the keyword-filter conjunction drives the walk
+      run(filterIds ++ excludeIds, (b, a) =>
+        Wand.matchingConjunctive(b, filterIds, avgdl, params, excludeIds, a))
+    } else {
+      // match_all / range-only / must_not-only: base set from the docs
+      // relation (range predicate pushed into the columnar scan), minus the
+      // excluded terms' disjunctive match set
+      val base: Dataset[Long] =
+        if (pq.ranges.isEmpty) docsDf.select(col("docId")).as[Long]
+        else {
+          validateRanges(pq.ranges)
+          docsDf.filter(pq.ranges.map(_.pred).reduce(_ && _)).select(col("docId")).as[Long]
+        }
+      if (excludeIds.isEmpty) base
+      else {
+        val ex = run(excludeIds, (b, a) =>
+          Wand.matching(b, excludeIds, Set.empty, avgdl, params, Set.empty, a))
+        base.toDF("docId").join(ex.toDF("docId"), Seq("docId"), "left_anti")
+          .as[Long]
       }
+    }
+  }
 
-    docsDf.join(matchIds.toDF("docId"), Seq("docId"))
+  /** Facet counts — the ES `terms` aggregation in query context: for every
+    * value of a stored docs column, how many documents MATCH the query
+    * (all matches, not top-k — [[matchIdsDs]] semantics, including
+    * filter-only and match_all queries). Docs missing the field are skipped
+    * (ES agg rule). Returns ≤ topN (value, count) rows ordered
+    * (count desc, value asc).
+    *
+    * Plan: match-only kernel walk per shard → distributed join with the
+    * docs relation on docId → partial-aggregated groupBy(field) →
+    * TakeOrdered(topN). */
+  def facets(query: String, field: String, topN: Int): Array[(String, Long)] = {
+    require(docsDf.columns.contains(field),
+      s"facet field '$field' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})")
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    docsDf.join(matchIdsDs(pq).toDF("docId"), Seq("docId"))
       .filter(col(field).isNotNull)
       .groupBy(col(field).cast("string").as("value"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sqlCount(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("value"))
       .limit(topN)
       .as[(String, Long)]
       .collect()
+  }
+
+  /** ES `_count`: how many documents match the query — full bool semantics
+    * via [[matchIdsDs]]; an empty query counts every document (match_all). */
+  def count(query: String, minShouldMatch: Int = 1): Long =
+    matchIdsDs(Searcher.parseFull(query, meta.keywords.toSet), minShouldMatch).count()
+
+  /** ES `stats` aggregation in query context over a stored NUMERIC docs
+    * column: ONE row (cnt, mn, mx, sm, av) over the matching documents that
+    * have the field (nulls skipped — ES agg rule; cnt is the count of
+    * field-bearing matches, min/max/sum/avg over their values). */
+  def statsAgg(query: String, field: String, minShouldMatch: Int = 1): DataFrame = {
+    validateNumericField(field)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val v = col(field).cast("double")
+    docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
+      .filter(col(field).isNotNull)
+      .agg(sqlCount(lit(1)).as("cnt"),
+        min(v).as("mn"), max(v).as("mx"), sum(v).as("sm"), avg(v).as("av"))
+  }
+
+  /** ES `histogram` aggregation in query context: fixed-interval buckets
+    * (key = floor(value / interval) * interval) over the matching docs'
+    * field values, count per bucket, ordered by key asc. Empty buckets are
+    * omitted (ES `min_doc_count: 1`); null fields skipped (ES agg rule). */
+  def histogram(
+      query: String, field: String, interval: Double, minShouldMatch: Int = 1): DataFrame = {
+    require(interval > 0, s"histogram interval must be > 0 (got $interval)")
+    validateNumericField(field)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
+      .filter(col(field).isNotNull)
+      .groupBy((floor(col(field).cast("double") / interval) * interval).as("bucket"))
+      .agg(sqlCount(lit(1)).as("cnt"))
+      .orderBy(asc("bucket"))
+  }
+
+  /** ES sort-by-field (doc_values sort, `missing: _last`): the query's
+    * match set ordered by a stored NUMERIC docs column instead of
+    * relevance — ties and missing values break by docId asc. No scoring
+    * work at all: the kernels run in match-only mode, then Spark's
+    * TakeOrderedAndProject merges per-partition top-k. Returns ≤k rows
+    * (docId, field). */
+  def searchSortedBy(
+      query: String, field: String, ascending: Boolean, k: Int,
+      minShouldMatch: Int = 1): DataFrame = {
+    validateNumericField(field)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val ord = if (ascending) col(field).asc_nulls_last else col(field).desc_nulls_last
+    docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
+      .select(col("docId"), col(field))
+      .orderBy(ord, asc("docId"))
+      .limit(k)
+  }
+
+  /** ES scroll / `search_after`-export analogue: the query's FULL match set
+    * as a DataFrame of stored fields — never collected to the driver, no
+    * heap, no order (the reindex/export serving shape: downstream writes it
+    * straight back out, partition-parallel). `fields` selects stored docs
+    * columns on top of the `docId` key; empty = every stored column. Full
+    * bool semantics via [[matchIdsDs]], including filter-only and match_all
+    * queries. */
+  def scan(query: String, fields: Seq[String] = Nil, minShouldMatch: Int = 1): DataFrame = {
+    val cols =
+      if (fields.isEmpty) docsDf.columns.toSeq
+      else {
+        fields.foreach(f => require(docsDf.columns.contains(f),
+          s"scan field '$f' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})"))
+        ("docId" +: fields).distinct
+      }
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    docsDf.select(cols.map(col): _*)
+      .join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
+  }
+
+  /** ES `terms` aggregation with a `stats` SUB-aggregation: for each value
+    * of `bucketField` over the match set, the count of docs plus
+    * min/max/sum/avg of `valueField` (nulls skipped per ES agg rule — a doc
+    * missing `bucketField` is skipped entirely; one missing only
+    * `valueField` counts but contributes no stats). Top `topN` buckets by
+    * (count desc, value asc) — the ES terms-agg order. */
+  def facetsStats(query: String, bucketField: String, valueField: String, topN: Int,
+      minShouldMatch: Int = 1): DataFrame = {
+    require(docsDf.columns.contains(bucketField),
+      s"bucket field '$bucketField' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})")
+    validateNumericField(valueField)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val v = col(valueField).cast("double")
+    docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
+      .filter(col(bucketField).isNotNull)
+      .groupBy(col(bucketField).cast("string").as("value"))
+      .agg(sqlCount(lit(1)).as("cnt"),
+        min(v).as("mn"), max(v).as("mx"), sum(v).as("sm"), avg(v).as("av"))
+      .orderBy(desc("cnt"), asc("value"))
+      .limit(topN)
+  }
+
+  /** ES `range` aggregation in query context: explicit half-open buckets
+    * over a stored numeric field — `bounds` b₀<b₁<…<bₙ define n+1 buckets
+    * (-∞,b₀), [b₀,b₁), …, [bₙ,∞), from-inclusive/to-exclusive, EVERY bucket
+    * present even when empty (the ES range-agg contract, unlike histogram's
+    * min_doc_count). Returns (lo, hi, cnt) rows ordered by bucket; lo/hi
+    * null at the open ends. Plan: one partial-aggregated pass over the
+    * matching docs bucketed by a codegen'd bound count, left-joined onto
+    * the literal bucket table (broadcast). */
+  def rangeAgg(query: String, field: String, bounds: Seq[Double],
+      minShouldMatch: Int = 1): DataFrame = {
+    require(bounds.nonEmpty, "range aggregation needs at least one bound")
+    require(bounds == bounds.sorted && bounds.distinct == bounds,
+      s"range bounds must be strictly increasing (got ${bounds.mkString(", ")})")
+    validateNumericField(field)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val v = col(field).cast("double")
+    // bucket index per doc = number of bounds <= value (from-inclusive)
+    val bucketIdx = bounds.foldLeft(lit(0))((acc, b) => acc + when(v >= b, 1).otherwise(0))
+    val counts = docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
+      .filter(col(field).isNotNull)
+      .groupBy(bucketIdx.as("idx"))
+      .agg(sqlCount(lit(1)).as("cnt"))
+    import spark.implicits._
+    val buckets = (0 to bounds.size).map { i =>
+      (i,
+        if (i == 0) None else Some(bounds(i - 1)),
+        if (i == bounds.size) None else Some(bounds(i)))
+    }.toDF("idx", "lo", "hi")
+    buckets.join(counts, Seq("idx"), "left")
+      .select(col("lo"), col("hi"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy(asc_nulls_first("lo"))
+  }
+
+  /** ES `cardinality` aggregation in query context: number of distinct
+    * values of a stored docs column over the match set (nulls skipped).
+    * `exact = false` is the ES shape — HyperLogLog++ (the very algorithm ES
+    * uses), constant memory per partition at any scale; `exact = true`
+    * pays a distinct shuffle for the precise count (the small-cardinality /
+    * verification path, and the DuckDB-comparable form). */
+  def cardinality(query: String, field: String, exact: Boolean = false,
+      rsd: Double = 0.05, minShouldMatch: Int = 1): Long = {
+    require(docsDf.columns.contains(field),
+      s"cardinality field '$field' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})")
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val matched = docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
+      .filter(col(field).isNotNull)
+    val aggCol = if (exact) countDistinct(col(field)) else approx_count_distinct(col(field), rsd)
+    matched.agg(aggCol.as("c")).head().getLong(0)
   }
 }
 
@@ -566,6 +787,12 @@ object Searcher {
       ranges: Array[RangeFilter] = Array.empty) {
     /** every dictionary lookup the exclusion side needs */
     def allExcluded: Array[String] = excluded ++ excludedFilters
+    /** true iff the query has any SHOULD-type (scored) clause — literal
+      * terms, prefix patterns or fuzzy stems. A query with such clauses but
+      * no dictionary match matches nothing (minimum_should_match ≥ 1); a
+      * query with NONE is pure filter context (constant-score). */
+    def hasScoringClauses: Boolean =
+      terms.nonEmpty || prefixes.nonEmpty || fuzzies.nonEmpty
     /** boost for an analyzed term (1.0 unless the query marked it `term^w`;
       * multiplying by 1.0 is bit-exact, so unboosted paths are unchanged) */
     def boostOf(t: String): Double = boosts.getOrElse(t, 1.0)
@@ -780,7 +1007,9 @@ object Phrase {
       excludeTermIds: Set[Long] = Set.empty,
       /** sorted docIds passing the query's range filters in THIS shard
         * (null = no range filter); see [[Wand.topK]] */
-      accept: Array[Long] = null): Iterator[ScoredDoc] = {
+      accept: Array[Long] = null,
+      /** ES `search_after` cursor; see [[Wand.topK]] */
+      after: ScoredDoc = null): Iterator[ScoredDoc] = {
 
     if (accept != null && accept.isEmpty) return Iterator.empty
     val byTerm = blocks.toArray.groupBy(_.termId)
@@ -897,8 +1126,11 @@ object Phrase {
               }
               j += 1
             }
-            if (heap.size < k) heap.add(ScoredDoc(cand, s))
-            else if (s > heap.peek().score) { heap.poll(); heap.add(ScoredDoc(cand, s)) }
+            if (after == null || s < after.score ||
+              (s == after.score && cand > after.docId)) {
+              if (heap.size < k) heap.add(ScoredDoc(cand, s))
+              else if (s > heap.peek().score) { heap.poll(); heap.add(ScoredDoc(cand, s)) }
+            }
           }
           j = 0
           while (j < req.length) { req(j).next(); j += 1 }
@@ -1138,7 +1370,20 @@ object Wand {
         * (null = no range filter). Pruning-only gate at full evaluation —
         * removing candidates never loosens WAND's upper bounds, so block
         * skipping stays admissible. */
-      accept: Array[Long] = null): Iterator[ScoredDoc] = {
+      accept: Array[Long] = null,
+      /** ES `minimum_should_match`: a candidate needs ≥ this many DISTINCT
+        * scored term clauses present (each prefix/fuzzy expansion is its own
+        * clause, the scoring_boolean rewrite). Rejecting candidates never
+        * loosens WAND's upper bounds, so pruning stays admissible. */
+      minShouldMatch: Int = 1,
+      /** ES `search_after` cursor: admit only hits STRICTLY after this
+        * (score, docId) in the (score desc, docId asc) total order — i.e.
+        * score < after.score, or equal score with docId > after.docId.
+        * Scores are deterministic JVM doubles, so the page-1 tail compares
+        * bit-exactly. Rejection-only gate at insertion: block-max skipping
+        * stays admissible (the heap threshold only ever comes from admitted
+        * hits, which genuinely bound the k-th qualifying score). */
+      after: ScoredDoc = null): Iterator[ScoredDoc] = {
 
     if (accept != null && accept.isEmpty) return Iterator.empty
     val byTerm = blocks.toArray.groupBy(_.termId)
@@ -1252,7 +1497,8 @@ object Wand {
         while (j < cursors.length && cursors(j).curDoc == pivotDoc) {
           matched(m) = cursors(j); m += 1; j += 1
         }
-        if ((accept == null || java.util.Arrays.binarySearch(accept, pivotDoc) >= 0) &&
+        if (m >= minShouldMatch &&
+          (accept == null || java.util.Arrays.binarySearch(accept, pivotDoc) >= 0) &&
           passesFilters(pivotDoc) && !isExcluded(pivotDoc)) {
           java.util.Arrays.sort(matched, 0, m, new java.util.Comparator[TermCursor] {
             def compare(a: TermCursor, b: TermCursor): Int =
@@ -1261,8 +1507,11 @@ object Wand {
           var s = 0.0
           j = 0
           while (j < m) { s += matched(j).score; j += 1 }
-          if (heap.size < k) heap.add(ScoredDoc(pivotDoc, s))
-          else if (s > heap.peek().score) { heap.poll(); heap.add(ScoredDoc(pivotDoc, s)) }
+          if (after == null || s < after.score ||
+            (s == after.score && pivotDoc > after.docId)) {
+            if (heap.size < k) heap.add(ScoredDoc(pivotDoc, s))
+            else if (s > heap.peek().score) { heap.poll(); heap.add(ScoredDoc(pivotDoc, s)) }
+          }
         }
         j = 0
         while (j < m) { matched(j).next(); j += 1 }
@@ -1287,12 +1536,14 @@ object Wand {
   }
 
   /** All matching docIds in this shard — the ES QUERY-CONTEXT match set of
-    * a bool query (should-terms with minimum_should_match=1, filter,
-    * must_not, range): a doc matches iff it contains ≥1 scored term, every
-    * filter term, no excluded term, and passes the range accept set. No
-    * scoring, no heap — a plain disjunctive document-at-a-time walk;
-    * output ≤ docsPerShard per task. Drives facet (ES terms-aggregation)
-    * counting, where every match counts, so no block-max skipping applies. */
+    * a bool query (should-terms with `minimum_should_match`, filter,
+    * must_not, range): a doc matches iff it contains ≥ minShouldMatch
+    * distinct scored terms (each expanded prefix/fuzzy term is its own
+    * should clause, the scoring_boolean rewrite), every filter term, no
+    * excluded term, and passes the range accept set. No scoring, no heap —
+    * a plain disjunctive document-at-a-time walk; output ≤ docsPerShard per
+    * task. Drives facet (ES terms-aggregation) counting, where every match
+    * counts, so no block-max skipping applies. */
   def matching(
       blocks: Iterator[PostingBlock],
       anyTermIds: Set[Long],
@@ -1300,7 +1551,8 @@ object Wand {
       avgdl: Double,
       p: Bm25Params,
       excludeTermIds: Set[Long] = Set.empty,
-      accept: Array[Long] = null): Iterator[Long] = {
+      accept: Array[Long] = null,
+      minShouldMatch: Int = 1): Iterator[Long] = {
     if (accept != null && accept.isEmpty) return Iterator.empty
     val byTerm = blocks.toArray.groupBy(_.termId)
     val filters: Array[TermCursor] = filterTermIds.toArray.sorted.flatMap { tid =>
@@ -1344,7 +1596,12 @@ object Wand {
     var i = 0
     while (i < any.length) { if (any(i).curDoc < d) d = any(i).curDoc; i += 1 }
     while (d != Long.MaxValue) {
-      if ((accept == null || java.util.Arrays.binarySearch(accept, d) >= 0) &&
+      // distinct should-clauses on d (each cursor = one clause)
+      var hits = 0
+      i = 0
+      while (i < any.length) { if (any(i).curDoc == d) hits += 1; i += 1 }
+      if (hits >= minShouldMatch &&
+        (accept == null || java.util.Arrays.binarySearch(accept, d) >= 0) &&
         passesFilters(d) && !isExcluded(d)) out += d
       var nd = Long.MaxValue
       i = 0
@@ -1355,6 +1612,73 @@ object Wand {
         i += 1
       }
       d = nd
+    }
+    out.iterator
+  }
+
+  /** Match set of a FILTER-ONLY bool query (ES filter context with no
+    * scoring clause): the conjunction of the keyword-filter postings drives
+    * the walk — docs in EVERY filter term's postings, not in any excluded
+    * term's, passing the range accept set. The caller guarantees
+    * `filterTermIds.nonEmpty` (a rangeless, filterless query has no cursor
+    * to drive from and is answered from the docs relation instead). */
+  def matchingConjunctive(
+      blocks: Iterator[PostingBlock],
+      filterTermIds: Set[Long],
+      avgdl: Double,
+      p: Bm25Params,
+      excludeTermIds: Set[Long] = Set.empty,
+      accept: Array[Long] = null): Iterator[Long] = {
+    if (accept != null && accept.isEmpty) return Iterator.empty
+    val byTerm = blocks.toArray.groupBy(_.termId)
+    val reqIds = filterTermIds.toArray.sorted
+    val req = new Array[TermCursor](reqIds.length)
+    var i = 0
+    while (i < reqIds.length) {
+      byTerm.get(reqIds(i)) match {
+        case Some(blks) =>
+          req(i) = new TermCursor(reqIds(i), 0.0, blks.sortBy(_.firstDoc), avgdl, p, exactBounds = true)
+        case None => return Iterator.empty
+      }
+      i += 1
+    }
+    val excludes: Array[TermCursor] = excludeTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks =>
+        new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p, exactBounds = true))
+    }
+    def isExcluded(d: Long): Boolean = {
+      var j = 0
+      while (j < excludes.length) {
+        val e = excludes(j)
+        if (e.curDoc < d) e.advanceTo(d)
+        if (e.curDoc == d) return true
+        j += 1
+      }
+      false
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var done = false
+    while (!done) {
+      var cand = Long.MinValue
+      var j = 0
+      while (j < req.length) { if (req(j).curDoc > cand) cand = req(j).curDoc; j += 1 }
+      if (cand == Long.MaxValue) done = true
+      else {
+        var aligned = true
+        j = 0
+        while (j < req.length) {
+          if (req(j).curDoc < cand) {
+            req(j).advanceTo(cand); if (req(j).curDoc != cand) aligned = false
+          }
+          j += 1
+        }
+        if (aligned) {
+          if ((accept == null || java.util.Arrays.binarySearch(accept, cand) >= 0) &&
+            !isExcluded(cand)) out += cand
+          j = 0
+          while (j < req.length) { req(j).next(); j += 1 }
+        }
+      }
     }
     out.iterator
   }

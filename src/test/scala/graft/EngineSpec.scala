@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.corpus.CorpusGen
 import graft.index.{FieldConfig, IndexBuilder, IndexConfig, PostingBlock}
-import graft.search.{Oracle, Searcher}
+import graft.search.{Oracle, ScoredDoc, Searcher}
 
 /** End-to-end engine tests: build over the deterministic synthesized corpus,
   * then assert rank-identical top-k (docIDs AND bit-identical BM25 scores)
@@ -37,6 +37,16 @@ class EngineSpec extends AnyFunSuite {
     dir
   }
   private lazy val searcher = new Searcher(spark, indexDir)
+
+  // positions-enabled twin of the main index (phrase-capable) — built once,
+  // shared by the phrase test and the match-set tests whose query lists
+  // include a phrase shape
+  private lazy val posIndexDir = {
+    val dir = s"$workDir/phrases"
+    new IndexBuilder(spark, cfg.copy(storePositions = true)).build(corpus, dir, resume = false)
+    dir
+  }
+  private lazy val posSearcher = new Searcher(spark, posIndexDir)
 
   /** The frozen reference query set: rare terms, stop terms, camelCase
     * subtokens, snake_case, multi-term, no-hit — k ∈ {10, 100}. */
@@ -438,13 +448,10 @@ class EngineSpec extends AnyFunSuite {
 
   test("phrase queries: position-verified, rank- and bit-identical to the oracle") {
     import spark.implicits._
-    val dir = s"$workDir/phrases"
-    val pcfg = cfg.copy(storePositions = true)
-    new IndexBuilder(spark, pcfg).build(corpus, dir, resume = false)
-    val s = new Searcher(spark, dir)
+    val s = posSearcher
     assert(s.meta.hasPositions)
 
-    val docsById = spark.read.parquet(s"$dir/docs")
+    val docsById = spark.read.parquet(s"$posIndexDir/docs")
       .select("docId", "repo", "path", "commit").collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
     def eng(q: String, k: Int) = s.search(q, k).toSeq
@@ -544,5 +551,120 @@ class EngineSpec extends AnyFunSuite {
         assert(got.toSeq == searcher.search(q, k).toSeq, s"warm batch mismatch for '$q'")
       }
     } finally warmed.cool()
+  }
+
+  /** Query-context match-set queries across every bool shape: scored,
+    * filtered, phrase, negated, filter-only (constant score), range-only,
+    * must_not-only and match_all. */
+  private val MatchSetQueries: Seq[String] = Seq(
+    "merge", "merge index", "lang:scala def", "merge -index", "mer*",
+    "\"if else\" merge",        // phrase must + loose should
+    "lang:scala",               // ES filter context: no scoring clause
+    "lang:scala nbytes:>=500",  // filter + range, still scoreless
+    "nbytes:>=500",             // range-only
+    "-merge",                   // must_not-only (match_all minus merge docs)
+    "",                         // match_all
+    "zzz_not_a_term")           // scoring clause, no dictionary hit → empty
+
+  test("count: ES _count with full bool semantics, oracle-identical") {
+    // the positions searcher so the phrase-shaped query is answerable
+    val kw = Some(posSearcher.meta.keywords.toSet)
+    for (q <- MatchSetQueries) {
+      assert(posSearcher.count(q) == Oracle.matchingDocs(corpus, q, kw).count(),
+        s"count mismatch for '$q'")
+    }
+    assert(posSearcher.count("") == NumFiles)
+    // a phrase _count on a positions-less index fails loudly
+    intercept[IllegalStateException](searcher.count("\"if else\""))
+  }
+
+  test("minimum_should_match: pruned top-k and match set vs oracle") {
+    val kw = Some(searcher.meta.keywords.toSet)
+    for (q <- Seq("merge index query", "error fail retry timeout", "lang:scala index merge");
+         msm <- Seq(1, 2, 3)) {
+      val eng = searcher.search(q, 50, minShouldMatch = msm).toSeq
+      val ora = Oracle.bm25(corpus, q, 50, keywordFields = kw, minShouldMatch = msm)
+        .collect().toSeq
+      assert(eng.length == ora.length, s"msm=$msm '$q': ${eng.length} vs ${ora.length}")
+      eng.zip(ora).foreach { case (e, o) =>
+        assert(e.score == o.getAs[Double]("score"), s"msm=$msm '$q': score drift")
+      }
+      assert(searcher.count(q, minShouldMatch = msm) ==
+        Oracle.matchingDocs(corpus, q, kw, minShouldMatch = msm).count(),
+        s"msm=$msm count mismatch for '$q'")
+    }
+    // msm above the clause count matches nothing
+    assert(searcher.search("merge index", 10, minShouldMatch = 3).isEmpty)
+    // msm=1 is the default semantics exactly
+    assert(searcher.search("merge index", 20, minShouldMatch = 1).toSeq ==
+      searcher.search("merge index", 20).toSeq)
+  }
+
+  test("pagination: from/size slices the one total order (ES from+size rule)") {
+    // positions searcher (one query is phrase-shaped); the full order must
+    // be fetched at least as deep as the deepest page it is sliced against
+    for (q <- Seq("merge index query", "\"if else\" merge", "lang:scala",
+      "query", "zzz_not_a_term")) {
+      val full = posSearcher.search(q, 110).toSeq
+      for (from <- Seq(0, 5, 17, 100)) {
+        val page = posSearcher.search(q, 10, from = from).toSeq
+        assert(page == full.slice(from, from + 10),
+          s"page [$from,${from + 10}) of '$q' is not the slice of the full order")
+      }
+    }
+    intercept[IllegalArgumentException](searcher.search("merge", 10, from = -1))
+  }
+
+  test("statsAgg and histogram: ES stats/histogram aggs, oracle-identical") {
+    val kw = Some(searcher.meta.keywords.toSet)
+    for (q <- Seq("merge index", "lang:scala", "nbytes:>=500", "", "zzz_not_a_term")) {
+      val eng = searcher.statsAgg(q, "nbytes").collect()(0)
+      val m = Oracle.matchingDocs(corpus, q, kw).filter(col("nbytes").isNotNull)
+      val ora = m.agg(count(lit(1)).as("cnt"),
+        min(col("nbytes").cast("double")), max(col("nbytes").cast("double")),
+        sum(col("nbytes").cast("double")), avg(col("nbytes").cast("double"))).collect()(0)
+      assert(eng.getAs[Long]("cnt") == ora.getLong(0), s"stats cnt mismatch for '$q'")
+      if (ora.getLong(0) > 0L) {
+        assert(eng.getAs[Double]("mn") == ora.getDouble(1), s"stats min mismatch for '$q'")
+        assert(eng.getAs[Double]("mx") == ora.getDouble(2), s"stats max mismatch for '$q'")
+        assert(eng.getAs[Double]("sm") == ora.getDouble(3), s"stats sum mismatch for '$q'")
+        assert(math.abs(eng.getAs[Double]("av") - ora.getDouble(4)) < 1e-9,
+          s"stats avg mismatch for '$q'")
+      }
+      val engH = searcher.histogram(q, "nbytes", 200.0).collect()
+        .map(r => (r.getAs[Double]("bucket"), r.getAs[Long]("cnt"))).toSeq
+      val oraH = m.groupBy((floor(col("nbytes").cast("double") / 200.0) * 200.0).as("b"))
+        .agg(count(lit(1)).as("c")).orderBy(asc("b")).collect()
+        .map(r => (r.getAs[Double]("b"), r.getAs[Long]("c"))).toSeq
+      assert(engH == oraH, s"histogram mismatch for '$q'")
+    }
+    intercept[IllegalArgumentException](searcher.statsAgg("merge", "lang")) // non-numeric
+    intercept[IllegalArgumentException](searcher.histogram("merge", "zzz", 10.0))
+    intercept[IllegalArgumentException](searcher.histogram("merge", "nbytes", 0.0))
+  }
+
+  test("searchSortedBy: doc-values field sort over the match set, oracle order") {
+    val kw = Some(searcher.meta.keywords.toSet)
+    val ident = spark.read.parquet(s"$indexDir/docs")
+      .select("docId", "repo", "path", "commit")
+    for (q <- Seq("merge index", "lang:scala", ""); asc0 <- Seq(true, false)) {
+      val eng = searcher.searchSortedBy(q, "nbytes", ascending = asc0, 25)
+        .join(ident, "docId")
+        .select("repo", "path", "commit", "nbytes")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+        // the join may reorder rows; engine order is (nbytes, docId) and
+        // docId order IS identity order in a fresh build, so re-sorting by
+        // (nbytes, identity) reconstructs the engine's own output order
+        .sortBy { case (r, p0, c, n) => (if (asc0) n else -n, r, p0, c) }
+      val ord = if (asc0) col("nbytes").asc_nulls_last else col("nbytes").desc_nulls_last
+      val ora = Oracle.matchingDocs(corpus, q, kw)
+        .orderBy(ord, col("repo").asc, col("path").asc, col("commit").asc)
+        .limit(25)
+        .select("repo", "path", "commit", "nbytes")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(eng == ora, s"sortBy mismatch for '$q' asc=$asc0")
+    }
   }
 }

@@ -117,6 +117,46 @@ class SegmentedSpec extends AnyFunSuite {
     for (q <- Seq("merge", "merge -index", s"query nbytes:>=$med", "ind* query"))
       assert(ms.facets(q, "lang", 10).toSeq == Oracle.facets(union, q, "lang", 10, kw).toSeq,
         s"segmented facet mismatch for '$q'")
+
+    // ---- segmented match-set APIs: count / stats / histogram / sortBy —
+    // exact across segments, every bool shape incl. filter-only, range-only,
+    // must_not-only and match_all
+    val msQs = Seq("merge index", "lang:scala", s"nbytes:>=$med", "-merge", "",
+      "merge -index", "zzz_not_a_term")
+    for (q <- msQs) {
+      assert(ms.count(q) == Oracle.matchingDocs(union, q, kw).count(),
+        s"segmented count mismatch for '$q'")
+      val eng = ms.statsAgg(q, "nbytes").collect()(0)
+      val m = Oracle.matchingDocs(union, q, kw).filter(col("nbytes").isNotNull)
+      val ora = m.agg(count(lit(1)), min(col("nbytes").cast("double")),
+        max(col("nbytes").cast("double")), sum(col("nbytes").cast("double"))).collect()(0)
+      assert(eng.getAs[Long]("cnt") == ora.getLong(0), s"segmented stats cnt for '$q'")
+      if (ora.getLong(0) > 0) {
+        assert(eng.getAs[Double]("mn") == ora.getDouble(1), s"segmented stats mn for '$q'")
+        assert(eng.getAs[Double]("mx") == ora.getDouble(2), s"segmented stats mx for '$q'")
+        assert(eng.getAs[Double]("sm") == ora.getDouble(3), s"segmented stats sm for '$q'")
+      }
+      val engH = ms.histogram(q, "nbytes", 200.0).collect()
+        .map(r => (r.getAs[Double]("bucket"), r.getAs[Long]("cnt"))).toSeq
+      val oraH = m.groupBy((floor(col("nbytes").cast("double") / 200.0) * 200.0).as("b"))
+        .agg(count(lit(1))).orderBy(asc("b")).collect()
+        .map(r => (r.getAs[Double](0), r.getAs[Long](1))).toSeq
+      assert(engH == oraH, s"segmented histogram mismatch for '$q'")
+    }
+    // sort-by-field: identity tie-break across segments
+    for (asc0 <- Seq(true, false)) {
+      val ord = if (asc0) col("nbytes").asc_nulls_last else col("nbytes").desc_nulls_last
+      val eng = ms.searchSortedBy("merge index", "nbytes", ascending = asc0, 20)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val ora = Oracle.matchingDocs(union, "merge index", kw)
+        .orderBy(ord, col("repo").asc, col("path").asc, col("commit").asc)
+        .limit(20).select("repo", "path", "commit", "nbytes")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(eng == ora, s"segmented sortBy mismatch asc=$asc0")
+    }
+    // minimum_should_match over segments
+    assert(ms.count("merge index query", minShouldMatch = 2) ==
+      Oracle.matchingDocs(union, "merge index query", kw, minShouldMatch = 2).count())
   }
 
   test("segmented searchMany batch results identical to per-query search") {
