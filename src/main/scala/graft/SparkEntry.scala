@@ -1244,6 +1244,51 @@ object SparkEntry {
       }
       Seq(new Searcher(s, idxDir).cardinality("spark query merge", "lang", exact = true))
         .toDF("cnt")
+    }),
+
+    // ES `highlight` (plain-highlighter semantics): one snippet per top-k
+    // hit — a 3-token window each side of the FIRST occurrence of any query
+    // term, matched tokens wrapped <em>…</em>; only the k hits' stored
+    // content is re-analyzed (k-bounded, pure Column builtins). Shares
+    // fts3's index.
+    "fts26_highlight" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hl = new Searcher(s, idxDir).highlight("spark query merge", 20, corpus, window = 3)
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hl), Seq("docId"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("snippet"))
+    }),
+
+    // ES `significant_terms` aggregation: content terms anomalously frequent
+    // in the match set vs the whole index, JLH-scored — the one postings-
+    // by-document read, decoded from a 3-column pruned scan of the blocks
+    // relation and joined to the match set before any shuffle. Shares
+    // fts3's index.
+    "fts27_sig_terms" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).significantTerms("spark query merge", 15, minDocCount = 3)
+        .select(col("term"), col("fg"), col("bg"), round(col("score"), 4).as("score"))
     })
   )
 
@@ -1833,7 +1878,52 @@ object SparkEntry {
         s"""SELECT cast(count(DISTINCT lang) as bigint) AS cnt
            |FROM (SELECT lang, $tokExpr AS tk FROM documents)
            |WHERE len(list_intersect(tk, ['spark','query','merge'])) > 0
-           |  AND lang IS NOT NULL""".stripMargin
+           |  AND lang IS NOT NULL""".stripMargin,
+      // ES highlight: window of 3 tokens each side of the first query-term
+      // occurrence, matched tokens wrapped <em>…</em> (plain highlighter)
+      "fts26_highlight" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('spark','query','merge') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |hits AS (SELECT doc_id, round(sum(
+           |    ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |    (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |  FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |  GROUP BY doc_id
+           |  ORDER BY score DESC, doc_id ASC LIMIT 20),
+           |sn AS (SELECT doc_id, tk, least(
+           |    coalesce(nullif(list_position(tk, 'spark'), 0), 2147483647),
+           |    coalesce(nullif(list_position(tk, 'query'), 0), 2147483647),
+           |    coalesce(nullif(list_position(tk, 'merge'), 0), 2147483647)) AS p
+           |  FROM dt)
+           |SELECT h.doc_id, h.score,
+           |  CASE WHEN sn.p = 2147483647 THEN NULL ELSE array_to_string(
+           |    list_transform(sn.tk[greatest(1, sn.p - 3):sn.p + 3],
+           |      x -> CASE WHEN x IN ('spark','query','merge')
+           |           THEN '<em>' || x || '</em>' ELSE x END), ' ')
+           |  END AS snippet
+           |FROM hits h JOIN sn USING (doc_id)""".stripMargin,
+      // ES significant_terms: JLH over fg (match set) vs bg (whole corpus)
+      // distinct-doc term frequencies, fgRate > bgRate, noise floor 3
+      "fts27_sig_terms" ->
+        s"""WITH t AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |m AS (SELECT doc_id, tk FROM t
+           |      WHERE len(list_intersect(tk, ['spark','query','merge'])) > 0),
+           |tot AS (SELECT count(*) * 1.0 AS ft FROM m),
+           |nn AS (SELECT count(*) * 1.0 AS n FROM t),
+           |fg AS (SELECT term, count(*) AS fg
+           |       FROM (SELECT DISTINCT doc_id, unnest(tk) AS term FROM m) GROUP BY 1),
+           |bg AS (SELECT term, count(*) AS bg
+           |       FROM (SELECT DISTINCT doc_id, unnest(tk) AS term FROM t) GROUP BY 1)
+           |SELECT term, fg, bg,
+           |  round(((fg / ft) - (bg / n)) * (fg / ft) / (bg / n), 4) AS score
+           |FROM fg JOIN bg USING (term) CROSS JOIN tot CROSS JOIN nn
+           |WHERE fg >= 3 AND (fg / ft) > (bg / n)
+           |ORDER BY score DESC, term ASC LIMIT 15""".stripMargin
     )
   }
 }

@@ -620,6 +620,77 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     val aggCol = if (exact) countDistinct(col(field)) else approx_count_distinct(col(field), rsd)
     matched.agg(aggCol.as("c")).head().getLong(0)
   }
+
+  /** ES `highlight` over the segmented index — [[Searcher.highlight]]
+    * semantics (plain-highlighter off the `_source` analogue: snippets come
+    * from the caller's source corpus table, identity-joined against the ≤k
+    * broadcast hits). Returns (repo, path, commit, score, snippet) in rank
+    * order. */
+  def highlight(query: String, k: Int, source: DataFrame, window: Int = 3,
+      field: String = "content"): DataFrame = {
+    require(window >= 0, s"window must be >= 0 (got $window)")
+    val f = source.schema.fields.find(_.name == field).getOrElse(throw new IllegalArgumentException(
+      s"highlight field '$field' is not a source column (have: ${source.columns.mkString(", ")})"))
+    require(f.dataType == org.apache.spark.sql.types.StringType,
+      s"highlight field '$field' is not a string column (${f.dataType.simpleString})")
+    val kw = segs.head._2.keywords.toSet
+    val pq = Searcher.parseFull(query, kw)
+    val expanded = pq.prefixes.flatMap(expandPrefixMap(pq.prefixes.toSeq).apply) ++
+      pq.fuzzies.flatMap(expandFuzzyMap(pq.fuzzies.toSeq).apply)
+    val hlTerms = (pq.terms ++ expanded ++ pq.phrases.flatten).distinct
+    require(hlTerms.nonEmpty, "highlight needs at least one scored term or phrase")
+    val hits = searchMany(Seq(query -> k)).head
+    if (hits.isEmpty)
+      return Seq.empty[(String, String, String, Double, String)]
+        .toDF("repo", "path", "commit", "score", "snippet")
+    val hitsDf = hits.toSeq.map(h => (h.repo, h.path, h.commit, h.score))
+      .toDF("repo", "path", "commit", "score")
+    val snippet = Searcher.snippetCol(col(field), hlTerms.toSeq, window)
+    source.select(Seq("repo", "path", "commit", field).distinct.map(col): _*)
+      .join(broadcast(hitsDf), Seq("repo", "path", "commit"))
+      .select(col("repo"), col("path"), col("commit"), col("score"), snippet.as("snippet"))
+      .orderBy(desc("score"), asc("repo"), asc("path"), asc("commit"))
+  }
+
+  /** ES `significant_terms` over the segmented index —
+    * [[Searcher.significantTerms]] semantics, exact across segments:
+    * identities are disjoint, so foreground counts sum and the background
+    * df per term is the sum over segment dictionaries. One decode pass of
+    * the segment-tagged blocks relation (3-column pruned scan), joined to
+    * the match set before any shuffle, with per-segment termIds resolved to
+    * term strings through the unioned dictionary. */
+  def significantTerms(query: String, topN: Int, minDocCount: Int = 3,
+      minShouldMatch: Int = 1): DataFrame = {
+    require(topN > 0 && minDocCount >= 1, "topN must be > 0 and minDocCount >= 1")
+    val matched = matchedSegDoc(query, minShouldMatch)
+    val fgTotal = matched.count().toDouble
+    if (fgTotal == 0)
+      return Seq.empty[(String, Long, Long, Double)].toDF("term", "fg", "bg", "score")
+    val n = numDocs.toDouble
+    val pairs = blocksAll.select(col("seg"), col("termId"), col("n"), col("docs"))
+      .as[(Int, Long, Int, Array[Byte])]
+      .flatMap { case (s, tid, cnt, docs) =>
+        graft.index.Codec.decodeDeltas(docs, cnt).map(d => (s, tid, d))
+      }
+      .toDF("seg", "termId", "docId")
+    // per-(seg, termId) fg counts first (partial-aggregated), THEN the
+    // dictionary-sized term-string join, THEN global sums — the string join
+    // touches ≤ Σ numTerms rows, never the decoded pair stream
+    val fg = pairs.join(matched, Seq("seg", "docId"))
+      .groupBy("seg", "termId").agg(sqlCount(lit(1)).as("fgSeg"))
+      .join(termsAll.select("seg", "termId", "term"), Seq("seg", "termId"))
+      .groupBy("term").agg(sum("fgSeg").as("fg"))
+    // exact global df = sum over segment dictionaries (disjoint identities)
+    val bg = termsAll.groupBy("term").agg(sum("df").as("bg"))
+    val fgRate = col("fg") / fgTotal
+    val bgRate = col("bg") / n
+    fg.join(bg, Seq("term"))
+      .filter(!col("term").contains(":") && col("fg") >= minDocCount && fgRate > bgRate)
+      .select(col("term"), col("fg"), col("bg"),
+        ((fgRate - bgRate) * fgRate / bgRate).as("score"))
+      .orderBy(desc("score"), asc("term"))
+      .limit(topN)
+  }
 }
 
 object MultiSearcher {

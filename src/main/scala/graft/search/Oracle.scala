@@ -235,4 +235,52 @@ object Oracle {
       .limit(topN)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
+
+  /** ES `significant_terms` the brute-force way — the oracle for
+    * [[Searcher.significantTerms]] / [[MultiSearcher.significantTerms]]:
+    * per-term distinct-doc counts over the match set (fg) and the whole
+    * corpus (bg) straight from the analyzed content (no index), JLH score
+    * `(fgRate − bgRate) · fgRate / bgRate` in the engine's exact expression
+    * order (bit-identical doubles), fgRate > bgRate only. Content terms
+    * never contain ':' so the engine's keyword-filter-term exclusion needs
+    * no mirror here. */
+  def significantTerms(
+      corpus: DataFrame,
+      query: String,
+      topN: Int,
+      minDocCount: Int = 3,
+      keywordFields: Option[Set[String]] = None): DataFrame = {
+    val fgTotal = matchingDocs(corpus, query, keywordFields).count().toDouble
+    val n = corpus.count().toDouble
+    def termDocs(df: DataFrame): DataFrame =
+      df.select(explode(array_distinct(Analyzer.analyze(col("content")))).as("term"))
+    val fg = termDocs(matchingDocs(corpus, query, keywordFields))
+      .groupBy("term").agg(count(lit(1)).as("fg"))
+    val bg = termDocs(corpus).groupBy("term").agg(count(lit(1)).as("bg"))
+    val fgRate = col("fg") / fgTotal
+    val bgRate = col("bg") / n
+    fg.join(bg, Seq("term"))
+      .filter(col("fg") >= minDocCount && fgRate > bgRate)
+      .select(col("term"), col("fg"), col("bg"),
+        ((fgRate - bgRate) * fgRate / bgRate).as("score"))
+      .orderBy(desc("score"), asc("term"))
+      .limit(topN)
+  }
+
+  /** Driver-side expected snippet for [[Searcher.highlight]] oracles: the
+    * same window-around-first-match rule over [[Analyzer.tokenize]]'s token
+    * stream (None = no highlight term present, the engine's null snippet). */
+  def snippet(content: String, hlTerms: Seq[String], window: Int): Option[String] = {
+    val toks = Analyzer.tokenize(content)
+    val idxs = hlTerms.map(t => toks.indexOf(t)).filter(_ >= 0)
+    if (idxs.isEmpty) None
+    else {
+      val p = idxs.min
+      val start = math.max(0, p - window)
+      val end = math.min(toks.length - 1, p + window)
+      Some((start to end).map { i =>
+        if (hlTerms.contains(toks(i))) s"<em>${toks(i)}</em>" else toks(i)
+      }.mkString(" "))
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.functions.{count => sqlCount}
 
@@ -711,9 +711,109 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     val aggCol = if (exact) countDistinct(col(field)) else approx_count_distinct(col(field), rsd)
     matched.agg(aggCol.as("c")).head().getLong(0)
   }
+
+  /** ES `highlight` (plain-highlighter semantics): one snippet per top-k
+    * hit — a window of `window` analyzed tokens each side of the FIRST
+    * occurrence of any scored query term (minimal token position; phrase
+    * tokens and expanded prefix/fuzzy terms count), every matched token in
+    * the fragment wrapped `<em>…</em>`. The index stores no content (by
+    * design — it never duplicates the corpus), so like the ES plain
+    * highlighter working off `_source`, snippets come from `source` — the
+    * original corpus table, identity-joined against the ≤k hits (broadcast;
+    * k-bounded re-analysis, no positions requirement, pure Column builtins,
+    * codegen'd, no UDF). Docs whose field holds no highlight term
+    * (keyword-filter-only matches) get a null snippet, the ES "no
+    * fragment" case. Returns (docId, score, snippet) in rank order. */
+  def highlight(query: String, k: Int, source: DataFrame, window: Int = 3,
+      field: String = "content", minShouldMatch: Int = 1): DataFrame = {
+    require(window >= 0, s"window must be >= 0 (got $window)")
+    val f = source.schema.fields.find(_.name == field).getOrElse(throw new IllegalArgumentException(
+      s"highlight field '$field' is not a source column (have: ${source.columns.mkString(", ")})"))
+    require(f.dataType == org.apache.spark.sql.types.StringType,
+      s"highlight field '$field' is not a string column (${f.dataType.simpleString})")
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val expanded = pq.prefixes.flatMap(expandPrefixMap(pq.prefixes.toSeq).apply) ++
+      pq.fuzzies.flatMap(expandFuzzyMap(pq.fuzzies.toSeq).apply)
+    val hlTerms = (pq.terms ++ expanded ++ pq.phrases.flatten).distinct
+    require(hlTerms.nonEmpty, "highlight needs at least one scored term or phrase")
+    val hits = search(query, k, minShouldMatch = minShouldMatch)
+    if (hits.isEmpty)
+      return Seq.empty[(Long, Double, String)].toDF("docId", "score", "snippet")
+    // ≤k hit identities resolved from the docs relation, then broadcast
+    // into the source scan — the source side streams, never shuffles
+    val hitsDf = hits.toSeq.map(h => (h.docId, h.score)).toDF("docId", "score")
+    val idents = docsDf.select("docId", "repo", "path", "commit")
+      .join(broadcast(hitsDf), Seq("docId"))
+    val snippet = Searcher.snippetCol(col(field), hlTerms.toSeq, window)
+    source.select(Seq("repo", "path", "commit", field).distinct.map(col): _*)
+      .join(broadcast(idents), Seq("repo", "path", "commit"))
+      .select(col("docId"), col("score"), snippet.as("snippet"))
+      .orderBy(desc("score"), asc("docId"))
+  }
+
+  /** ES `significant_terms` aggregation in query context: content terms
+    * whose document frequency in the match set (foreground) is anomalously
+    * high against the whole index (background), scored with ES's JLH:
+    * `(fgRate − bgRate) · fgRate / bgRate`, keeping only fgRate > bgRate.
+    * Keyword filter terms (`field:value` — ':' never survives the content
+    * tokenizer) are excluded; `minDocCount` is the ES noise floor.
+    *
+    * Plan: the one place the engine reads postings BY DOCUMENT rather than
+    * by term, and the postings relation is the columnar source for exactly
+    * that — decode (termId, docId) pairs from a 3-column pruned scan of the
+    * blocks relation, join to the match set BEFORE any shuffle (AQE
+    * broadcasts it when small), partial-aggregated count per termId (the
+    * per-task emission is bounded by each task's posting bytes, never
+    * materializing the full pair set), then one dictionary-sized join for
+    * term/df. Returns ≤ topN (term, fg, bg, score) by (score desc, term). */
+  def significantTerms(query: String, topN: Int, minDocCount: Int = 3,
+      minShouldMatch: Int = 1): DataFrame = {
+    require(topN > 0 && minDocCount >= 1, "topN must be > 0 and minDocCount >= 1")
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val matched = matchIdsDs(pq, minShouldMatch).toDF("docId")
+    val fgTotal = matched.count().toDouble
+    if (fgTotal == 0)
+      return Seq.empty[(String, Long, Long, Double)].toDF("term", "fg", "bg", "score")
+    val n = meta.numDocs.toDouble
+    val pairs = blocksDf.select(col("termId"), col("n"), col("docs"))
+      .as[(Long, Int, Array[Byte])]
+      .flatMap { case (tid, cnt, docs) =>
+        graft.index.Codec.decodeDeltas(docs, cnt).map(d => (tid, d))
+      }
+      .toDF("termId", "docId")
+    val fg = pairs.join(matched, Seq("docId"))
+      .groupBy("termId").agg(sqlCount(lit(1)).as("fg"))
+    val fgRate = col("fg") / fgTotal
+    val bgRate = col("df") / n
+    fg.join(termsDf.select("term", "termId", "df"), Seq("termId"))
+      .filter(!col("term").contains(":") && col("fg") >= minDocCount && fgRate > bgRate)
+      .select(col("term"), col("fg"), col("df").as("bg"),
+        ((fgRate - bgRate) * fgRate / bgRate).as("score"))
+      .orderBy(desc("score"), asc("term"))
+      .limit(topN)
+  }
 }
 
 object Searcher {
+  /** The highlight fragment as a Column over a raw text column: window of
+    * `window` analyzed tokens each side of the first occurrence of any
+    * `hlTerms` member, matches wrapped `<em>…</em>`, null when none occurs.
+    * Shared by [[Searcher.highlight]] and [[MultiSearcher.highlight]]. */
+  private[search] def snippetCol(text: Column, hlTerms: Seq[String], window: Int): Column = {
+    val SENT = Int.MaxValue.toLong
+    val toks = Analyzer.analyze(text)
+    // 1-based position of the first highlight-term occurrence (sentinel: none)
+    val firstPos = least(
+      hlTerms.map(t => coalesce(nullif(array_position(toks, lit(t)), lit(0L)), lit(SENT))) :+
+        lit(SENT): _*)
+    val start = greatest(lit(1L), firstPos - window)
+    val len = firstPos + window - start + 1
+    val termArr = array(hlTerms.map(lit(_)): _*)
+    val frag = transform(slice(toks, start.cast("int"), len.cast("int")),
+      t => when(array_contains(termArr, t), concat(lit("<em>"), t, lit("</em>"))).otherwise(t))
+    when(firstPos === SENT, lit(null)).otherwise(array_join(frag, " "))
+  }
+
   /** One query's compiled form inside [[Searcher.searchMany]]'s executors.
     * `idfById` holds the scored loose terms; a phrase query additionally
     * carries its ordered per-phrase termId sequences and their (required)

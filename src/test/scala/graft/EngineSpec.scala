@@ -643,6 +643,67 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](searcher.histogram("merge", "nbytes", 0.0))
   }
 
+  test("highlight: plain-highlighter snippets, rank order, oracle-identical") {
+    import spark.implicits._
+    // the index stores no content — snippets come from the source corpus
+    // (ES _source analogue), keyed here docId → identity → content
+    val identByDocId = spark.read.parquet(s"$indexDir/docs")
+      .select("docId", "repo", "path", "commit").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    val contentByIdent = corpus.select("repo", "path", "commit", "content").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getString(3)).toMap
+    def docsContent(id: Long): String = contentByIdent(identByDocId(id))
+    // corpus-side prefix expansion (content terms never contain ':', so the
+    // dictionary's keyword filter terms can't collide with a stem)
+    val vocab = corpus
+      .select(explode(graft.analysis.Analyzer.analyze(col("content"))).as("t"))
+      .distinct().as[String].collect().toSet
+    def hlTermsOf(q: String): Seq[String] = q.split("\\s+").toSeq.filter(_.nonEmpty).flatMap {
+      case t if t.endsWith("*") => vocab.filter(_.startsWith(t.dropRight(1))).toSeq.sorted
+      case t if t.contains(":") => Nil
+      case t => graft.analysis.Analyzer.tokenize(t).toSeq
+    }.distinct
+    for ((q, w) <- Seq(("merge index", 3), ("lang:scala merge", 2), ("mer*", 3))) {
+      val hits = searcher.search(q, 15).toSeq
+      val rows = searcher.highlight(q, 15, corpus, window = w).collect()
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        hits.map(h => (h.docId, h.score)), s"highlight rank/scores differ for '$q'")
+      val terms = hlTermsOf(q)
+      rows.foreach { r =>
+        val exp = Oracle.snippet(docsContent(r.getLong(0)), terms, w)
+        assert(Option(r.getString(2)) == exp, s"snippet mismatch for '$q' doc ${r.getLong(0)}")
+      }
+    }
+    // phrase tokens highlight too (positions index shares the corpus, and a
+    // fresh deterministic build assigns the same dense docIds)
+    val ph = posSearcher.highlight("\"if else\"", 10, corpus).collect()
+    assert(ph.nonEmpty)
+    ph.foreach { r =>
+      val exp = Oracle.snippet(docsContent(r.getLong(0)), Seq("if", "else"), 3)
+      assert(Option(r.getString(2)) == exp, s"phrase snippet mismatch doc ${r.getLong(0)}")
+    }
+    // a query with no scoring clause has nothing to highlight
+    intercept[IllegalArgumentException](searcher.highlight("lang:scala", 5, corpus))
+    intercept[IllegalArgumentException](searcher.highlight("merge", 5, corpus, field = "nbytes"))
+  }
+
+  test("significantTerms: ES JLH significant_terms vs brute-force oracle") {
+    val kw = Some(searcher.meta.keywords.toSet)
+    for (q <- Seq("merge index", "lang:scala", "codec")) {
+      val eng = searcher.significantTerms(q, 20, minDocCount = 2).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val ora = Oracle.significantTerms(corpus, q, 20, minDocCount = 2, kw).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(eng == ora, s"significant_terms mismatch for '$q'")
+      assert(eng.nonEmpty, s"fixture should surface significant terms for '$q'")
+      // keyword filter terms never leak into the term column
+      assert(eng.forall(!_._1.contains(":")))
+    }
+    // empty match set → empty result, not an error (a single token with no
+    // '_' so the analyzer emits no subtokens that might exist)
+    assert(searcher.significantTerms("zzzqqqvv", 10).collect().isEmpty)
+  }
+
   test("searchSortedBy: doc-values field sort over the match set, oracle order") {
     val kw = Some(searcher.meta.keywords.toSet)
     val ident = spark.read.parquet(s"$indexDir/docs")

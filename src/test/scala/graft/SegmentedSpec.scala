@@ -157,6 +157,30 @@ class SegmentedSpec extends AnyFunSuite {
     // minimum_should_match over segments
     assert(ms.count("merge index query", minShouldMatch = 2) ==
       Oracle.matchingDocs(union, "merge index query", kw, minShouldMatch = 2).count())
+
+    // significant_terms: fg sums and bg df sums exact across segments
+    for (q <- Seq("merge index", "lang:scala")) {
+      val eng = ms.significantTerms(q, 15, minDocCount = 2).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val ora = Oracle.significantTerms(union, q, 15, minDocCount = 2, kw).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(eng == ora, s"segmented significant_terms mismatch for '$q'")
+    }
+
+    // highlight: identity-keyed snippets, same rank order as searchMany
+    val contentByIdent = union.select("repo", "path", "commit", "content").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getString(3)).toMap
+    val hlQ = "merge index"
+    val hlHits = ms.search(hlQ, 12).toSeq
+    val hlRows = ms.highlight(hlQ, 12, union, window = 3).collect()
+    assert(hlRows.map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).toSeq
+      == hlHits.map(h => (h.repo, h.path, h.commit, h.score)),
+      "segmented highlight rank/scores differ from search")
+    hlRows.foreach { r =>
+      val ident = (r.getString(0), r.getString(1), r.getString(2))
+      val exp = Oracle.snippet(contentByIdent(ident), Seq("merge", "index"), 3)
+      assert(Option(r.getString(4)) == exp, s"segmented snippet mismatch for $ident")
+    }
   }
 
   test("segmented searchMany batch results identical to per-query search") {
