@@ -1289,6 +1289,239 @@ object SparkEntry {
       }
       new Searcher(s, idxDir).significantTerms("spark query merge", 15, minDocCount = 3)
         .select(col("term"), col("fg"), col("bg"), round(col("score"), 4).as("score"))
+    }),
+
+    // ES `more_like_this`: doc 7's text re-analyzed, its top-10 terms by
+    // tf(text)·idf(index) (min_term_freq 2, min_doc_freq 5) run as an
+    // ordinary disjunctive BM25 query, the source doc itself excluded
+    // (candidates only — statistics untouched). Shares fts3's index.
+    "fts28_mlt" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val docs = s.read.parquet(s"$idxDir/docs")
+      val srcId = docs.filter(col("path") === "00000007").select("docId").head().getLong(0)
+      val likeText = t(s, d, "documents").filter(col("doc_id") === 7)
+        .select("text").head().getString(0)
+      val hits = new Searcher(s, idxDir)
+        .moreLikeThis(likeText, 15, maxQueryTerms = 10, minTermFreq = 2, minDocFreq = 5,
+          excludeDocIds = Set(srcId)).toSeq
+        .toDF("docId", "score_raw")
+      docs.select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `wildcard` query (`s*am`, `*ow` — scoring_boolean rewrite): each
+    // dictionary term matching a pattern becomes an ordinary scored term
+    // with its own idf. Shares fts3's cached index.
+    "fts29_wildcard" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).search("s*am *ow", 50).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `regexp` query (`/s(ort|can)/` — anchored full-term match,
+    // scoring_boolean rewrite) mixed with a plain term. Shares fts3's
+    // cached index.
+    "fts30_regexp" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).search("/s(ort|can)/ key", 50).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `top_hits` inside a `terms` aggregation: top-3 lang buckets by
+    // match count, each with its 2 best hits by BM25 (exhaustive scored
+    // match set — no global-k pruning is admissible). Shares fts12's index.
+    "fts31_top_hits" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("n_chars"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts12-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("n_chars")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val th = new Searcher(s, idxDir).topHits("merge query", "lang", 3, 2)
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(th, Seq("docId"))
+        .select(col("value"), col("cnt"), col("rank").as("rk"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+    }),
+
+    // ES `percentiles` aggregation in query context (exact / quantile_cont
+    // convention for oracle parity; production default is t-digest
+    // approx_percentile). Shares fts12's index.
+    "fts32_percentiles" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("n_chars"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts12-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("n_chars")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir)
+        .percentilesAgg("spark query merge", "n_chars", Seq(0.25, 0.5, 0.9), exact = true)
+        .select(col("p"), round(col("value"), 4).as("value"))
+    }),
+
+    // ES term suggester ("did you mean"): per misspelled token, dictionary
+    // candidates within edit distance 2, ranked (distance asc, df desc,
+    // term asc), top 3. Shares fts3's index.
+    "fts33_suggest" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).suggest("mrege quary window", topN = 3)
+        .toDF("token", "suggestion", "df", "dist")
+    }),
+
+    // ES match_phrase with slop (`"data merge"~2` — in-order span: the
+    // phrase terms at strictly increasing positions with total span ≤
+    // exact + 2). Matches a superset of fts5's exact phrase; scored by
+    // the same BM25 sum over the phrase's distinct terms. Shares fts5's
+    // cached positions index.
+    "fts34_phrase_slop" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts5-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12,
+        buildBuckets = 2, storePositions = true)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).search("\"data merge\"~2", 50).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `collapse`: the best hit per lang (score desc, id asc within the
+    // group), then the global top-10 of the group heads — search-result
+    // dedup by field. Shares fts12's cached index (lang keyword field).
+    "fts35_collapse" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("n_chars"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts12-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("n_chars")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val cl = new Searcher(s, idxDir).collapse("merge query", "lang", 10)
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(cl, Seq("docId"))
+        .select(col("doc_id"), col("value"), round(col("score"), 4).as("score"))
+    }),
+
+    // ES `date_histogram` (calendar month) in query context over a stored
+    // date column (derived deterministically from doc_id on BOTH engines).
+    "fts36_date_hist" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"),
+        date_add(to_date(lit("2021-01-01")), (col("doc_id") % 500).cast("int")).as("mdate"),
+        col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts36-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("mdate")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).dateHistogram("merge query", "mdate", "month")
+    }),
+
+    // ES `_explain` for the top-10 hits: per contributing term the BM25
+    // pieces (tf, df, idf, contribution) plus the hit's total score —
+    // the pieces sum to the score bit-exactly. Shares fts3's cached index.
+    "fts37_explain" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val ex = new Searcher(s, idxDir).explainHits("spark query merge", 10)
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(ex, Seq("docId"))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("idf"), 4).as("idf"),
+          round(col("contribution"), 4).as("contribution"),
+          round(col("score"), 4).as("score"))
     })
   )
 
@@ -1923,7 +2156,192 @@ object SparkEntry {
            |  round(((fg / ft) - (bg / n)) * (fg / ft) / (bg / n), 4) AS score
            |FROM fg JOIN bg USING (term) CROSS JOIN tot CROSS JOIN nn
            |WHERE fg >= 3 AND (fg / ft) > (bg / n)
-           |ORDER BY score DESC, term ASC LIMIT 15""".stripMargin
+           |ORDER BY score DESC, term ASC LIMIT 15""".stripMargin,
+      // ES more_like_this: doc 7's top-10 terms by tf(text)·idf(index)
+      // (min_term_freq 2, min_doc_freq 5) as a disjunctive BM25 query,
+      // source doc excluded from candidates, stats index-wide
+      "fts28_mlt" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |alltf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |          FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc) GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM alltf GROUP BY 1),
+           |src AS (SELECT term, count(*) AS tfq
+           |        FROM (SELECT unnest(tk) AS term FROM dt WHERE doc_id = 7) GROUP BY 1),
+           |sel AS (SELECT src.term FROM src JOIN dfc USING (term) CROSS JOIN stats
+           |        WHERE src.tfq >= 2 AND dfc.df >= 5
+           |        ORDER BY src.tfq * ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) DESC,
+           |          src.term ASC
+           |        LIMIT 10)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (alltf.tf / (alltf.tf + 1.2 * (0.25 + 0.75 * alltf.dl / stats.avgdl)))), 4) AS score
+           |FROM alltf JOIN dfc ON alltf.term = dfc.term CROSS JOIN stats
+           |WHERE alltf.term IN (SELECT term FROM sel) AND doc_id != 7
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
+      // ES wildcard query: terms matching s*am / *ow (anchored glob → regex,
+      // the engine's exact translation), each scored with its own idf
+      "fts29_wildcard" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE regexp_full_match(term, 's.*am')
+           |          OR regexp_full_match(term, '.*ow') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // ES regexp query: anchored full-term match s(ort|can), plus the
+      // plain term 'key'
+      "fts30_regexp" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE regexp_full_match(term, 's(ort|can)')
+           |          OR term = 'key' GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // ES top_hits in a terms agg: full scored match set (brute-force
+      // BM25), top-3 lang buckets by count (count desc, value asc), top-2
+      // hits per bucket (score desc, doc_id asc)
+      "fts31_top_hits" ->
+        s"""WITH dt AS (SELECT doc_id, lang, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, lang, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, lang, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, lang, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('merge','query') GROUP BY 1,2,3,4),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |scored AS (SELECT doc_id, lang, sum(
+           |    ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |    (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))) AS score
+           |  FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |  GROUP BY doc_id, lang),
+           |top3 AS (SELECT lang, count(*) AS cnt FROM scored
+           |         GROUP BY 1 ORDER BY cnt DESC, lang ASC LIMIT 3),
+           |ranked AS (SELECT lang, doc_id, score,
+           |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rk
+           |  FROM scored)
+           |SELECT t.lang AS value, t.cnt, r.rk, r.doc_id, round(r.score, 4) AS score
+           |FROM ranked r JOIN top3 t ON r.lang = t.lang
+           |WHERE r.rk <= 2
+           |ORDER BY t.cnt DESC, value ASC, r.rk ASC""".stripMargin,
+      // ES percentiles agg (exact, quantile_cont linear interpolation —
+      // the same convention as Spark's percentile)
+      "fts32_percentiles" ->
+        s"""WITH m AS (SELECT n_chars FROM (SELECT n_chars, $tokExpr AS tk FROM documents)
+           |           WHERE len(list_intersect(tk, ['spark','query','merge'])) > 0)
+           |SELECT p, round(v, 4) AS value FROM (
+           |  SELECT cast(0.25 as double) AS p,
+           |         quantile_cont(cast(n_chars as double), 0.25) AS v FROM m
+           |  UNION ALL
+           |  SELECT cast(0.5 as double), quantile_cont(cast(n_chars as double), 0.5) FROM m
+           |  UNION ALL
+           |  SELECT cast(0.9 as double), quantile_cont(cast(n_chars as double), 0.9) FROM m)""".stripMargin,
+      // ES term suggester: per missing token, corpus vocabulary within
+      // edit distance 2 ranked (distance asc, df desc, term asc), top 3;
+      // 'window' is in the dictionary so suggest_mode=missing skips it
+      "fts33_suggest" ->
+        s"""WITH vocab AS (SELECT term, count(*) AS df FROM (
+           |    SELECT doc_id, unnest(list_distinct($tokExpr)) AS term FROM documents)
+           |  GROUP BY 1),
+           |toks AS (SELECT unnest(['mrege','quary']) AS token),
+           |cand AS (SELECT t.token, v.term AS suggestion, v.df,
+           |    levenshtein(t.token, v.term) AS dist
+           |  FROM toks t CROSS JOIN vocab v
+           |  WHERE levenshtein(t.token, v.term) <= 2 AND v.term != t.token)
+           |SELECT token, suggestion, df, dist FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY token
+           |    ORDER BY dist ASC, df DESC, suggestion ASC) AS rk FROM cand)
+           |WHERE rk <= 3""".stripMargin,
+      // ES match_phrase slop ("data merge"~2): in-order span — 'data' at
+      // position i, 'merge' at j > i, gap (j - i - 1) ≤ 2 — via a
+      // positions self-join (a genuinely different formulation from the
+      // engine's greedy position-chain kernel); scored by the BM25 sum
+      // over the phrase's distinct terms
+      "fts34_phrase_slop" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |ppos AS (SELECT doc_id, unnest(tk) AS term, generate_subscripts(tk, 1) AS p FROM dt),
+           |pmatch AS (SELECT DISTINCT a.doc_id FROM ppos a JOIN ppos b
+           |           ON a.doc_id = b.doc_id AND a.term = 'data' AND b.term = 'merge'
+           |           AND b.p > a.p AND b.p - a.p - 1 <= 2),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('data','merge') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |WHERE doc_id IN (SELECT doc_id FROM pmatch)
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // ES collapse by lang: the best hit per lang (score desc, id asc),
+      // then the global top-10 of the group heads
+      "fts35_collapse" ->
+        s"""WITH dt AS (SELECT doc_id, lang, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, lang, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, lang, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, lang, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('merge','query') GROUP BY 1,2,3,4),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |scored AS (SELECT doc_id, lang, sum(
+           |    ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |    (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))) AS score
+           |  FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |  GROUP BY doc_id, lang),
+           |best AS (SELECT doc_id, lang AS value, score,
+           |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS r
+           |  FROM scored)
+           |SELECT doc_id, value, round(score, 4) AS score FROM best WHERE r = 1
+           |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+      // ES date_histogram (calendar month, min_doc_count=1) over the
+      // deterministically derived date column, query context 'merge query'
+      "fts36_date_hist" ->
+        s"""WITH dt AS (SELECT doc_id,
+           |    DATE '2021-01-01' + CAST(doc_id % 500 AS INT) AS mdate,
+           |    $tokExpr AS tk FROM documents)
+           |SELECT date_trunc('month', mdate) AS bucket, count(*) AS cnt
+           |FROM dt WHERE len(list_intersect(tk, ['merge','query'])) > 0
+           |GROUP BY 1 ORDER BY bucket""".stripMargin,
+      // ES _explain: per (top-10 hit, contributing term) the BM25 pieces;
+      // contribution = idf · tfNorm, pieces sum to the hit's score
+      "fts37_explain" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('spark','query','merge') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |pieces AS (SELECT doc_id, tf.term AS term, tf.tf AS tf, dfc.df AS df,
+           |    ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) AS idf,
+           |    ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |      (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) AS contrib
+           |  FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats),
+           |scored AS (SELECT doc_id, sum(contrib) AS score FROM pieces GROUP BY doc_id),
+           |top10 AS (SELECT doc_id, score FROM scored
+           |          ORDER BY score DESC, doc_id ASC LIMIT 10)
+           |SELECT p.doc_id, p.term, p.tf, p.df, round(p.idf, 4) AS idf,
+           |  round(p.contrib, 4) AS contribution, round(t.score, 4) AS score
+           |FROM pieces p JOIN top10 t USING (doc_id)""".stripMargin
     )
   }
 }

@@ -147,6 +147,45 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       }.toMap
     }
 
+  /** Dictionary terms full-matching each anchored regex across ALL
+    * segments — the shared engine of the segmented wildcard/regexp
+    * expansions (see [[Searcher.expandWildcardMap]]). */
+  private def expandRegexMap(
+      regexes: Seq[String], maxExpansions: Int): Map[String, Array[String]] =
+    if (regexes.isEmpty) Map.empty
+    else {
+      val compiled = regexes.map(r => r -> java.util.regex.Pattern.compile(r)).toMap
+      val matches: Array[String] =
+        if (dictMaps != null)
+          dictMaps.iterator.flatMap(_.keysIterator)
+            .filter(t => compiled.valuesIterator.exists(_.matcher(t).matches()))
+            .toArray.distinct
+        else
+          termsAll.filter(regexes.map(r => col("term").rlike(s"^(?:$r)$$")).reduce(_ || _))
+            .select("term").distinct().as[String].collect()
+      val sorted = matches.sorted
+      regexes.map(r =>
+        r -> sorted.filter(t => compiled(r).matcher(t).matches()).take(maxExpansions)).toMap
+    }
+
+  private def expandWildcardMap(
+      globs: Seq[String], maxExpansions: Int = 1024): Map[String, Array[String]] = {
+    val rx = globs.map(g => g -> Searcher.globToRegex(g)).toMap
+    val m = expandRegexMap(rx.values.toSeq.distinct, maxExpansions)
+    globs.map(g => g -> m(rx(g))).toMap
+  }
+
+  /** Every expanded scored term of the query's pattern clauses, across all
+    * segment dictionaries — the segmented [[Searcher]]`.expandAll`. */
+  private def expandAllSeg(pqs: Seq[Searcher.ParsedQuery]): Searcher.ParsedQuery => Array[String] = {
+    val prefixMap = expandPrefixMap(pqs.flatMap(_.prefixes.toSeq).distinct)
+    val fuzzyMap = expandFuzzyMap(pqs.flatMap(_.fuzzies.toSeq).distinct)
+    val wildMap = expandWildcardMap(pqs.flatMap(_.wildcards.toSeq).distinct)
+    val reMap = expandRegexMap(pqs.flatMap(_.regexps.toSeq).distinct, 1024)
+    pq => pq.prefixes.flatMap(prefixMap.apply) ++ pq.fuzzies.flatMap(fuzzyMap.apply) ++
+      pq.wildcards.flatMap(wildMap.apply) ++ pq.regexps.flatMap(reMap.apply)
+  }
+
   /** Top-k, ordered (score desc, identity asc); identity-keyed results. */
   def search(query: String, k: Int): Array[ScoredHit] = searchMany(Seq(query -> k)).head
 
@@ -162,11 +201,9 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       throw new IllegalStateException(
         "phrase query but a segment was built without positions (storePositions=false)")
 
-    val prefixMap = expandPrefixMap(parsed.flatMap(_.prefixes.toSeq).distinct)
-    val fuzzyMap = expandFuzzyMap(parsed.flatMap(_.fuzzies.toSeq).distinct)
+    val expand = expandAllSeg(parsed)
     def effTerms(pq: Searcher.ParsedQuery): Array[String] =
-      (pq.terms ++ pq.prefixes.flatMap(prefixMap.apply) ++
-        pq.fuzzies.flatMap(fuzzyMap.apply)).distinct
+      (pq.terms ++ expand(pq)).distinct
     val allTerms = parsed.flatMap(pq =>
       effTerms(pq).toSeq ++ pq.filters.toSeq ++ pq.phrases.flatten.toSeq ++
         pq.allExcluded.toSeq).distinct
@@ -210,7 +247,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
             else Seq(SegPlan(qi, s, loose, filterIds.toSet, k,
               pq.phrases.map(ph => ph.map(t => dict(t)._1).toSeq).toSeq, phraseIdf,
               exactBounds = segs(s)._2.avgdl == gAvgdl, excludeIds = excl,
-              ranges = pq.ranges.toSeq))
+              ranges = pq.ranges.toSeq, phraseSlops = pq.slops.toSeq))
           }
         }
     }
@@ -294,8 +331,9 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
           else acceptByQ.getOrElse(pl.qIdx, Array.empty[Long])
         val hits =
           if (pl.phraseIdSeqs.nonEmpty)
-            Phrase.topK(subset, pl.phraseIdSeqs.map(_.toArray).toArray, pl.phraseIdfById,
-              pl.idfById, pl.filterIds, gAvgdl, params, pl.k, pl.excludeIds, accept)
+            Phrase.topK(subset, pl.phraseIdSeqs.map(_.toArray).toArray, pl.phraseSlops.toArray,
+              pl.phraseIdfById, pl.idfById, pl.filterIds, gAvgdl, params, pl.k,
+              pl.excludeIds, accept)
           else Wand.topK(subset, pl.idfById, pl.filterIds, gAvgdl, params, pl.k,
             pl.exactBounds, pl.excludeIds, accept)
         hits.map(sd => (pl.qIdx, s, sd.docId, sd.score))
@@ -385,7 +423,8 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
         val ids =
           if (pl.phraseIdSeqs.nonEmpty)
             Phrase.matching(subset, pl.phraseIdSeqs.map(_.toArray).toArray,
-              pl.phraseIdfById.keySet, pl.filterIds, gAvgdl, params, pl.excludeIds, accept)
+              pl.phraseSlops.toArray, pl.phraseIdfById.keySet, pl.filterIds, gAvgdl,
+              params, pl.excludeIds, accept)
           else if (pl.idfById.nonEmpty)
             Wand.matching(subset, pl.idfById.keySet, pl.filterIds, gAvgdl, params,
               pl.excludeIds, accept, msm)
@@ -403,6 +442,188 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
         grouped.cogroup(acc) { (key, it, accIt) =>
           run(key._1, it.map(_._2), MultiSearcher.acceptArrays(accIt))
         }
+    }
+  }
+
+  /** Scored-all kernel pass over a plan set — [[Wand.scoreAll]] per
+    * (segment, shard): every matching doc with its exact global-stats BM25
+    * score. Scoreless (filter-context) plans emit their match set at
+    * constant score 0.0. Phrase plans are rejected upstream. */
+  private def runScoreKernels(plans: Seq[MultiSearcher.SegPlan], gAvgdl: Double,
+      minShouldMatch: Int = 1): Dataset[(Int, Long, Double)] = {
+    val params = p
+    val msm = minShouldMatch
+    val plansBySeg = plans.groupBy(_.seg)
+
+    def run(s: Int, blocks: Iterator[PostingBlock],
+        acceptByQ: Map[Int, Array[Long]]): Iterator[(Int, Long, Double)] = {
+      val arr = blocks.toArray
+      plansBySeg(s).iterator.flatMap { pl =>
+        val subset = arr.iterator.filter(b => pl.wantsBlock(b.termId))
+        val accept =
+          if (pl.ranges.isEmpty) null
+          else acceptByQ.getOrElse(pl.qIdx, Array.empty[Long])
+        if (pl.idfById.nonEmpty)
+          Wand.scoreAll(subset, pl.idfById, pl.filterIds, gAvgdl, params,
+            pl.exactBounds, pl.excludeIds, accept, msm).map(sd => (s, sd.docId, sd.score))
+        else
+          Wand.matchingConjunctive(subset, pl.filterIds, gAvgdl, params,
+            pl.excludeIds, accept).map(d => (s, d, 0.0))
+      }
+    }
+
+    val grouped = segBlocks(plansBySeg)
+    acceptsKV(plans) match {
+      case None => grouped.flatMapGroups { (key, it) => run(key._1, it.map(_._2), Map.empty) }
+      case Some(acc) =>
+        grouped.cogroup(acc) { (key, it, accIt) =>
+          run(key._1, it.map(_._2), MultiSearcher.acceptArrays(accIt))
+        }
+    }
+  }
+
+  /** Every matching doc WITH its exact BM25 score as (seg, docId, score) —
+    * the scored analogue of [[matchedSegDoc]], behind the segmented ES
+    * `top_hits`. Filter-only / match_all queries score 0.0 (constant-score
+    * filter context). Phrase queries are not supported in scored-all form. */
+  private def scoredSegDoc(query: String, minShouldMatch: Int = 1): DataFrame = {
+    import MultiSearcher.SegPlan
+    val kw = segs.head._2.keywords.toSet
+    val pq = Searcher.parseFull(query, kw)
+    require(pq.phrases.isEmpty, "top_hits does not support phrase queries")
+    def emptyOut = spark.emptyDataset[(Int, Long, Double)].toDF("seg", "docId", "score")
+
+    if (pq.hasScoringClauses) {
+      val (plans, gAvgdl) = planQueries(Seq(query -> 1))
+      if (plans.isEmpty) return emptyOut
+      runScoreKernels(plans, gAvgdl, minShouldMatch).toDF("seg", "docId", "score")
+    } else
+      matchedSegDoc(query, minShouldMatch).withColumn("score", lit(0.0))
+  }
+
+  /** ES `top_hits` inside a `terms` aggregation over the segmented index —
+    * [[Searcher.topHits]] semantics, exact across segments (disjoint
+    * identities: counts sum, scores use global stats). Per-bucket hit order
+    * is (score desc, identity asc) — per-segment docIds are not globally
+    * comparable, so DOCUMENT IDENTITY is the tie-break, as in every
+    * segmented result. Returns flat rows
+    * (value, cnt, rank, repo, path, commit, score). */
+  def topHits(query: String, bucketField: String, topNBuckets: Int, hitsPerBucket: Int,
+      minShouldMatch: Int = 1): DataFrame = {
+    require(topNBuckets > 0 && hitsPerBucket > 0, "topNBuckets and hitsPerBucket must be > 0")
+    val docsSchema = io.read(spark, s"${segs.head._1}/docs").schema
+    require(docsSchema.fieldNames.contains(bucketField),
+      s"bucket field '$bucketField' is not a stored docs column (have: ${docsSchema.fieldNames.mkString(", ")})")
+    val joined = scoredSegDoc(query, minShouldMatch)
+      .join(taggedUnion("docs", Seq("docId", bucketField, "repo", "path", "commit")),
+        Seq("seg", "docId"))
+      .filter(col(bucketField).isNotNull)
+      .select(col(bucketField).cast("string").as("value"),
+        col("repo"), col("path"), col("commit"), col("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("value"))
+      .orderBy(desc("score"), asc("repo"), asc("path"), asc("commit"))
+    val ranked = joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= hitsPerBucket)
+    val topBuckets = joined.groupBy("value").agg(sqlCount(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("value")).limit(topNBuckets)
+    ranked.join(broadcast(topBuckets), Seq("value"))
+      .select(col("value"), col("cnt"), col("rank"),
+        col("repo"), col("path"), col("commit"), col("score"))
+      .orderBy(desc("cnt"), asc("value"), asc("rank"))
+  }
+
+  /** ES `percentiles` aggregation over the segmented index —
+    * [[Searcher.percentilesAgg]] semantics, exact across segments. */
+  def percentilesAgg(query: String, field: String, ps: Seq[Double],
+      exact: Boolean = false, minShouldMatch: Int = 1): DataFrame = {
+    validateNumericDocsField(field)
+    require(ps.nonEmpty && ps.forall(x => x >= 0.0 && x <= 1.0),
+      "percentiles must be fractions in [0, 1]")
+    val matched = matchedSegDoc(query, minShouldMatch)
+      .join(taggedUnion("docs", Seq("docId", field)), Seq("seg", "docId"))
+      .filter(col(field).isNotNull)
+    val fn = if (exact) "percentile" else "approx_percentile"
+    matched.agg(expr(s"$fn(cast($field as double), array(${ps.mkString(",")}))").as("qs"))
+      .select(posexplode(col("qs")).as(Seq("i", "value")))
+      .select(element_at(typedLit(ps), col("i").cast("int") + 1).as("p"), col("value"))
+  }
+
+  /** ES `collapse` over the segmented index — [[Searcher.collapse]]
+    * semantics, exact across segments (global-stats scores; per-group and
+    * global order tie-break on DOCUMENT IDENTITY, as in every segmented
+    * result). Returns (value, repo, path, commit, score) in hit order. */
+  def collapse(query: String, field: String, k: Int, minShouldMatch: Int = 1): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val docsSchema = io.read(spark, s"${segs.head._1}/docs").schema
+    require(docsSchema.fieldNames.contains(field),
+      s"collapse field '$field' is not a stored docs column (have: ${docsSchema.fieldNames.mkString(", ")})")
+    val joined = scoredSegDoc(query, minShouldMatch)
+      .join(taggedUnion("docs", Seq("docId", field, "repo", "path", "commit")),
+        Seq("seg", "docId"))
+      .select(col(field).cast("string").as("value"),
+        col("repo"), col("path"), col("commit"), col("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("value"))
+      .orderBy(desc("score"), asc("repo"), asc("path"), asc("commit"))
+    val best = joined.filter(col("value").isNotNull)
+      .withColumn("_r", row_number().over(w)).filter(col("_r") === 1).drop("_r")
+    best.unionByName(joined.filter(col("value").isNull))
+      .orderBy(desc("score"), asc("repo"), asc("path"), asc("commit")).limit(k)
+      .select(col("value"), col("repo"), col("path"), col("commit"), col("score"))
+  }
+
+  /** ES `date_histogram` over the segmented index —
+    * [[Searcher.dateHistogram]] semantics, exact across segments (counts
+    * sum over disjoint identities). */
+  def dateHistogram(query: String, field: String, interval: String,
+      minShouldMatch: Int = 1): DataFrame = {
+    val allowed = Set("year", "quarter", "month", "week", "day")
+    require(allowed.contains(interval.toLowerCase),
+      s"interval must be one of ${allowed.mkString(", ")} (got '$interval')")
+    val f = io.read(spark, s"${segs.head._1}/docs").schema.fields.find(_.name == field)
+      .getOrElse(throw new IllegalArgumentException(
+        s"field '$field' is not a stored docs column"))
+    require(f.dataType == org.apache.spark.sql.types.DateType ||
+      f.dataType == org.apache.spark.sql.types.TimestampType,
+      s"field '$field' is not a date/timestamp column (${f.dataType.simpleString})")
+    matchedSegDoc(query, minShouldMatch)
+      .join(taggedUnion("docs", Seq("docId", field)), Seq("seg", "docId"))
+      .filter(col(field).isNotNull)
+      .groupBy(date_trunc(interval.toLowerCase, col(field)).cast("date").as("bucket"))
+      .agg(sqlCount(lit(1)).as("cnt"))
+      .orderBy("bucket")
+  }
+
+  /** ES term suggester over the segmented index — [[Searcher.suggest]]
+    * semantics with EXACT global document frequencies (per-term df summed
+    * over disjoint segments); candidates come from the UNION of segment
+    * dictionaries. */
+  def suggest(text: String, topN: Int = 5, maxEdits: Int = 2,
+      mode: String = "missing"): Seq[(String, String, Long, Int)] = {
+    require(maxEdits >= 1 && maxEdits <= 2, s"maxEdits must be 1 or 2 (got $maxEdits)")
+    require(mode == "missing" || mode == "always", s"unknown suggest_mode '$mode'")
+    val tokens = graft.analysis.Analyzer.tokenize(text).distinct.toSeq
+    if (tokens.isEmpty) return Seq.empty
+    val presentDicts = lookup(tokens)
+    val present: Set[String] =
+      tokens.filter(t => presentDicts.exists(_.contains(t))).toSet
+    val want = if (mode == "missing") tokens.filterNot(present) else tokens
+    if (want.isEmpty) return Seq.empty
+    val expansions = expandFuzzyMap(want.map((_, maxEdits)))
+    val allCand = expansions.valuesIterator.flatten.toSeq.distinct
+    val dicts = lookup(allCand)
+    val dfByTerm: Map[String, Long] =
+      allCand.map(t => t -> dicts.map(_.get(t).map(_._2).getOrElse(0L)).sum).toMap
+    def dist(a: String, b: String): Int =
+      if (a == b) 0 else if (Searcher.editWithin(a, b, 1)) 1 else 2
+    want.flatMap { tok =>
+      expansions((tok, maxEdits)).toSeq
+        .filter(_ != tok)
+        .map(c => (tok, c, dfByTerm.getOrElse(c, 0L), dist(tok, c)))
+        .sortBy { case (_, c, df, dd) => (dd, -df, c) }
+        .take(topN)
     }
   }
 
@@ -635,8 +856,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       s"highlight field '$field' is not a string column (${f.dataType.simpleString})")
     val kw = segs.head._2.keywords.toSet
     val pq = Searcher.parseFull(query, kw)
-    val expanded = pq.prefixes.flatMap(expandPrefixMap(pq.prefixes.toSeq).apply) ++
-      pq.fuzzies.flatMap(expandFuzzyMap(pq.fuzzies.toSeq).apply)
+    val expanded = expandAllSeg(Seq(pq))(pq)
     val hlTerms = (pq.terms ++ expanded ++ pq.phrases.flatten).distinct
     require(hlTerms.nonEmpty, "highlight needs at least one scored term or phrase")
     val hits = searchMany(Seq(query -> k)).head
@@ -650,6 +870,34 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       .join(broadcast(hitsDf), Seq("repo", "path", "commit"))
       .select(col("repo"), col("path"), col("commit"), col("score"), snippet.as("snippet"))
       .orderBy(desc("score"), asc("repo"), asc("path"), asc("commit"))
+  }
+
+  /** ES `more_like_this` over the segmented index —
+    * [[Searcher.moreLikeThis]] semantics with EXACT global statistics
+    * (per-term df summed over disjoint segments). `excludeIdents` drops
+    * documents by identity (the source doc's ES `include: false`). */
+  def moreLikeThis(likeText: String, k: Int, maxQueryTerms: Int = 25,
+      minTermFreq: Int = 2, minDocFreq: Int = 5,
+      excludeIdents: Set[(String, String, String)] = Set.empty): Array[ScoredHit] = {
+    require(maxQueryTerms > 0 && minTermFreq >= 1 && minDocFreq >= 1,
+      "maxQueryTerms must be > 0; minTermFreq and minDocFreq must be >= 1")
+    val tf: Map[String, Int] = graft.analysis.Analyzer.tokenize(likeText)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val cand = tf.collect { case (t, f) if f >= minTermFreq => t }.toSeq.sorted
+    if (cand.isEmpty) return Array.empty
+    val dicts = lookup(cand)
+    val sel = cand
+      .flatMap { t =>
+        val df = dicts.map(_.get(t).map(_._2).getOrElse(0L)).sum
+        if (df >= minDocFreq) Some((t, tf(t).toDouble * BM25.idf(numDocs, df))) else None
+      }
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms)
+      .map(_._1)
+    if (sel.isEmpty) return Array.empty
+    searchMany(Seq(sel.mkString(" ") -> (k + excludeIdents.size))).head
+      .filter(h => !excludeIdents.contains((h.repo, h.path, h.commit)))
+      .take(k)
   }
 
   /** ES `significant_terms` over the segmented index —
@@ -717,7 +965,9 @@ object MultiSearcher {
       phraseIdfById: Map[Long, Double],
       exactBounds: Boolean,
       excludeIds: Set[Long] = Set.empty,
-      ranges: Seq[Searcher.RangeFilter] = Nil) {
+      ranges: Seq[Searcher.RangeFilter] = Nil,
+      /** per-phrase slop, parallel to [[phraseIdSeqs]] (empty = all 0) */
+      phraseSlops: Seq[Int] = Nil) {
     def allTermIds: Iterable[Long] =
       idfById.keys ++ phraseIdfById.keys ++ filterIds ++ excludeIds
     def wantsBlock(termId: Long): Boolean =

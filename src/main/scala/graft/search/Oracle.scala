@@ -68,7 +68,7 @@ object Oracle {
     val filterPred: Column = filterGate(pq)
     // carry every non-content column: any of them may be a keyword filter
     val metaCols = corpus.columns.filterNot(_ == "content").toSeq
-    val phraseOk: Column = phraseGate(phraseSeqs)
+    val phraseOk: Column = phraseGate(phraseSeqs, pq.slops.toSeq)
     // ES must_not gate: true iff the doc contains ANY excluded term
     val exHit: Column = excludedGate(excluded)
     val docTok = corpus
@@ -90,7 +90,12 @@ object Oracle {
           // fuzzy stems: every corpus term within the edit bound is scored
           // (Spark's levenshtein = the engine's editWithin cost model)
           pq.fuzzies.toSeq.map { case (st, b) =>
-            levenshtein(col("term"), lit(st)) <= b }
+            levenshtein(col("term"), lit(st)) <= b } ++
+          // wildcard/regexp patterns: anchored regex over whole corpus
+          // terms — the SAME glob translation the engine expands with
+          pq.wildcards.toSeq.map(g =>
+            col("term").rlike(s"^(?:${Searcher.globToRegex(g)})$$")) ++
+          pq.regexps.toSeq.map(r => col("term").rlike(s"^(?:$r)$$"))
         ).reduceOption(_ || _).getOrElse(lit(false))
       val tfq = docTok
         .select(metaCols.map(col) :+ col("_pok") :+ col("dl") :+ explode(col("toks")).as("term"): _*)
@@ -153,16 +158,43 @@ object Oracle {
       pq.ranges.toSeq.map(_.pred)
     ).foldLeft(lit(true))(_ && _)
 
-  /** All-phrases-aligned gate over the analyzed `toks` column. */
-  private def phraseGate(phraseSeqs: Seq[Seq[String]]): Column =
-    phraseSeqs.map { ph =>
+  /** All-phrases-aligned gate over the analyzed `toks` column. Slop 0 =
+    * exact adjacency; slop S = the engine's in-order span semantics
+    * (strictly increasing indices hitting the phrase terms in order, total
+    * span ≤ exact span + S), expressed as nested higher-order `exists`
+    * over index windows — a genuinely different formulation from the
+    * engine's greedy position-chain kernel. */
+  private def phraseGate(phraseSeqs: Seq[Seq[String]], slops: Seq[Int]): Column =
+    phraseSeqs.zipWithIndex.map { case (ph, pi) =>
       val m = ph.length
-      when(size(col("toks")) >= m,
-        exists(sequence(lit(1), size(col("toks")) - m + 1),
-          i => ph.zipWithIndex.map { case (t, j) =>
-            element_at(col("toks"), i + j) === lit(t)
-          }.reduce(_ && _)))
-        .otherwise(lit(false))
+      val slop = if (pi < slops.length) slops(pi) else 0
+      val n = size(col("toks"))
+      if (slop == 0)
+        when(n >= m,
+          exists(sequence(lit(1), n - m + 1),
+            i => ph.zipWithIndex.map { case (t, j) =>
+              element_at(col("toks"), i + j) === lit(t)
+            }.reduce(_ && _)))
+          .otherwise(lit(false))
+      else {
+        // slot j (0-based) may sit anywhere in (prev, i1 + j + slop] — the
+        // remaining slots still fit iff the FINAL index ≤ i1 + (m-1) + slop,
+        // and intermediate slots can never exceed their own cap and leave
+        // room, so per-slot caps are exact, not a relaxation
+        def rest(j: Int, prev: Column, i1: Column): Column =
+          if (j == m) lit(true)
+          else {
+            val hi = least(i1 + lit(j + slop), n)
+            when(prev < hi,
+              exists(sequence(prev + 1, hi),
+                ij => (element_at(col("toks"), ij) === lit(ph(j))) && rest(j + 1, ij, i1)))
+              .otherwise(lit(false))
+          }
+        when(n >= m,
+          exists(sequence(lit(1), n - m + 1),
+            i1 => (element_at(col("toks"), i1) === lit(ph.head)) && rest(1, i1, i1)))
+          .otherwise(lit(false))
+      }
     }.foldLeft(lit(true))(_ && _)
 
   /** ES must_not gate: true iff the doc contains ANY excluded term. */
@@ -182,7 +214,7 @@ object Oracle {
   private def matchGate(pq: Searcher.ParsedQuery, minShouldMatch: Int): Column = {
     val phraseSeqs: Seq[Seq[String]] = pq.phrases.map(_.toSeq).toSeq
     val base = filterGate(pq) && !excludedGate(pq.excluded.toSeq)
-    if (phraseSeqs.nonEmpty) phraseGate(phraseSeqs) && base
+    if (phraseSeqs.nonEmpty) phraseGate(phraseSeqs, pq.slops.toSeq) && base
     else if (pq.hasScoringClauses) {
       val qTerms = pq.terms.distinct.toSeq
       // one should-clause per DISTINCT matching term (engine cursor = one
@@ -265,6 +297,29 @@ object Oracle {
         ((fgRate - bgRate) * fgRate / bgRate).as("score"))
       .orderBy(desc("score"), asc("term"))
       .limit(topN)
+  }
+
+  /** ES `more_like_this` term selection the brute-force way — the oracle
+    * for [[Searcher.moreLikeThis]]'s driver-side selection: per-term
+    * `tf(likeText) · idf(corpus)` with the min_term_freq / min_doc_freq
+    * gates, top maxQueryTerms by (score desc, term asc). Run the result
+    * through [[bm25]] for the expected hits. */
+  def mltSelect(corpus: DataFrame, likeText: String, maxQueryTerms: Int,
+      minTermFreq: Int, minDocFreq: Int): Seq[String] = {
+    val tf: Map[String, Int] = Analyzer.tokenize(likeText)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val n = corpus.count()
+    val dfMap = corpus
+      .select(explode(array_distinct(Analyzer.analyze(col("content")))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    tf.toSeq
+      .collect { case (t, f) if f >= minTermFreq && dfMap.getOrElse(t, 0L) >= minDocFreq =>
+        (t, f.toDouble * BM25.idf(n, dfMap(t)))
+      }
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms)
+      .map(_._1)
   }
 
   /** Driver-side expected snippet for [[Searcher.highlight]] oracles: the

@@ -155,6 +155,56 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       }.toMap
     }
 
+  /** Dictionary terms matching each anchored regex — the shared engine of
+    * the wildcard and regexp expansions. Warm: a driver map scan with the
+    * compiled pattern; cold: ONE Spark job (`rlike` on the anchored form)
+    * over the terms relation for the whole pattern set. Deterministic cap
+    * as in [[expandPrefixMap]]: lexicographically smallest matches. */
+  private def expandRegexMap(
+      regexes: Seq[String], maxExpansions: Int): Map[String, Array[String]] =
+    if (regexes.isEmpty) Map.empty
+    else {
+      val compiled = regexes.map(r => r -> java.util.regex.Pattern.compile(r)).toMap
+      val matches: Array[String] =
+        if (dictMap != null)
+          dictMap.keysIterator
+            .filter(t => compiled.valuesIterator.exists(_.matcher(t).matches())).toArray
+        else
+          termsDf
+            .filter(regexes.map(r => col("term").rlike(s"^(?:$r)$$")).reduce(_ || _))
+            .select("term").as[String].collect()
+      val sorted = matches.sorted
+      regexes.map(r =>
+        r -> sorted.filter(t => compiled(r).matcher(t).matches()).take(maxExpansions)).toMap
+    }
+
+  /** Dictionary terms matching each wildcard pattern (`s*am`, `qu?ry` —
+    * ES `wildcard` query, scoring_boolean rewrite: every match becomes an
+    * ordinary scored term with its own idf). `*` = any run, `?` = exactly
+    * one char, matched against whole dictionary terms. */
+  def expandWildcardMap(
+      globs: Seq[String], maxExpansions: Int = 1024): Map[String, Array[String]] = {
+    val rx = globs.map(g => g -> Searcher.globToRegex(g)).toMap
+    val m = expandRegexMap(rx.values.toSeq.distinct, maxExpansions)
+    globs.map(g => g -> m(rx(g))).toMap
+  }
+
+  /** Dictionary terms full-matching each regexp (`/s(ort|can)/` — ES
+    * `regexp` query, scoring_boolean rewrite). Anchored like ES: the whole
+    * term must match the pattern. */
+  def expandRegexpMap(
+      regexps: Seq[String], maxExpansions: Int = 1024): Map[String, Array[String]] =
+    expandRegexMap(regexps, maxExpansions)
+
+  /** Every expanded scored term of a parsed query's pattern clauses
+    * (prefix, fuzzy, wildcard, regexp), each with its own idf under the
+    * scoring_boolean rewrite. */
+  private[search] def expandAll(pq: Searcher.ParsedQuery): Array[String] =
+    pq.prefixes.flatMap(expandPrefixMap(pq.prefixes.toSeq).apply) ++
+      pq.fuzzies.flatMap(expandFuzzyMap(pq.fuzzies.toSeq).apply) ++
+      pq.wildcards.flatMap(expandWildcardMap(pq.wildcards.toSeq).apply) ++
+      pq.regexps.flatMap(expandRegexpMap(pq.regexps.toSeq).apply)
+
   /** term → (termId, df) for each query term present in the dictionary. */
   def lookupTermStats(terms: Seq[String]): Map[String, (Long, Long)] =
     if (terms.isEmpty) Map.empty
@@ -201,15 +251,14 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(minShouldMatch >= 1, s"minShouldMatch must be >= 1 (got $minShouldMatch)")
     val kEff = from + k
     val pq = Searcher.parseFull(query, meta.keywords.toSet)
-    val expanded = pq.prefixes.flatMap(expandPrefixMap(pq.prefixes.toSeq).apply) ++
-      pq.fuzzies.flatMap(expandFuzzyMap(pq.fuzzies.toSeq).apply)
+    val expanded = expandAll(pq)
     // ES must_not: excluded terms (and negated keyword filters — dictionary
     // terms like any other) reject candidates, never affect stats; a term
     // absent from the dictionary excludes nothing
     val excludeIds: Set[Long] = lookupTerms(pq.allExcluded.toSeq).map(_._1).toSet
     if (pq.phrases.nonEmpty)
-      return searchPhrases(pq.phrases, (pq.terms ++ expanded).distinct, pq.filters, kEff,
-        excludeIds, pq.boostOf, pq.ranges, after).drop(from)
+      return searchPhrases(pq.phrases, pq.slops, (pq.terms ++ expanded).distinct, pq.filters,
+        kEff, excludeIds, pq.boostOf, pq.ranges, after).drop(from)
     val qTerms = (pq.terms ++ expanded).distinct
     val qFilters = pq.filters
     val stats = lookupTermStats(qTerms.toSeq)
@@ -281,6 +330,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * optional scored extras of a mixed query (may be empty). */
   private def searchPhrases(
       phrases: Array[Array[String]],
+      phraseSlops: Array[Int],
       looseTerms: Array[String],
       qFilters: Array[String],
       k: Int,
@@ -321,18 +371,19 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .as[PostingBlock]
       .groupByKey(_.shard)
     val aft = after
+    val slops = phraseSlops
     val perShard =
       if (ranges.isEmpty)
         blocksKV.flatMapGroups { (_, blocks) =>
-          Phrase.topK(blocks, phraseIdSeqs, idfById, optIdfById, filterIds, avgdl, params, k,
-            excludeTermIds = excludeIds, after = aft)
+          Phrase.topK(blocks, phraseIdSeqs, slops, idfById, optIdfById, filterIds, avgdl,
+            params, k, excludeTermIds = excludeIds, after = aft)
         }
       else
         blocksKV.cogroup(acceptsByShard(ranges)) { (_, blocks, acc) =>
           val a = acc.toArray
           java.util.Arrays.sort(a)
-          Phrase.topK(blocks, phraseIdSeqs, idfById, optIdfById, filterIds, avgdl, params, k,
-            excludeTermIds = excludeIds, accept = a, after = aft)
+          Phrase.topK(blocks, phraseIdSeqs, slops, idfById, optIdfById, filterIds, avgdl,
+            params, k, excludeTermIds = excludeIds, accept = a, after = aft)
         }
 
     perShard
@@ -358,13 +409,17 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     if (parsed.exists(_.phrases.nonEmpty) && !meta.hasPositions)
       throw new IllegalStateException(
         "phrase query on an index built without positions (IndexConfig.storePositions=false)")
-    // one dictionary pass expands every query's prefixes (and another every
-    // query's fuzzy stems)
+    // one dictionary pass per pattern kind expands every query's prefixes,
+    // fuzzy stems, wildcards and regexps (batched across the whole set)
     val prefixMap = expandPrefixMap(parsed.flatMap(_.prefixes.toSeq).distinct)
     val fuzzyMap = expandFuzzyMap(parsed.flatMap(_.fuzzies.toSeq).distinct)
+    val wildcardMap = expandWildcardMap(parsed.flatMap(_.wildcards.toSeq).distinct)
+    val regexpMap = expandRegexpMap(parsed.flatMap(_.regexps.toSeq).distinct)
     def effTerms(pq: Searcher.ParsedQuery): Array[String] =
       (pq.terms ++ pq.prefixes.flatMap(prefixMap.apply) ++
-        pq.fuzzies.flatMap(fuzzyMap.apply)).distinct
+        pq.fuzzies.flatMap(fuzzyMap.apply) ++
+        pq.wildcards.flatMap(wildcardMap.apply) ++
+        pq.regexps.flatMap(regexpMap.apply)).distinct
     val allTerms = parsed.flatMap(pq =>
       effTerms(pq).toSeq ++ pq.filters.toSeq ++ pq.phrases.flatten.toSeq ++
         pq.allExcluded.toSeq).distinct
@@ -391,7 +446,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
           if (phraseIdf.isEmpty && loose.isEmpty) None
           else Some(Plan(i, loose, filters.toSet, k,
             pq.phrases.map(ph => ph.map(t => statsByTerm(t)._1).toSeq).toSeq, phraseIdf, excl,
-            pq.ranges.toSeq))
+            pq.ranges.toSeq, pq.slops.toSeq))
         }
     }
     val live = plans.flatten
@@ -407,8 +462,9 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
           else acceptByQ.getOrElse(pl.qIdx, Array.empty[Long])
         val hits =
           if (pl.phraseIdSeqs.nonEmpty)
-            Phrase.topK(subset, pl.phraseIdSeqs.map(_.toArray).toArray, pl.phraseIdfById,
-              pl.idfById, pl.filterIds, avgdl, params, pl.k, pl.excludeIds, accept)
+            Phrase.topK(subset, pl.phraseIdSeqs.map(_.toArray).toArray, pl.phraseSlops.toArray,
+              pl.phraseIdfById, pl.idfById, pl.filterIds, avgdl, params, pl.k,
+              pl.excludeIds, accept)
           else Wand.topK(subset, pl.idfById, pl.filterIds, avgdl, params, pl.k,
             excludeTermIds = pl.excludeIds, accept = accept)
         hits.map(sd => (pl.qIdx, sd.docId, sd.score))
@@ -481,8 +537,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     if (pq.phrases.nonEmpty && !meta.hasPositions)
       throw new IllegalStateException(
         "phrase query on an index built without positions (IndexConfig.storePositions=false)")
-    val expanded = pq.prefixes.flatMap(expandPrefixMap(pq.prefixes.toSeq).apply) ++
-      pq.fuzzies.flatMap(expandFuzzyMap(pq.fuzzies.toSeq).apply)
+    val expanded = expandAll(pq)
     val qTerms = (pq.terms ++ expanded).distinct
     val phraseTerms = pq.phrases.flatten.distinct
     val stats = lookupTermStats((qTerms ++ phraseTerms ++ pq.filters).distinct.toSeq)
@@ -512,8 +567,9 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       if (phraseTerms.exists(t => !stats.contains(t))) return empty
       val reqIds = phraseTerms.map(t => stats(t)._1).toSet
       val phraseIdSeqs = pq.phrases.map(_.map(t => stats(t)._1))
+      val slops = pq.slops
       run(reqIds ++ filterIds ++ excludeIds, (b, a) =>
-        Phrase.matching(b, phraseIdSeqs, reqIds, filterIds, avgdl, params, excludeIds, a))
+        Phrase.matching(b, phraseIdSeqs, slops, reqIds, filterIds, avgdl, params, excludeIds, a))
     } else if (pq.hasScoringClauses) {
       val anyIds = qTerms.flatMap(t => stats.get(t).map(_._1)).toSet
       if (anyIds.isEmpty) empty
@@ -712,6 +768,243 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     matched.agg(aggCol.as("c")).head().getLong(0)
   }
 
+  /** Every matching doc WITH its exact BM25 score, as a distributed
+    * Dataset — the scored analogue of [[matchIdsDs]], behind ES `top_hits`
+    * (every match may top its own bucket, so no global-k pruning is
+    * admissible; [[Wand.scoreAll]] per shard). Filter-only / match_all
+    * queries score 0.0 (ES constant-score filter context). Phrase queries
+    * are not supported in scored-all form. */
+  private def scoredMatchesDs(
+      pq: Searcher.ParsedQuery, minShouldMatch: Int = 1): Dataset[ScoredDoc] = {
+    require(pq.phrases.isEmpty, "top_hits does not support phrase queries")
+    if (!pq.hasScoringClauses)
+      return matchIdsDs(pq, minShouldMatch).map(ScoredDoc(_, 0.0))
+    val expanded = expandAll(pq)
+    val qTerms = (pq.terms ++ expanded).distinct
+    val stats = lookupTermStats((qTerms ++ pq.filters).distinct.toSeq)
+    val excludeIds: Set[Long] = lookupTerms(pq.allExcluded.toSeq).map(_._1).toSet
+    val empty = spark.emptyDataset[ScoredDoc]
+    val filterIdArr = pq.filters.flatMap(f => stats.get(f).map(_._1))
+    if (filterIdArr.length < pq.filters.length) return empty
+    val filterIds = filterIdArr.toSet
+    val n = meta.numDocs
+    val idfById: Map[Long, Double] = qTerms.flatMap(t =>
+      stats.get(t).map { case (tid, df) => tid -> BM25.idf(n, df) * pq.boostOf(t) }).toMap
+    if (idfById.isEmpty) return empty
+    val params = p
+    val avgdl = meta.avgdl
+    val termIds = idfById.keySet ++ filterIds ++ excludeIds
+    val kv = blocksDf
+      .filter(col("termId").isin(termIds.toSeq.map(Long.box): _*))
+      .as[PostingBlock]
+      .groupByKey(_.shard)
+    val msm = minShouldMatch
+    if (pq.ranges.isEmpty)
+      kv.flatMapGroups((_, b) =>
+        Wand.scoreAll(b, idfById, filterIds, avgdl, params,
+          excludeTermIds = excludeIds, minShouldMatch = msm))
+    else
+      kv.cogroup(acceptsByShard(pq.ranges)) { (_, b, acc) =>
+        val a = acc.toArray
+        java.util.Arrays.sort(a)
+        Wand.scoreAll(b, idfById, filterIds, avgdl, params,
+          excludeTermIds = excludeIds, accept = a, minShouldMatch = msm)
+      }
+  }
+
+  /** ES `top_hits` inside a `terms` aggregation: the top `topNBuckets`
+    * values of a stored docs column by match count (terms-agg bucket order:
+    * count desc, value asc), each carrying its `hitsPerBucket` best hits by
+    * relevance (score desc, docId asc). Returns flat rows
+    * (value, cnt, rank, docId, score) in bucket-then-rank order.
+    *
+    * Plan: exhaustive per-shard scoring walk (scored matches stay
+    * distributed) → join with the docs relation on docId → ONE shuffle by
+    * bucket value serving both the count aggregation (partial map-side) and
+    * the per-bucket top-k window; bucket selection is a broadcast of ≤
+    * topNBuckets rows. The window's per-partition state is one bucket's
+    * matches — bounded by bucket cardinality skew, the same bound ES's
+    * per-bucket hit heaps have. */
+  def topHits(query: String, bucketField: String, topNBuckets: Int, hitsPerBucket: Int,
+      minShouldMatch: Int = 1): DataFrame = {
+    require(topNBuckets > 0 && hitsPerBucket > 0, "topNBuckets and hitsPerBucket must be > 0")
+    require(docsDf.columns.contains(bucketField),
+      s"bucket field '$bucketField' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})")
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val scored = scoredMatchesDs(pq, minShouldMatch).toDF("docId", "score")
+    val joined = docsDf.join(scored, Seq("docId"))
+      .filter(col(bucketField).isNotNull)
+      .select(col(bucketField).cast("string").as("value"), col("docId"), col("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("value")).orderBy(desc("score"), asc("docId"))
+    val ranked = joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= hitsPerBucket)
+    val topBuckets = joined.groupBy("value").agg(sqlCount(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("value")).limit(topNBuckets)
+    ranked.join(broadcast(topBuckets), Seq("value"))
+      .select(col("value"), col("cnt"), col("rank"), col("docId"), col("score"))
+      .orderBy(desc("cnt"), asc("value"), asc("rank"))
+  }
+
+  /** ES `percentiles` aggregation in query context over a stored NUMERIC
+    * docs column: one row (p, value) per requested percentile, computed
+    * over the matching documents that have the field (nulls skipped).
+    * `exact=false` (the default, ES's own behavior — t-digest) uses
+    * `approx_percentile`; `exact=true` computes the true linear-interpolated
+    * quantile (DuckDB `quantile_cont` convention — Spark's `percentile`),
+    * which buffers the match set's values per group and is the
+    * small-result/verification mode, not the 100 TB default. */
+  def percentilesAgg(query: String, field: String, ps: Seq[Double],
+      exact: Boolean = false, minShouldMatch: Int = 1): DataFrame = {
+    validateNumericField(field)
+    require(ps.nonEmpty && ps.forall(x => x >= 0.0 && x <= 1.0),
+      "percentiles must be fractions in [0, 1]")
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val matched = docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
+      .filter(col(field).isNotNull)
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val qs = matched.agg(
+      expr(s"$fn(cast($field as double), array(${ps.mkString(",")}))").as("qs"))
+    qs.select(posexplode(col("qs")).as(Seq("i", "value")))
+      .select(element_at(typedLit(ps), col("i").cast("int") + 1).as("p"), col("value"))
+  }
+
+  /** ES `collapse`: top-k hits AFTER keeping only the single best hit
+    * (score desc, docId asc) per distinct value of a stored docs column —
+    * search-result dedup by field, e.g. one hit per repo. Documents whose
+    * collapse field is NULL each stay their own group (ES keeps them as
+    * distinct hits). Returns (docId, value, score) in hit order.
+    *
+    * Plan: exhaustive per-shard scored walk (any match may be its group's
+    * best, so global-k pruning is inadmissible — the `top_hits` argument)
+    * → join the docs relation for the collapse key → ONE shuffle by key
+    * for the per-group argmax (window bounded by group size, the same
+    * bound ES's grouping heads carry) → global top-k merge. */
+  def collapse(query: String, field: String, k: Int, minShouldMatch: Int = 1): DataFrame = {
+    require(k > 0, "k must be > 0")
+    require(docsDf.columns.contains(field),
+      s"collapse field '$field' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})")
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val scored = scoredMatchesDs(pq, minShouldMatch).toDF("docId", "score")
+    val joined = docsDf.select(col("docId"), col(field).cast("string").as("value"))
+      .join(scored, Seq("docId"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("value")).orderBy(desc("score"), asc("docId"))
+    val best = joined.filter(col("value").isNotNull)
+      .withColumn("_r", row_number().over(w)).filter(col("_r") === 1).drop("_r")
+    best.unionByName(joined.filter(col("value").isNull))
+      .orderBy(desc("score"), asc("docId")).limit(k)
+      .select(col("docId"), col("value"), col("score"))
+  }
+
+  /** ES `date_histogram` (calendar_interval) in query context over a
+    * stored DATE/TIMESTAMP docs column: one row (bucket, cnt) per
+    * NON-EMPTY calendar bucket of the match set (ES with min_doc_count=1),
+    * ascending; null dates skipped. `interval` ∈ year | quarter | month |
+    * week | day (Spark `date_trunc` — ISO weeks, like ES). Distributed
+    * with partial aggregation; bucket cardinality is calendar-bounded. */
+  def dateHistogram(query: String, field: String, interval: String,
+      minShouldMatch: Int = 1): DataFrame = {
+    val allowed = Set("year", "quarter", "month", "week", "day")
+    require(allowed.contains(interval.toLowerCase),
+      s"interval must be one of ${allowed.mkString(", ")} (got '$interval')")
+    val f = docsDf.schema.fields.find(_.name == field).getOrElse(throw new IllegalArgumentException(
+      s"field '$field' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})"))
+    require(f.dataType == org.apache.spark.sql.types.DateType ||
+      f.dataType == org.apache.spark.sql.types.TimestampType,
+      s"field '$field' is not a date/timestamp column (${f.dataType.simpleString})")
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
+      .filter(col(field).isNotNull)
+      .groupBy(date_trunc(interval.toLowerCase, col(field)).cast("date").as("bucket"))
+      .agg(sqlCount(lit(1)).as("cnt"))
+      .orderBy("bucket")
+  }
+
+  /** ES `_explain` for the top-k hits of a query: per (hit, contributing
+    * term) row with the BM25 pieces — term frequency `tf`, document
+    * frequency `df`, `idf`, and the term's `contribution` =
+    * boost·idf·tfNorm(tf, dl) — plus the hit's total score. Phrase
+    * queries are not supported (their own kernel; explain covers the
+    * term/expansion path). Returns (docId, term, tf, df, idf,
+    * contribution, score) ordered (score desc, docId asc, term asc).
+    *
+    * Plan: the ordinary top-k search (the ranking being explained), then
+    * ONE termId-filtered block scan re-scoring ONLY the ≤k hit docs
+    * (docId set broadcast with the task closure) — per-term pieces never
+    * exist for non-hits, and the pieces sum to the hit's score by
+    * construction (asserted in tests, bit-exact). */
+  def explainHits(query: String, k: Int, minShouldMatch: Int = 1): DataFrame = {
+    import spark.implicits._
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    require(pq.phrases.isEmpty, "explainHits does not support phrase queries")
+    val hits = search(query, k, minShouldMatch = minShouldMatch)
+    def emptyOut = Seq.empty[(Long, String, Long, Long, Double, Double, Double)]
+      .toDF("docId", "term", "tf", "df", "idf", "contribution", "score")
+    if (hits.isEmpty) return emptyOut
+    val hitScore: Map[Long, Double] = hits.map(h => h.docId -> h.score).toMap
+    val expanded = expandAll(pq)
+    val qTerms = (pq.terms ++ expanded).distinct
+    val stats = lookupTermStats(qTerms.toSeq)
+    // per-term metadata, driver-small (≤ query width × expansions)
+    val n = meta.numDocs
+    val termRows = qTerms.flatMap(t => stats.get(t).map { case (tid, df) =>
+      (tid, t, df, BM25.idf(n, df), pq.boostOf(t))
+    })
+    if (termRows.isEmpty) return emptyOut
+    val byTid: Map[Long, (String, Long, Double, Double)] =
+      termRows.map { case (tid, t, df, idf, b) => tid -> (t, df, idf, b) }.toMap
+    val docSet = hitScore.keySet
+    val avgdl = meta.avgdl
+    val params = p
+    blocksDf
+      .filter(col("termId").isin(byTid.keySet.toSeq.map(Long.box): _*))
+      .as[PostingBlock]
+      .flatMap { b =>
+        val (t, df, idf, boost) = byTid(b.termId)
+        val ids = b.docIds; val tfs = b.tfValues; val dls = b.dlValues
+        (0 until ids.length).iterator.collect {
+          case i if docSet.contains(ids(i)) =>
+            val contrib = boost * idf * BM25.tfNorm(tfs(i), dls(i), avgdl, params)
+            (ids(i), t, tfs(i), df, idf, contrib, hitScore(ids(i)))
+        }
+      }
+      .toDF("docId", "term", "tf", "df", "idf", "contribution", "score")
+      .orderBy(desc("score"), asc("docId"), asc("term"))
+  }
+
+  /** ES term suggester ("did you mean"): for each analyzed token of `text`,
+    * candidate dictionary terms within `maxEdits`, ranked the ES way —
+    * edit distance asc, then document frequency desc, then term asc — top
+    * `topN` per token, the token itself never suggested. `mode` follows
+    * ES `suggest_mode`: "missing" (default) suggests only for tokens absent
+    * from the dictionary; "always" for every token. Driver-side over the
+    * dictionary (warm: map scan; cold: one Spark job), like all dictionary
+    * expansions. Returns (token, suggestion, df, distance) per option. */
+  def suggest(text: String, topN: Int = 5, maxEdits: Int = 2,
+      mode: String = "missing"): Seq[(String, String, Long, Int)] = {
+    require(maxEdits >= 1 && maxEdits <= 2, s"maxEdits must be 1 or 2 (got $maxEdits)")
+    require(mode == "missing" || mode == "always", s"unknown suggest_mode '$mode'")
+    val tokens = graft.analysis.Analyzer.tokenize(text).distinct.toSeq
+    if (tokens.isEmpty) return Seq.empty
+    val present: Set[String] = lookupTermStats(tokens).keySet
+    val want = if (mode == "missing") tokens.filterNot(present) else tokens
+    if (want.isEmpty) return Seq.empty
+    val expansions = expandFuzzyMap(want.map((_, maxEdits)))
+    val allCand = expansions.valuesIterator.flatten.toSeq.distinct
+    val dfByTerm: Map[String, Long] = lookupTermStats(allCand).map { case (t, (_, df)) => t -> df }
+    def dist(a: String, b: String): Int =
+      if (a == b) 0 else if (Searcher.editWithin(a, b, 1)) 1 else 2
+    want.flatMap { tok =>
+      expansions((tok, maxEdits)).toSeq
+        .filter(_ != tok)
+        .map(c => (tok, c, dfByTerm.getOrElse(c, 0L), dist(tok, c)))
+        .sortBy { case (_, c, df, d) => (d, -df, c) }
+        .take(topN)
+    }
+  }
+
   /** ES `highlight` (plain-highlighter semantics): one snippet per top-k
     * hit — a window of `window` analyzed tokens each side of the FIRST
     * occurrence of any scored query term (minimal token position; phrase
@@ -732,8 +1025,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(f.dataType == org.apache.spark.sql.types.StringType,
       s"highlight field '$field' is not a string column (${f.dataType.simpleString})")
     val pq = Searcher.parseFull(query, meta.keywords.toSet)
-    val expanded = pq.prefixes.flatMap(expandPrefixMap(pq.prefixes.toSeq).apply) ++
-      pq.fuzzies.flatMap(expandFuzzyMap(pq.fuzzies.toSeq).apply)
+    val expanded = expandAll(pq)
     val hlTerms = (pq.terms ++ expanded ++ pq.phrases.flatten).distinct
     require(hlTerms.nonEmpty, "highlight needs at least one scored term or phrase")
     val hits = search(query, k, minShouldMatch = minShouldMatch)
@@ -749,6 +1041,38 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .join(broadcast(idents), Seq("repo", "path", "commit"))
       .select(col("docId"), col("score"), snippet.as("snippet"))
       .orderBy(desc("score"), asc("docId"))
+  }
+
+  /** ES `more_like_this` (`like:` free text): select the text's most
+    * characteristic terms against THIS index's statistics — per-term
+    * `tf(text) · idf(index)`, gated by ES's `min_term_freq` /
+    * `min_doc_freq` knobs, top `maxQueryTerms` by (score desc, term asc) —
+    * and run them as an ordinary disjunctive BM25 query. `excludeDocIds`
+    * drops given docs from the result (ES `include: false` — the source
+    * document itself, when the text came from the index): candidates only,
+    * statistics untouched. The like-text analysis and term selection are
+    * driver-side (one text); the search is the normal distributed path. */
+  def moreLikeThis(likeText: String, k: Int, maxQueryTerms: Int = 25,
+      minTermFreq: Int = 2, minDocFreq: Int = 5,
+      excludeDocIds: Set[Long] = Set.empty): Array[ScoredDoc] = {
+    require(maxQueryTerms > 0 && minTermFreq >= 1 && minDocFreq >= 1,
+      "maxQueryTerms must be > 0; minTermFreq and minDocFreq must be >= 1")
+    val tf: Map[String, Int] = Analyzer.tokenize(likeText)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val cand = tf.collect { case (t, f) if f >= minTermFreq => t }.toSeq.sorted
+    val stats = lookupTermStats(cand)
+    val n = meta.numDocs
+    val sel = cand
+      .flatMap(t => stats.get(t).collect {
+        case (_, df) if df >= minDocFreq => (t, tf(t).toDouble * BM25.idf(n, df))
+      })
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms)
+      .map(_._1)
+    if (sel.isEmpty) return Array.empty
+    search(sel.mkString(" "), k + excludeDocIds.size)
+      .filter(h => !excludeDocIds.contains(h.docId))
+      .take(k)
   }
 
   /** ES `significant_terms` aggregation in query context: content terms
@@ -827,7 +1151,9 @@ object Searcher {
       phraseIdSeqs: Seq[Seq[Long]] = Nil,
       phraseIdfById: Map[Long, Double] = Map.empty,
       excludeIds: Set[Long] = Set.empty,
-      ranges: Seq[RangeFilter] = Nil) {
+      ranges: Seq[RangeFilter] = Nil,
+      /** per-phrase slop, parallel to [[phraseIdSeqs]] (empty = all 0) */
+      phraseSlops: Seq[Int] = Nil) {
     def allTermIds: Iterable[Long] =
       idfById.keys ++ phraseIdfById.keys ++ filterIds ++ excludeIds
     def wantsBlock(termId: Long): Boolean =
@@ -884,7 +1210,28 @@ object Searcher {
         * the reference exports `xpos` as an int64 precisely for this:
         * `hail_scripts/computed_fields/variant_id.py:86-91`). Candidates
         * only; never stats. Negated (`-field:>=N`) = ES must_not range. */
-      ranges: Array[RangeFilter] = Array.empty) {
+      ranges: Array[RangeFilter] = Array.empty,
+      /** wildcard patterns (`s*am`, `qu?ry` — ES `wildcard` query with the
+        * scoring_boolean rewrite): `*` any run, `?` one char, matched
+        * against whole dictionary terms; each match an ordinary scored
+        * term with its own idf. Lowercased (dictionary terms are). */
+      wildcards: Array[String] = Array.empty,
+      /** regexp patterns (`/s(ort|can)/` — ES `regexp` query with the
+        * scoring_boolean rewrite): anchored full-term match, each matching
+        * dictionary term an ordinary scored term with its own idf. */
+      regexps: Array[String] = Array.empty,
+      /** per-phrase slop (`"a b"~2` — ES `match_phrase` slop restricted to
+        * IN-ORDER spans, Lucene `span_near(in_order=true)`): phrase i
+        * matches a document iff its token stream has strictly increasing
+        * indices i₁<…<i_m hitting the phrase terms in order with total
+        * span `(i_m - i₁) - (m-1) ≤ slop`. Empty/short = slop 0 (exact
+        * adjacency) — the default shape is unchanged. Parallel to
+        * [[phrases]]. */
+      phraseSlops: Array[Int] = Array.empty) {
+    /** slop of phrase i (0 when unspecified) — [[phraseSlops]] padded */
+    def slopOf(i: Int): Int = if (i < phraseSlops.length) phraseSlops(i) else 0
+    /** [[phraseSlops]] padded to one entry per phrase */
+    def slops: Array[Int] = Array.tabulate(phrases.length)(slopOf)
     /** every dictionary lookup the exclusion side needs */
     def allExcluded: Array[String] = excluded ++ excludedFilters
     /** true iff the query has any SHOULD-type (scored) clause — literal
@@ -892,7 +1239,8 @@ object Searcher {
       * no dictionary match matches nothing (minimum_should_match ≥ 1); a
       * query with NONE is pure filter context (constant-score). */
     def hasScoringClauses: Boolean =
-      terms.nonEmpty || prefixes.nonEmpty || fuzzies.nonEmpty
+      terms.nonEmpty || prefixes.nonEmpty || fuzzies.nonEmpty ||
+        wildcards.nonEmpty || regexps.nonEmpty
     /** boost for an analyzed term (1.0 unless the query marked it `term^w`;
       * multiplying by 1.0 is bit-exact, so unboosted paths are unchanged) */
     def boostOf(t: String): Double = boosts.getOrElse(t, 1.0)
@@ -942,8 +1290,9 @@ object Searcher {
     case _ => None
   }
 
-  /** `"quoted span"` extractor, shared with the oracle. */
-  val PhrasePattern: scala.util.matching.Regex = "\"([^\"]*)\"".r
+  /** `"quoted span"` extractor with optional `~N` slop suffix
+    * (`"a b"~2`), shared with the oracle. */
+  val PhrasePattern: scala.util.matching.Regex = "\"([^\"]*)\"(?:~(\\d+))?".r
 
   /** `token~N` fuzzy pattern (N ∈ 1..2, the ES edit-distance bound). */
   private val FuzzyPattern = "^(.+)~([12])$".r
@@ -962,24 +1311,37 @@ object Searcher {
     * are extracted first, so `-`, `*`, `~`, `^` inside quotes are never
     * operators. */
   def parseFull(query: String, keywordFields: Set[String]): ParsedQuery = {
-    val phrases = PhrasePattern.findAllMatchIn(query)
-      .map(m => Analyzer.tokenize(m.group(1))).filter(_.nonEmpty).toArray
+    val phrasePairs = PhrasePattern.findAllMatchIn(query)
+      .map(m => (Analyzer.tokenize(m.group(1)),
+        Option(m.group(2)).map(_.toInt).getOrElse(0)))
+      .filter(_._1.nonEmpty).toArray
+    val phrases = phrasePairs.map(_._1)
     val rest = PhrasePattern.replaceAllIn(query, " ")
     val parts = rest.trim.split("\\s+").filter(_.nonEmpty)
     val (negParts0, rest1) = parts.partition(t => t.length > 1 && t.startsWith("-"))
     // range-shaped tokens (both polarities) before any other operator: the
     // `field:OP num` shape is unambiguous and must not fall through to the
     // content analyzer
-    val (rangeParts, rest2) = rest1.partition(t => parseRange(t, negated = false).isDefined)
+    val (rangeParts, rest2a) = rest1.partition(t => parseRange(t, negated = false).isDefined)
     val (negRangeParts, negParts) =
       negParts0.partition(t => parseRange(t.drop(1), negated = true).isDefined)
+    // `/regex/` tokens before any other operator: regex metachars (`~`,
+    // `^`, `*`) inside the slashes are never operators
+    val (regexpParts, rest2) = rest2a.partition(t =>
+      t.length > 2 && t.startsWith("/") && t.endsWith("/"))
     val (fuzzyParts, rest3) = rest2.partition {
       case FuzzyPattern(stem, _) => Analyzer.tokenize(stem).length == 1
       case _ => false
     }
-    val (prefParts, rest4) = rest3.partition { t =>
+    val (prefParts, rest4a) = rest3.partition { t =>
       t.length > 1 && t.endsWith("*") &&
         Analyzer.tokenize(t.dropRight(1)).length == 1
+    }
+    // wildcard tokens: `*`/`?` anywhere in a plain-char token (the pure
+    // trailing-star shape was already taken by the cheaper prefix path)
+    val (wildParts, rest4) = rest4a.partition { t =>
+      t.matches("[A-Za-z0-9_*?]+") &&
+        t.exists(c => c == '*' || c == '?') && t.exists(c => c != '*' && c != '?')
     }
     val (boostParts, plain) = rest4.partition {
       case BoostPattern(stem, _) => Analyzer.queryTerms(stem).nonEmpty
@@ -1005,8 +1367,22 @@ object Searcher {
     val ranges = (rangeParts.flatMap(parseRange(_, negated = false)) ++
       negRangeParts.flatMap(t => parseRange(t.drop(1), negated = true))).distinct
     ParsedQuery((terms ++ boosts.keys).distinct, filters, phrases, excluded, prefixes,
-      negFilters.distinct.sorted, boosts, fuzzies, ranges)
+      negFilters.distinct.sorted, boosts, fuzzies, ranges,
+      wildcards = wildParts.map(_.toLowerCase).distinct,
+      regexps = regexpParts.map(t => t.substring(1, t.length - 1)).distinct,
+      phraseSlops = phrasePairs.map(_._2))
   }
+
+  /** Translate a wildcard pattern (`*` any run, `?` one char) to an
+    * equivalent regex over dictionary terms — the same translation the
+    * oracle applies, so engine and oracle cannot diverge on a pattern. */
+  def globToRegex(glob: String): String =
+    glob.map {
+      case '*' => ".*"
+      case '?' => "."
+      case c if c.isLetterOrDigit => c.toString
+      case c => java.util.regex.Pattern.quote(c.toString)
+    }.mkString
 
   /** Unrestricted Levenshtein edit distance ≤ `bound` test — the SAME cost
     * model as Spark's and DuckDB's `levenshtein` (unit insert/delete/
@@ -1095,9 +1471,40 @@ object Phrase {
     }
   }
 
+  /** True iff the per-slot sorted position arrays admit a strictly
+    * increasing in-order chain i₁<…<i_m with span `(i_m - i₁) - (m-1) ≤
+    * slop` — the slop-phrase match predicate (slop 0 = exact adjacency).
+    * Greedy: for each start i₁ ascending, the minimal-next-position chain
+    * minimizes i_m, so it decides that start exactly; a start whose chain
+    * dies (some slot has no position after the previous pick) kills all
+    * larger starts too (the greedy chain is monotone in its start). */
+  private[search] def orderedNear(slots: Array[Array[Long]], slop: Int): Boolean = {
+    val m = slots.length
+    val first = slots(0)
+    if (m == 1) return first.length > 0
+    var f = 0
+    while (f < first.length) {
+      val p0 = first(f)
+      var prev = p0
+      var j = 1
+      while (j < m) {
+        val arr = slots(j)
+        var ins = java.util.Arrays.binarySearch(arr, prev + 1)
+        if (ins < 0) ins = -ins - 1
+        if (ins >= arr.length) return false // no larger start can do better
+        prev = arr(ins)
+        j += 1
+      }
+      if ((prev - p0) - (m - 1) <= slop) return true
+      f += 1
+    }
+    false
+  }
+
   def topK(
       blocks: Iterator[PostingBlock],
       phraseIdSeqs: Array[Array[Long]],
+      phraseSlops: Array[Int],
       idfByTermId: Map[Long, Double],
       optIdfById: Map[Long, Double],
       filterTermIds: Set[Long],
@@ -1169,23 +1576,12 @@ object Phrase {
       posByTid.clear()
       var j = 0
       while (j < req.length) { posByTid.put(req(j).termId, req(j).positions); j += 1 }
-      phraseIdSeqs.forall { seq =>
-        val first = posByTid.get(seq(0))
-        var f = 0
-        var ok = false
-        while (!ok && f < first.length) {
-          val p0 = first(f)
-          var j = 1
-          var all = true
-          while (all && j < seq.length) {
-            if (java.util.Arrays.binarySearch(posByTid.get(seq(j)), p0 + j) < 0) all = false
-            j += 1
-          }
-          ok = all
-          f += 1
-        }
-        ok
+      var pi = 0
+      while (pi < phraseIdSeqs.length) {
+        if (!orderedNear(phraseIdSeqs(pi).map(posByTid.get), phraseSlops(pi))) return false
+        pi += 1
       }
+      true
     }
 
     val worstFirst = new java.util.Comparator[ScoredDoc] {
@@ -1250,6 +1646,7 @@ object Phrase {
   def matching(
       blocks: Iterator[PostingBlock],
       phraseIdSeqs: Array[Array[Long]],
+      phraseSlops: Array[Int],
       requiredTermIds: Set[Long],
       filterTermIds: Set[Long],
       avgdl: Double,
@@ -1300,23 +1697,12 @@ object Phrase {
       posByTid.clear()
       var j = 0
       while (j < req.length) { posByTid.put(req(j).termId, req(j).positions); j += 1 }
-      phraseIdSeqs.forall { seq =>
-        val first = posByTid.get(seq(0))
-        var f = 0
-        var ok = false
-        while (!ok && f < first.length) {
-          val p0 = first(f)
-          var j = 1
-          var all = true
-          while (all && j < seq.length) {
-            if (java.util.Arrays.binarySearch(posByTid.get(seq(j)), p0 + j) < 0) all = false
-            j += 1
-          }
-          ok = all
-          f += 1
-        }
-        ok
+      var pi = 0
+      while (pi < phraseIdSeqs.length) {
+        if (!orderedNear(phraseIdSeqs(pi).map(posByTid.get), phraseSlops(pi))) return false
+        pi += 1
       }
+      true
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var done = false
@@ -1707,6 +2093,90 @@ object Wand {
       i = 0
       while (i < any.length) {
         val c = any(i)
+        if (c.curDoc == d) c.next()
+        if (c.curDoc < nd) nd = c.curDoc
+        i += 1
+      }
+      d = nd
+    }
+    out.iterator
+  }
+
+  /** Every matching doc WITH its exact BM25 score — the exhaustive scoring
+    * walk behind per-bucket top-k (ES `top_hits` inside a terms
+    * aggregation), where every match may be the best of its own bucket so
+    * no global top-k pruning is admissible. Same match semantics as
+    * [[matching]]; same bit-exact summation order as [[topK]] (ascending
+    * termId — the cursor array is built sorted and never re-ordered).
+    * Output ≤ docsPerShard rows per task. */
+  def scoreAll(
+      blocks: Iterator[PostingBlock],
+      idfByTermId: Map[Long, Double],
+      filterTermIds: Set[Long],
+      avgdl: Double,
+      p: Bm25Params,
+      exactBounds: Boolean = true,
+      excludeTermIds: Set[Long] = Set.empty,
+      accept: Array[Long] = null,
+      minShouldMatch: Int = 1): Iterator[ScoredDoc] = {
+    if (accept != null && accept.isEmpty) return Iterator.empty
+    val byTerm = blocks.toArray.groupBy(_.termId)
+    val filters: Array[TermCursor] = filterTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks =>
+        new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p, exactBounds))
+    }
+    if (filters.length < filterTermIds.size) return Iterator.empty
+    val excludes: Array[TermCursor] = excludeTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks =>
+        new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p, exactBounds))
+    }
+    // scored cursors in ascending termId order — the summation order
+    val scored: Array[TermCursor] = idfByTermId.keysIterator.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks =>
+        new TermCursor(tid, idfByTermId(tid), blks.sortBy(_.firstDoc), avgdl, p, exactBounds))
+    }
+    if (scored.isEmpty) return Iterator.empty
+
+    def passesFilters(d: Long): Boolean = {
+      var i = 0
+      while (i < filters.length) {
+        val f = filters(i)
+        if (f.curDoc < d) f.advanceTo(d)
+        if (f.curDoc != d) return false
+        i += 1
+      }
+      true
+    }
+    def isExcluded(d: Long): Boolean = {
+      var i = 0
+      while (i < excludes.length) {
+        val e = excludes(i)
+        if (e.curDoc < d) e.advanceTo(d)
+        if (e.curDoc == d) return true
+        i += 1
+      }
+      false
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[ScoredDoc]
+    var d = Long.MaxValue
+    var i = 0
+    while (i < scored.length) { if (scored(i).curDoc < d) d = scored(i).curDoc; i += 1 }
+    while (d != Long.MaxValue) {
+      var hits = 0
+      var s = 0.0
+      i = 0
+      while (i < scored.length) {
+        if (scored(i).curDoc == d) { hits += 1; s += scored(i).score }
+        i += 1
+      }
+      if (hits >= minShouldMatch &&
+        (accept == null || java.util.Arrays.binarySearch(accept, d) >= 0) &&
+        passesFilters(d) && !isExcluded(d)) out += ScoredDoc(d, s)
+      var nd = Long.MaxValue
+      i = 0
+      while (i < scored.length) {
+        val c = scored(i)
         if (c.curDoc == d) c.next()
         if (c.curDoc < nd) nd = c.curDoc
         i += 1

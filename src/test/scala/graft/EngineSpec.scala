@@ -92,7 +92,16 @@ class EngineSpec extends AnyFunSuite {
     ("query nbytes:200..800", 25),     // bounded range
     ("index nbytes:<400 lang:scala", 10),  // range + keyword filter
     ("merge -nbytes:>=500", 10),       // negated range (must_not range)
-    ("query nbytes:>=99999999", 10))   // range matching nothing → no hits
+    ("query nbytes:>=99999999", 10),   // range matching nothing → no hits
+    ("m?rge", 10),                     // wildcard: single-char hole
+    ("ind*x qu?ry", 10),               // wildcard mid-star + hole, two patterns
+    ("*dex merge", 10),                // leading-star wildcard + literal
+    ("z?q*z", 10),                     // wildcard matching nothing → no hits
+    ("m?rge -index lang:scala", 10),   // wildcard + negation + filter
+    ("/ind(ex|exes)/", 10),            // regexp: alternation, anchored
+    ("/m.rge/ query", 10),             // regexp + literal term
+    ("/zz+qq/", 10),                   // regexp matching nothing → no hits
+    ("/qu[aeiou]ry/ -def nbytes:>=200", 10)) // regexp + negation + range
 
   private def engineHits(q: String, k: Int): Seq[(String, String, String, Double)] = {
     val hits = searcher.search(q, k)
@@ -258,6 +267,30 @@ class EngineSpec extends AnyFunSuite {
     }
     // a fuzzy stem absent within its bound matches nothing
     assert(searcher.search("qzqzqzqz~1", 10).isEmpty)
+  }
+
+  test("wildcard/regexp semantics: anchored dictionary expansion, each match scored") {
+    // wildcard expansion: every match full-matches the glob; the pure-hole
+    // pattern covers at least the literal term's docs
+    val wm = searcher.expandWildcardMap(Seq("m?rge"))("m?rge")
+    assert(wm.contains("merge"))
+    val gp = java.util.regex.Pattern.compile(Searcher.globToRegex("m?rge"))
+    assert(wm.forall(t => gp.matcher(t).matches()))
+    val wc = searcher.search("m?rge", 100000).map(_.docId).toSet
+    val lit = searcher.search("merge", 100000).map(_.docId).toSet
+    assert(wc.nonEmpty && lit.subsetOf(wc), "wildcard must cover the literal term's docs")
+    // regexp expansion: anchored — 'index' matches /ind(ex|exes)/ but a
+    // partial-prefix match like 'indexing' (if present) must not leak
+    val rm = searcher.expandRegexpMap(Seq("ind(ex|exes)"))("ind(ex|exes)")
+    assert(rm.nonEmpty && rm.forall(t => t == "index" || t == "indexes"))
+    // a pattern matching no dictionary term matches nothing
+    assert(searcher.search("z?q*z", 10).isEmpty)
+    assert(searcher.search("/zz+qq/", 10).isEmpty)
+    // a trailing-star-only token still takes the prefix path (same results
+    // either way — the glob regex and startsWith agree by construction)
+    val viaPrefix = searcher.search("ind*", 50).toSeq
+    val viaGlob = searcher.search("ind*x*", 50).toSeq // forced wildcard shape
+    assert(viaPrefix.nonEmpty && viaGlob.nonEmpty)
   }
 
   test("boost semantics: scales the term's contribution, never global stats") {
@@ -476,7 +509,13 @@ class EngineSpec extends AnyFunSuite {
       ("\"if else\" -merge", 20),       // phrase + negation
       ("\"if else\" ind*", 20),         // phrase + prefix extras
       ("\"if else\" nbytes:>=400", 20), // phrase + numeric range filter
-      ("\"if else\" query -nbytes:<400", 20) // mixed + negated range
+      ("\"if else\" query -nbytes:<400", 20), // mixed + negated range
+      ("\"if else\"~0", 20),            // explicit slop 0 == exact phrase
+      ("\"if else\"~1", 20),            // slop 1: one extra token between
+      ("\"else if\"~2", 20),            // slop is in-order: order still matters
+      ("\"index merge\"~3 query", 20),  // slop phrase + loose term
+      ("lang:scala \"def value\"~2", 20), // filter + slop phrase
+      ("\"if else\"~2 -merge nbytes:>=200", 20) // slop + negation + range
     )
     for ((q, k) <- phraseQueries) {
       val e = eng(q, k)
@@ -529,6 +568,99 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       searcher.searchMany(Seq(("\"index merge\"", 10)))
     }
+
+    // slop monotonicity: the match set only grows with slop, exact ⊆ ~1 ⊆
+    // ~2, and even unbounded slop stays within the IN-ORDER pair set
+    def ids(q: String) = eng(q, 1000).map(t => (t._1, t._2, t._3)).toSet
+    val s0 = ids("\"if else\"")
+    val s1 = ids("\"if else\"~1")
+    val s2 = ids("\"if else\"~2")
+    val sBig = ids("\"if else\"~100000")
+    assert(ids("\"if else\"~0") == s0, "explicit ~0 must equal the exact phrase")
+    assert(s0.subsetOf(s1) && s1.subsetOf(s2) && s2.subsetOf(sBig),
+      "slop match sets must be monotone")
+    assert(s1.size > s0.size || s2.size > s1.size || sBig.size > s2.size,
+      "slop must admit at least one non-adjacent in-order pair in this corpus (non-vacuous)")
+    // in-order: "else if"~2 and "if else"~2 differ unless the corpus is
+    // symmetric for the pair (sanity that order is enforced)
+    val rev2 = ids("\"else if\"~2")
+    assert(s2 != rev2 || s2 == s0, "slop phrases must stay order-sensitive")
+  }
+
+  test("collapse: one best hit per field group, then global top-k, oracle-identical") {
+    val s = searcher
+    // brute-force expectation: full oracle ranking → best per lang → top-k
+    val langByIdent = corpus.select("repo", "path", "commit", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getString(3)).toMap
+    for (q <- Seq("index merge", "query score", "lang:scala query", "merge -index",
+      "query nbytes:>=300")) {
+      val full = Oracle.bm25(corpus, q, 100000, keywordFields = Some(s.meta.keywords.toSet))
+        .collect().toSeq
+        .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getDouble(3)))
+      val bestPerLang = full.groupBy { case (ident, _) => langByIdent(ident) }
+        .map { case (_, hits) => hits.minBy { case (ident, sc) => (-sc, ident) } }
+        .toSeq.sortBy { case (ident, sc) => (-sc, ident) }.take(10)
+      val docsById = spark.read.parquet(s"$indexDir/docs")
+        .select("docId", "repo", "path", "commit").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+      val got = s.collapse(q, "lang", 10).collect().toSeq
+        .map(r => (docsById(r.getLong(0)), r.getDouble(2)))
+      assert(got == bestPerLang, s"collapse mismatch for '$q'\ngot=$got\nexp=$bestPerLang")
+    }
+    // invalid field fails loudly
+    intercept[IllegalArgumentException] { s.collapse("query", "no_such_col", 5) }
+  }
+
+  test("dateHistogram: calendar-month buckets over the match set, oracle counts") {
+    import spark.implicits._
+    // a stored DATE column derived deterministically from the identity
+    val dated = corpus.withColumn("mdate",
+      date_add(to_date(lit("2021-01-01")), (crc32(col("path")) % 200).cast("int")))
+    val dir = s"$workDir/dated"
+    val dcfg = cfg.copy(fields = FieldConfig(
+      keyword = Seq("lang", "repo"), storedOnly = Seq("nbytes", "mdate")))
+    new IndexBuilder(spark, dcfg).build(dated, dir, resume = false)
+    val ds = new Searcher(spark, dir)
+    for (q <- Seq("index merge", "lang:scala query", "query -def")) {
+      val got = ds.dateHistogram(q, "mdate", "month").collect().toSeq
+        .map(r => (r.getDate(0).toString, r.getLong(1)))
+      val want = Oracle.matchingDocs(dated, q, Some(ds.meta.keywords.toSet))
+        .groupBy(date_trunc("month", col("mdate")).cast("date").as("bucket"))
+        .agg(count(lit(1)).as("cnt")).orderBy("bucket").collect().toSeq
+        .map(r => (r.getDate(0).toString, r.getLong(1)))
+      assert(got == want, s"date_histogram mismatch for '$q'")
+      assert(got.map(_._2).sum ==
+        Oracle.matchingDocs(dated, q, Some(ds.meta.keywords.toSet)).count(),
+        "bucket counts must cover the whole match set (mdate never null here)")
+    }
+    intercept[IllegalArgumentException] { ds.dateHistogram("query", "mdate", "century") }
+    intercept[IllegalArgumentException] { ds.dateHistogram("query", "nbytes", "month") }
+  }
+
+  test("explainHits: per-term BM25 pieces sum bit-exactly to each hit's score") {
+    val s = searcher
+    for ((q, k) <- Seq(("index merge query", 10), ("index^2 merge~1", 10),
+      ("ind* score lang:scala", 10), ("query -def nbytes:>=200", 15))) {
+      val hits = s.search(q, k).toSeq
+      val rows = s.explainHits(q, k).collect().toSeq
+      // every hit is explained; no non-hit rows
+      assert(rows.map(_.getLong(0)).toSet == hits.map(_.docId).toSet)
+      val termIdOf: Map[String, Long] =
+        s.lookupTermStats(rows.map(_.getString(1)).distinct).map { case (t, (tid, _)) => t -> tid }
+      for (h <- hits) {
+        val pieces = rows.filter(_.getLong(0) == h.docId)
+        // the kernel sums cursors in ascending termId order — replaying the
+        // pieces in that order must reproduce the score BIT-exactly
+        val replay = pieces.sortBy(r => termIdOf(r.getString(1)))
+          .foldLeft(0.0)((acc, r) => acc + r.getDouble(5))
+        assert(java.lang.Double.doubleToLongBits(replay) ==
+          java.lang.Double.doubleToLongBits(h.score),
+          s"explain pieces do not sum to the score for '$q' doc ${h.docId}")
+        // reported total equals the hit score
+        pieces.foreach(r => assert(r.getDouble(6) == h.score))
+      }
+    }
+    intercept[IllegalArgumentException] { s.explainHits("\"index merge\"", 5) }
   }
 
   test("searchMany batch results are identical to per-query search") {
@@ -702,6 +834,104 @@ class EngineSpec extends AnyFunSuite {
     // empty match set → empty result, not an error (a single token with no
     // '_' so the analyzer emits no subtokens that might exist)
     assert(searcher.significantTerms("zzzqqqvv", 10).collect().isEmpty)
+  }
+
+  test("moreLikeThis: tf·idf term selection + BM25 hits, oracle-identical") {
+    val src = corpus.select("repo", "path", "commit", "content")
+      .orderBy("repo", "path", "commit").head()
+    val likeText = src.getString(3)
+    val docs = spark.read.parquet(s"$indexDir/docs")
+    val srcId = docs
+      .filter(col("repo") === src.getString(0) && col("path") === src.getString(1) &&
+        col("commit") === src.getString(2))
+      .select("docId").head().getLong(0)
+    val eng = searcher.moreLikeThis(likeText, 20, maxQueryTerms = 8,
+      minTermFreq = 2, minDocFreq = 3, excludeDocIds = Set(srcId)).toSeq
+    val sel = Oracle.mltSelect(corpus, likeText, 8, 2, 3)
+    assert(sel.nonEmpty, "fixture doc should select MLT terms")
+    val srcIdent = (src.getString(0), src.getString(1), src.getString(2))
+    val ora = Oracle.bm25(corpus, sel.mkString(" "), 21,
+        keywordFields = Some(searcher.meta.keywords.toSet)).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .filterNot(h => (h._1, h._2, h._3) == srcIdent)
+      .take(20)
+    val identByDocId = docs.select("docId", "repo", "path", "commit").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    val engIdent = eng.map { h =>
+      val (a, b, c) = identByDocId(h.docId); (a, b, c, h.score)
+    }
+    assert(engIdent == ora, "moreLikeThis hits differ from oracle")
+    assert(engIdent.nonEmpty)
+    // the source doc itself is excluded
+    assert(!eng.exists(_.docId == srcId))
+    // a like-text with no qualifying terms matches nothing
+    assert(searcher.moreLikeThis("zzzqqqvv zzzqqqvv", 10).isEmpty)
+  }
+
+  test("topHits: per-bucket top-k over the exhaustive scored match set, oracle-identical") {
+    val q = "index query"
+    // oracle: the FULL scored match set (k > corpus), bucketed driver-side
+    val all = oracleHits(q, NumFiles.toInt + 10)
+    val langByIdent = corpus.select("repo", "path", "commit", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getString(3)).toMap
+    val docIdByIdent = spark.read.parquet(s"$indexDir/docs")
+      .select("docId", "repo", "path", "commit").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)) -> r.getLong(0)).toMap
+    val scoredDocs = all.map { case (r0, p0, c0, s0) =>
+      (langByIdent((r0, p0, c0)), docIdByIdent((r0, p0, c0)), s0)
+    }
+    val counts = scoredDocs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val top3 = counts.toSeq.sortBy { case (v, c) => (-c, v) }.take(3)
+    val expected = top3.flatMap { case (v, c) =>
+      scoredDocs.filter(_._1 == v).sortBy(t => (-t._3, t._2)).take(2).zipWithIndex
+        .map { case ((_, d, s), i) => (v, c, i + 1, d, s) }
+    }
+    val got = searcher.topHits(q, "lang", 3, 2).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(got == expected, s"topHits mismatch\ngot=$got\nexpected=$expected")
+    // filter-only query: ES constant-score — every hit scores 0.0
+    val fo = searcher.topHits("lang:scala", "lang", 2, 2).collect()
+    assert(fo.nonEmpty && fo.forall(_.getDouble(4) == 0.0))
+    // phrase queries are rejected in scored-all form
+    intercept[IllegalArgumentException] { searcher.topHits("\"index query\"", "lang", 2, 2) }
+  }
+
+  test("percentilesAgg: exact quantile_cont over the match set vs driver computation") {
+    val q = "index query"
+    val vals = searcher.scan(q, Seq("nbytes")).select("nbytes")
+      .collect().map(_.getLong(0).toDouble).sorted
+    assert(vals.nonEmpty)
+    def qc(p: Double): Double = {
+      val idx = p * (vals.length - 1)
+      val lo = math.floor(idx).toInt
+      val hi = math.ceil(idx).toInt
+      if (lo == hi) vals(lo) else vals(lo) + (idx - lo) * (vals(hi) - vals(lo))
+    }
+    val got = searcher.percentilesAgg(q, "nbytes", Seq(0.25, 0.5, 0.9), exact = true)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for (p <- Seq(0.25, 0.5, 0.9))
+      assert(math.abs(got(p) - qc(p)) < 1e-6, s"percentile $p: got ${got(p)} want ${qc(p)}")
+    // approx (t-digest-analogue) mode: one row per requested percentile
+    assert(searcher.percentilesAgg(q, "nbytes", Seq(0.5)).count() == 1)
+  }
+
+  test("suggest: ES term-suggester ranking (distance asc, df desc, term asc)") {
+    val vocab = corpus
+      .select(explode(array_distinct(graft.analysis.Analyzer.analyze(col("content")))).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def expected(tok: String, n: Int): Seq[(String, String, Long, Int)] = vocab.keys.toSeq
+      .filter(t => t != tok && Searcher.editWithin(tok, t, 2))
+      .map(t => (t, vocab(t), if (Searcher.editWithin(tok, t, 1)) 1 else 2))
+      .sortBy { case (t, df, dd) => (dd, -df, t) }.take(n)
+      .map { case (t, df, dd) => (tok, t, df, dd) }
+    val got = searcher.suggest("mrege", topN = 3, mode = "always")
+    assert(got == expected("mrege", 3), s"suggest mismatch\ngot=$got\nexpected=${expected("mrege", 3)}")
+    // missing mode: a token present in the dictionary gets no options
+    assert(searcher.suggest("index", topN = 3).isEmpty)
+    // the token itself is never suggested, even in always mode
+    assert(searcher.suggest("index", topN = 5, mode = "always").forall(_._2 != "index"))
+    // a token with no candidates within the bound yields nothing
+    assert(searcher.suggest("zzqzzqzzqz", topN = 3, mode = "always").isEmpty)
   }
 
   test("searchSortedBy: doc-values field sort over the match set, oracle order") {

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.corpus.CorpusGen
 import graft.index.{IndexConfig, Json, SegmentedIndex}
-import graft.search.{MultiSearcher, Oracle}
+import graft.search.{MultiSearcher, Oracle, Searcher}
 
 /** SegmentedIndex semantics: disjoint-identity segments, eager merge on
   * identity overlap (upsert — newest wins), tiered compaction, forceMerge,
@@ -23,7 +23,9 @@ class SegmentedSpec extends AnyFunSuite {
     "lang:scala query", "query score",
     // negation (segment-local exclude ids) and prefix (expansion over the
     // UNION of segment dictionaries) must stay oracle-identical segmented
-    "merge -index", "ind* query", "lang:scala query -def", "query -lang:scala")
+    "merge -index", "ind* query", "lang:scala query -def", "query -lang:scala",
+    // wildcard/regexp: expansion over the UNION of segment dictionaries
+    "m?rge query", "/ind(ex|exes)/ -def")
 
   private def assertMatchesOracle(ms: MultiSearcher, corpus: org.apache.spark.sql.DataFrame): Unit =
     for (q <- Queries) {
@@ -181,6 +183,77 @@ class SegmentedSpec extends AnyFunSuite {
       val exp = Oracle.snippet(contentByIdent(ident), Seq("merge", "index"), 3)
       assert(Option(r.getString(4)) == exp, s"segmented snippet mismatch for $ident")
     }
+
+    // more_like_this: global-df term selection + BM25, source doc excluded
+    val mltSrc = union.select("repo", "path", "commit", "content")
+      .orderBy("repo", "path", "commit").head()
+    val mltIdent = (mltSrc.getString(0), mltSrc.getString(1), mltSrc.getString(2))
+    val mltEng = ms.moreLikeThis(mltSrc.getString(3), 10, maxQueryTerms = 8,
+      minTermFreq = 2, minDocFreq = 3, excludeIdents = Set(mltIdent)).toSeq
+      .map(h => (h.repo, h.path, h.commit, h.score))
+    val mltSel = Oracle.mltSelect(union, mltSrc.getString(3), 8, 2, 3)
+    val mltOra = Oracle.bm25(union, mltSel.mkString(" "), 11, keywordFields = kw)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .filterNot(h => (h._1, h._2, h._3) == mltIdent)
+      .take(10)
+    assert(mltEng == mltOra, "segmented moreLikeThis differs from oracle")
+    assert(mltEng.nonEmpty)
+
+    // top_hits: exhaustive scored match set (global stats), bucketed by a
+    // keyword field, per-bucket identity-ordered top-k, counts exact
+    val thQ = "merge index"
+    val thAll = Oracle.bm25(union, thQ, 100000, keywordFields = kw).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    val langByIdent = union.select("repo", "path", "commit", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getString(3)).toMap
+    val thScored = thAll.map { case (r0, p0, c0, s0) => (langByIdent((r0, p0, c0)), r0, p0, c0, s0) }
+    val thCounts = thScored.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val thTop = thCounts.toSeq.sortBy { case (v, c) => (-c, v) }.take(3)
+    val thExp = thTop.flatMap { case (v, c) =>
+      thScored.filter(_._1 == v).sortBy(t => (-t._5, (t._2, t._3, t._4))).take(2).zipWithIndex
+        .map { case ((_, r0, p0, c0, s0), i) => (v, c, i + 1, r0, p0, c0, s0) }
+    }
+    val thGot = ms.topHits(thQ, "lang", 3, 2).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getString(3), r.getString(4), r.getString(5), r.getDouble(6)))
+    assert(thGot == thExp, s"segmented topHits mismatch\ngot=$thGot\nexp=$thExp")
+
+    // collapse: best hit per lang (score desc, identity asc), global top-5
+    // of the group heads — over the same exhaustive scored match set
+    val clExp = thScored.groupBy(_._1).map { case (_, hs) =>
+      hs.minBy(t => (-t._5, (t._2, t._3, t._4)))
+    }.toSeq.sortBy(t => (-t._5, (t._2, t._3, t._4))).take(5)
+    val clGot = ms.collapse(thQ, "lang", 5).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getDouble(4)))
+    assert(clGot == clExp, s"segmented collapse mismatch\ngot=$clGot\nexp=$clExp")
+
+    // percentiles: exact quantile over the cross-segment match set
+    val pcVals = Oracle.matchingDocs(union, thQ, kw).filter(col("nbytes").isNotNull)
+      .select("nbytes").collect().map(_.getLong(0).toDouble).sorted
+    def qcont(pp: Double): Double = {
+      val idx = pp * (pcVals.length - 1)
+      val lo = math.floor(idx).toInt
+      val hi = math.ceil(idx).toInt
+      if (lo == hi) pcVals(lo) else pcVals(lo) + (idx - lo) * (pcVals(hi) - pcVals(lo))
+    }
+    val pcGot = ms.percentilesAgg(thQ, "nbytes", Seq(0.25, 0.5, 0.9), exact = true)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for (pp <- Seq(0.25, 0.5, 0.9))
+      assert(math.abs(pcGot(pp) - qcont(pp)) < 1e-6, s"segmented percentile $pp mismatch")
+
+    // suggest: global df = sum over segments; union-dictionary candidates
+    val vocab = union
+      .select(explode(array_distinct(graft.analysis.Analyzer.analyze(col("content")))).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sgExp = vocab.keys.toSeq
+      .filter(t => t != "mrege" && Searcher.editWithin("mrege", t, 2))
+      .map(t => (t, vocab(t), if (Searcher.editWithin("mrege", t, 1)) 1 else 2))
+      .sortBy { case (t, df, dd) => (dd, -df, t) }.take(3)
+      .map { case (t, df, dd) => ("mrege", t, df, dd) }
+    assert(ms.suggest("mrege", topN = 3, mode = "always") == sgExp,
+      "segmented suggest differs from brute-force vocabulary ranking")
   }
 
   test("segmented searchMany batch results identical to per-query search") {
@@ -220,7 +293,9 @@ class SegmentedSpec extends AnyFunSuite {
     val ms = new MultiSearcher(spark, s"$dir/index")
     val union = a.unionByName(b)
     for (q <- Seq("\"if else\"", "\"index merge\"", "\"query\"", "lang:scala \"def value\"",
-      "\"if else\" query", "\"index merge\" def score")) {
+      "\"if else\" query", "\"index merge\" def score",
+      // slop phrases (in-order span): segmented kernel + oracle parity
+      "\"if else\"~1", "\"else if\"~2 query", "\"index merge\"~3 -def")) {
       val got = ms.search(q, 15).toSeq.map(h => (h.repo, h.path, h.commit, h.score))
       val want = Oracle.bm25(union, q, 15, keywordFields = Some(pcfg.fields.keyword.toSet))
         .collect().toSeq
