@@ -20,6 +20,9 @@ import graft.streaming.StreamingIndexer
   *   merge  <dirA> <dirB> <outDir>
   *   delete <indexDir> <keysPath>   (parquet/csv of repo,path,commit —
   *          physical purge; segmented indexes rewrite only owning segments)
+  *   alias  <baseDir> set <name> <indexDir> | get <name> | rm <name> | ls
+  *          (atomically-swappable serving pointer — build a fresh index,
+  *          then `alias set` flips readers to it; ES alias publish flow)
   *
   * The reference's CLI analogue is the Luigi task surface
   * (`luigi_pipeline/seqr_loading.py:318-321`).
@@ -33,7 +36,9 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: build|search|ingest|merge ..."); sys.exit(2) }
+    if (args.isEmpty) {
+      System.err.println("usage: build|search|ingest|merge|delete|alias ..."); sys.exit(2)
+    }
     val builder = SparkSession.builder()
       .appName(s"graft-${args(0)}")
       .config("spark.sql.shuffle.partitions",
@@ -130,6 +135,22 @@ object Main {
         val changed = graft.index.IndexMaintenance.deleteDocs(spark, indexDir, keys, cfg)
         val m = graft.index.Json.read(s"$indexDir/meta.json", classOf[graft.index.IndexMeta])
         println(s"deleted (changed=$changed) → docs=${m.numDocs} postings=${m.numPostings}")
+      }
+
+    case "alias" =>
+      val base = args(1)
+      args(2) match {
+        case "set" =>
+          graft.index.Aliases.set(base, args(3), args(4))
+          println(s"${args(3)} -> ${args(4)}")
+        case "get" => println(graft.index.Aliases.resolveOrFail(base, args(3)))
+        case "rm" =>
+          graft.index.Aliases.remove(base, args(3)); println(s"removed ${args(3)}")
+        case "ls" =>
+          graft.index.Aliases.all(base).toSeq.sortBy(_._1)
+            .foreach { case (a, d) => println(s"$a -> $d") }
+        case sub =>
+          System.err.println(s"unknown alias subcommand: $sub (set|get|rm|ls)"); sys.exit(2)
       }
 
     case other =>

@@ -1522,6 +1522,220 @@ object SparkEntry {
           round(col("idf"), 4).as("idf"),
           round(col("contribution"), 4).as("contribution"),
           round(col("score"), 4).as("score"))
+    }),
+
+    // ES `dis_max` (tie_breaker 0.3): a doc scores its best single term
+    // contribution + 0.3 × the rest — alternative-phrasing semantics
+    // instead of the bool sum. Shares fts3's cached index.
+    "fts38_dis_max" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir)
+        .searchDisMax("spark query merge", 50, tieBreaker = 0.3).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `function_score` with field_value_factor(n_chars, factor 0.001,
+    // modifier log1p, boost_mode multiply): relevance × a document-quality
+    // signal. Shares fts12's cached index (n_chars stored).
+    "fts39_function_score" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("n_chars"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts12-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("n_chars")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val fs = new Searcher(s, idxDir).functionScore("merge query", "n_chars", 50,
+        factor = 0.001, modifier = "log1p", boostMode = "multiply")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(fs, Seq("docId"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
+    // ES `rescore`: top-30 window of 'merge query' re-ranked by adding
+    // 2 × the BM25 score of 'spark' (score_mode total), best 15 returned.
+    // Shares fts3's cached index.
+    "fts40_rescore" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir)
+        .rescore("merge query", "spark", window = 30, k = 15,
+          rescoreWeight = 2.0, scoreMode = "total").toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `extended_stats` aggregation in query context over n_chars:
+    // count/min/max/sum/avg + sum_of_squares and POPULATION variance/
+    // stddev (the ES convention). Shares fts12's cached index.
+    "fts41_extended_stats" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("n_chars"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts12-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("n_chars")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).extendedStatsAgg("spark query merge", "n_chars")
+        .select(col("cnt"), col("mn"), col("mx"), col("sm"),
+          round(col("av"), 4).as("av"), col("sum_sq"),
+          round(col("variance"), 2).as("variance"),
+          round(col("std_dev"), 4).as("std_dev"))
+    }),
+
+    // ES `exists` query (`exists:opt_tag` — field-presence filter over a
+    // stored column that is null for 2/3 of the docs). Candidates only,
+    // statistics untouched (filter context). Own index: needs the
+    // nullable stored column.
+    "fts42_exists" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("t"), (col("doc_id") % 7).cast("string"))).as("opt_tag"),
+        col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts42-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("opt_tag")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).search("merge query exists:opt_tag", 50).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES completion suggester: dictionary terms with prefix 's', ranked
+    // df desc then term asc, top 5. Shares fts3's cached index.
+    "fts43_completion" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).suggestCompletion("s", 5).toDF("term", "df")
+    }),
+
+    // ES query-time synonyms (synonym_graph, expand=true): 'sort merge'
+    // with sort→order also scores 'order' as a should-term with its own
+    // idf. Shares fts3's cached index.
+    "fts44_synonyms" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val q = Searcher.expandSynonyms("sort merge", Map("sort" -> Seq("order")))
+      val hits = new Searcher(s, idxDir).search(q, 50).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `boosting` query: 'merge query' hits, demoted ×0.4 when the doc
+    // also matches 'spark' — demotion without exclusion. Shares fts3's
+    // cached index.
+    "fts45_boosting" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir)
+        .searchBoosting("merge query", "spark", 50, negativeBoost = 0.4).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES GET by _id: one document's stored fields fetched by identity key
+    // (the reference's es.mapping.id = docId contract). Shares fts3's
+    // cached index.
+    "fts46_get" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      // identity of doc_id 42 (repo, path, commit) — the ES _id
+      val key = corpus.filter(col("path") === lpad(lit("42"), 8, "0"))
+        .select("repo", "path", "commit").collect()(0)
+      val row = new Searcher(s, idxDir)
+        .getDoc(key.getString(0), key.getString(1), key.getString(2))
+        .getOrElse(throw new IllegalStateException("doc 42 missing from index"))
+      Seq((row.getAs[String]("path").toLong, row.getAs[String]("lang")))
+        .toDF("doc_id", "lang")
     })
   )
 
@@ -2341,7 +2555,143 @@ object SparkEntry {
            |          ORDER BY score DESC, doc_id ASC LIMIT 10)
            |SELECT p.doc_id, p.term, p.tf, p.df, round(p.idf, 4) AS idf,
            |  round(p.contrib, 4) AS contribution, round(t.score, 4) AS score
-           |FROM pieces p JOIN top10 t USING (doc_id)""".stripMargin
+           |FROM pieces p JOIN top10 t USING (doc_id)""".stripMargin,
+      // ES dis_max (tie_breaker 0.3): per-doc best term contribution
+      // + 0.3 × the remaining contributions, instead of the bool sum
+      "fts38_dis_max" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('spark','query','merge') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |contrib AS (SELECT doc_id,
+           |    ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |    (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) AS c
+           |  FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats)
+           |SELECT doc_id, round(max(c) + 0.3 * (sum(c) - max(c)), 4) AS score
+           |FROM contrib GROUP BY doc_id
+           |ORDER BY max(c) + 0.3 * (sum(c) - max(c)) DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // ES function_score / field_value_factor: BM25 × log10(1 + 0.001·n_chars)
+      // (modifier log1p is the COMMON log in ES, boost_mode multiply)
+      "fts39_function_score" ->
+        s"""WITH dt AS (SELECT doc_id, n_chars, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, n_chars, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, n_chars, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, n_chars, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('merge','query') GROUP BY 1,2,3,4),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |scored AS (SELECT doc_id, any_value(n_chars) AS n_chars, sum(
+           |    ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |    (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))) AS bm25
+           |  FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |  GROUP BY doc_id)
+           |SELECT doc_id, round(bm25 * log10(1.0 + 0.001 * n_chars), 4) AS score
+           |FROM scored
+           |ORDER BY bm25 * log10(1.0 + 0.001 * n_chars) DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // ES rescore (score_mode total): top-30 of 'merge query' re-ranked by
+      // + 2 × bm25('spark'); a window doc not matching the rescore query
+      // keeps its base score; best 15 of the window
+      "fts40_rescore" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('merge','query','spark') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |contrib AS (SELECT doc_id, tf.term AS term,
+           |    ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |    (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) AS c
+           |  FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats),
+           |base AS (SELECT doc_id, sum(c) AS score FROM contrib
+           |         WHERE term IN ('merge','query') GROUP BY doc_id
+           |         ORDER BY score DESC, doc_id ASC LIMIT 30),
+           |sec AS (SELECT doc_id, sum(c) AS score FROM contrib
+           |        WHERE term = 'spark' GROUP BY doc_id)
+           |SELECT b.doc_id,
+           |  round(b.score + coalesce(2.0 * s.score, 0.0), 4) AS score
+           |FROM base b LEFT JOIN sec s ON b.doc_id = s.doc_id
+           |ORDER BY b.score + coalesce(2.0 * s.score, 0.0) DESC, b.doc_id ASC
+           |LIMIT 15""".stripMargin,
+      // ES extended_stats over n_chars of the match set (population
+      // variance/stddev — the ES convention)
+      "fts41_extended_stats" ->
+        s"""WITH m AS (SELECT cast(n_chars AS double) AS v
+           |  FROM (SELECT n_chars, $tokExpr AS tk FROM documents)
+           |  WHERE len(list_intersect(tk, ['spark','query','merge'])) > 0)
+           |SELECT count(*) AS cnt, min(v) AS mn, max(v) AS mx, sum(v) AS sm,
+           |  round(avg(v), 4) AS av, sum(v * v) AS sum_sq,
+           |  round(var_pop(v), 2) AS variance,
+           |  round(stddev_pop(v), 4) AS std_dev
+           |FROM m""".stripMargin,
+      // ES exists query: 'merge query' hits restricted to docs whose
+      // opt_tag (set iff doc_id % 3 = 0) is present; stats index-wide
+      "fts42_exists" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('merge','query') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |WHERE doc_id % 3 = 0
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // ES completion suggester: dictionary terms with prefix 's' ranked
+      // df desc, term asc, top 5
+      "fts43_completion" ->
+        s"""SELECT term, df FROM (
+           |  SELECT term, cast(count(*) AS bigint) AS df FROM (
+           |    SELECT doc_id, unnest(list_distinct($tokExpr)) AS term FROM documents)
+           |  WHERE term LIKE 's%' GROUP BY term)
+           |ORDER BY df DESC, term ASC LIMIT 5""".stripMargin,
+      // ES query-time synonyms: 'sort merge' with sort→order scores the
+      // synonym as an ordinary should-term with its own idf
+      "fts44_synonyms" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('sort','merge','order') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // ES boosting query: bm25('merge query') with a ×0.4 demotion for
+      // docs that also contain 'spark' (demotion without exclusion)
+      "fts45_boosting" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('merge','query') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |base AS (SELECT doc_id, sum(
+           |    ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |    (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))) AS score
+           |  FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |  GROUP BY doc_id),
+           |neg AS (SELECT doc_id FROM doc WHERE list_contains(tk, 'spark'))
+           |SELECT b.doc_id,
+           |  round(CASE WHEN n.doc_id IS NULL THEN b.score ELSE b.score * 0.4 END, 4) AS score
+           |FROM base b LEFT JOIN neg n ON b.doc_id = n.doc_id
+           |ORDER BY CASE WHEN n.doc_id IS NULL THEN b.score ELSE b.score * 0.4 END DESC,
+           |  b.doc_id ASC LIMIT 50""".stripMargin,
+      // ES GET by _id: stored fields of one document by identity key
+      "fts46_get" ->
+        "SELECT cast(doc_id AS bigint) AS doc_id, lang FROM documents WHERE doc_id = 42"
     )
   }
 }

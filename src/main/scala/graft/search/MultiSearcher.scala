@@ -383,12 +383,15 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     if (byQuery.isEmpty) return None
     val fields = byQuery.values.flatten.map(_.field).toSeq.distinct
     val docsSchema = io.read(spark, s"${segs.head._1}/docs").schema
-    fields.foreach { f =>
-      val fld = docsSchema.fields.find(_.name == f).getOrElse(throw new IllegalArgumentException(
-        s"range filter field '$f' is not a stored docs column " +
-          s"(have: ${docsSchema.fieldNames.mkString(", ")})"))
-      require(fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"range filter field '$f' is not numeric (${fld.dataType.simpleString})")
+    byQuery.values.flatten.foreach { r =>
+      val fld = docsSchema.fields.find(_.name == r.field)
+        .getOrElse(throw new IllegalArgumentException(
+          s"range filter field '${r.field}' is not a stored docs column " +
+            s"(have: ${docsSchema.fieldNames.mkString(", ")})"))
+      // `exists:field` applies to any column type; numeric ranges need numbers
+      if (!r.existsOnly)
+        require(fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"range filter field '${r.field}' is not numeric (${fld.dataType.simpleString})")
     }
     val docsForRanges = taggedUnion("docs", Seq("docId") ++ fields)
     val dpsBySeg: Array[Long] = segs.map(_._2.docsPerShard).toArray
@@ -722,6 +725,35 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       .filter(col(field).isNotNull)
       .agg(sqlCount(lit(1)).as("cnt"),
         min(v).as("mn"), max(v).as("mx"), sum(v).as("sm"), avg(v).as("av"))
+  }
+
+  /** ES GET by `_id` over the segmented index: one document's stored fields
+    * fetched by identity key. Segments hold DISJOINT identities (the
+    * SegmentedIndex upsert invariant), so at most one segment owns the key;
+    * the predicate is pushed into every segment's columnar docs scan in the
+    * one unioned plan and only matching row groups are read. */
+  def getDoc(repo: String, path: String, commit: String): Option[org.apache.spark.sql.Row] = {
+    val cols = io.read(spark, s"${segs.head._1}/docs").columns.toSeq
+    taggedUnion("docs", cols)
+      .filter(col("repo") === repo && col("path") === path && col("commit") === commit)
+      .limit(1).collect().headOption
+  }
+
+  /** ES `extended_stats` aggregation over the segmented index —
+    * [[Searcher.extendedStatsAgg]] semantics (population variance/stddev,
+    * ES's own convention), exact across segments: one partial aggregation
+    * over the unioned match set, no per-segment moment merging to drift. */
+  def extendedStatsAgg(query: String, field: String, minShouldMatch: Int = 1): DataFrame = {
+    validateNumericDocsField(field)
+    val v = col(field).cast("double")
+    matchedSegDoc(query, minShouldMatch)
+      .join(taggedUnion("docs", Seq("docId", field)), Seq("seg", "docId"))
+      .filter(col(field).isNotNull)
+      .agg(sqlCount(lit(1)).as("cnt"),
+        min(v).as("mn"), max(v).as("mx"), sum(v).as("sm"), avg(v).as("av"),
+        sum(v * v).as("sum_sq"),
+        var_pop(v).as("variance"),
+        stddev_pop(v).as("std_dev"))
   }
 
   /** ES `histogram` aggregation in query context — [[Searcher.histogram]]

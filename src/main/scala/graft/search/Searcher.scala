@@ -57,9 +57,14 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       s"field '$name' is not numeric (${f.dataType.simpleString})")
   }
 
-  /** Range filters apply to stored NUMERIC docs columns (ES doc_values). */
+  /** Range filters apply to stored NUMERIC docs columns (ES doc_values);
+    * `exists:field` filters apply to ANY stored docs column. */
   private def validateRanges(ranges: Array[Searcher.RangeFilter]): Unit =
-    ranges.foreach(r => validateNumericField(r.field))
+    ranges.foreach { r =>
+      if (r.existsOnly) require(docsDf.columns.contains(r.field),
+        s"field '${r.field}' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})")
+      else validateNumericField(r.field)
+    }
 
   /** docIds passing ALL the query's range filters, keyed by shard — computed
     * from the docs relation with the predicate pushed into the columnar scan
@@ -642,6 +647,24 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
         min(v).as("mn"), max(v).as("mx"), sum(v).as("sm"), avg(v).as("av"))
   }
 
+  /** ES `extended_stats` aggregation in query context: everything
+    * [[statsAgg]] reports plus `sum_of_squares`, `variance` and
+    * `std_deviation` — POPULATION variance, as ES computes it
+    * (`sum_of_squares/n − mean²`). One distributed partial aggregation
+    * over the match set; null fields skipped. */
+  def extendedStatsAgg(query: String, field: String, minShouldMatch: Int = 1): DataFrame = {
+    validateNumericField(field)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val v = col(field).cast("double")
+    docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
+      .filter(col(field).isNotNull)
+      .agg(sqlCount(lit(1)).as("cnt"),
+        min(v).as("mn"), max(v).as("mx"), sum(v).as("sm"), avg(v).as("av"),
+        sum(v * v).as("sum_sq"),
+        var_pop(v).as("variance"),
+        stddev_pop(v).as("std_dev"))
+  }
+
   /** ES `histogram` aggregation in query context: fixed-interval buckets
     * (key = floor(value / interval) * interval) over the matching docs'
     * field values, count per bucket, ordered by key asc. Empty buckets are
@@ -775,7 +798,8 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * queries score 0.0 (ES constant-score filter context). Phrase queries
     * are not supported in scored-all form. */
   private def scoredMatchesDs(
-      pq: Searcher.ParsedQuery, minShouldMatch: Int = 1): Dataset[ScoredDoc] = {
+      pq: Searcher.ParsedQuery, minShouldMatch: Int = 1,
+      disMaxTieBreaker: Option[Double] = None): Dataset[ScoredDoc] = {
     require(pq.phrases.isEmpty, "top_hits does not support phrase queries")
     if (!pq.hasScoringClauses)
       return matchIdsDs(pq, minShouldMatch).map(ScoredDoc(_, 0.0))
@@ -799,16 +823,21 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .as[PostingBlock]
       .groupByKey(_.shard)
     val msm = minShouldMatch
+    val dmTb = disMaxTieBreaker
+    def kernel(b: Iterator[PostingBlock], acc: Array[Long]): Iterator[ScoredDoc] =
+      dmTb match {
+        case Some(tb) => Wand.scoreAllDisMax(b, idfById, filterIds, avgdl, params, tb,
+          excludeTermIds = excludeIds, accept = acc, minShouldMatch = msm)
+        case None => Wand.scoreAll(b, idfById, filterIds, avgdl, params,
+          excludeTermIds = excludeIds, accept = acc, minShouldMatch = msm)
+      }
     if (pq.ranges.isEmpty)
-      kv.flatMapGroups((_, b) =>
-        Wand.scoreAll(b, idfById, filterIds, avgdl, params,
-          excludeTermIds = excludeIds, minShouldMatch = msm))
+      kv.flatMapGroups((_, b) => kernel(b, null))
     else
       kv.cogroup(acceptsByShard(pq.ranges)) { (_, b, acc) =>
         val a = acc.toArray
         java.util.Arrays.sort(a)
-        Wand.scoreAll(b, idfById, filterIds, avgdl, params,
-          excludeTermIds = excludeIds, accept = a, minShouldMatch = msm)
+        kernel(b, a)
       }
   }
 
@@ -896,6 +925,189 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     best.unionByName(joined.filter(col("value").isNull))
       .orderBy(desc("score"), asc("docId")).limit(k)
       .select(col("docId"), col("value"), col("score"))
+  }
+
+  /** ES `dis_max` query over the analyzed clauses of `query`: a document
+    * scores its BEST single term contribution plus `tieBreaker ×` the
+    * remaining matching terms' contributions (`max + tb·(sum − max)`,
+    * Lucene DisjunctionMaxQuery) instead of the bool-query sum — the
+    * standard shape when clauses are alternative phrasings of the same
+    * concept and stacking them would overcount. Keyword/range filters,
+    * negations, prefixes/fuzzies/wildcards/regexps and boosts all behave
+    * exactly as in [[search]]; phrase clauses are not supported (they are
+    * conjunctive, not alternatives). Top-k (score desc, docId asc).
+    *
+    * Plan: exhaustive per-shard dis_max walk (a doc-dependent max admits
+    * no sum-of-bounds WAND pivot) → per-partition top-k →
+    * TakeOrderedAndProject merge. */
+  def searchDisMax(query: String, k: Int, tieBreaker: Double = 0.0,
+      minShouldMatch: Int = 1): Array[ScoredDoc] = {
+    require(k > 0, "k must be > 0")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tieBreaker must be in [0, 1] (got $tieBreaker)")
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    require(pq.phrases.isEmpty, "dis_max does not support phrase clauses")
+    require(pq.hasScoringClauses, "dis_max needs at least one scoring clause")
+    scoredMatchesDs(pq, minShouldMatch, disMaxTieBreaker = Some(tieBreaker))
+      .orderBy(desc("score"), asc("docId")).limit(k).collect()
+  }
+
+  /** ES `boosting` query: hits of the `positive` query ranked by the
+    * ordinary summed BM25, except that any hit ALSO matching the
+    * `negative` query has its score multiplied by `negativeBoost`
+    * (∈ [0, 1]) — demotion without exclusion, the ES answer to "rank
+    * apple-the-fruit above apple-the-company without dropping the
+    * latter". The negative clause contributes NO score of its own and is
+    * pure match context: terms, phrases, keyword/range filters and
+    * negations are all legal in it. Top-k (score desc, docId asc).
+    *
+    * Plan: exhaustive per-shard scored walk of the positive query (the
+    * demotion reorders the full match set, so no global-k pruning of the
+    * base ranking is admissible) LEFT-joined on docId with the negative
+    * query's match-id set, conditional multiply, then a
+    * TakeOrderedAndProject top-k merge. */
+  def searchBoosting(positive: String, negative: String, k: Int,
+      negativeBoost: Double = 0.5, minShouldMatch: Int = 1): Array[ScoredDoc] = {
+    require(k > 0, "k must be > 0")
+    require(negativeBoost >= 0.0 && negativeBoost <= 1.0,
+      s"negativeBoost must be in [0, 1] (got $negativeBoost)")
+    val ppq = Searcher.parseFull(positive, meta.keywords.toSet)
+    require(ppq.phrases.isEmpty, "boosting's positive query must be a term query (no phrases)")
+    require(ppq.hasScoringClauses, "boosting needs a scoring positive query")
+    val npq = Searcher.parseFull(negative, meta.keywords.toSet)
+    val neg = matchIdsDs(npq).toDF("docId").withColumn("demote", lit(true))
+    scoredMatchesDs(ppq, minShouldMatch).toDF("docId", "score")
+      .join(neg, Seq("docId"), "left")
+      .select(col("docId"),
+        when(col("demote"), col("score") * negativeBoost)
+          .otherwise(col("score")).as("score"))
+      .orderBy(desc("score"), asc("docId")).limit(k)
+      .collect().map(r => ScoredDoc(r.getLong(0), r.getDouble(1)))
+  }
+
+  /** ES GET / `_mget` analogue: fetch one document's stored fields by its
+    * identity key (repo, path, commit) — ES's `_id` is exactly this
+    * identity in the docId mapping (`es.mapping.id`,
+    * `luigi_pipeline/lib/hail_tasks.py:263`). Returns the full stored-docs
+    * row or None. The predicate is pushed into the columnar docs scan
+    * (identity columns are min/max-indexed per Parquet row group), so the
+    * lookup reads only matching row groups — the doc-values point-read
+    * shape. */
+  def getDoc(repo: String, path: String, commit: String): Option[org.apache.spark.sql.Row] =
+    docsDf.filter(col("repo") === repo && col("path") === path && col("commit") === commit)
+      .limit(1).collect().headOption
+
+  /** ES `function_score` with a `field_value_factor` function over a stored
+    * NUMERIC docs column: every match's BM25 score is combined with
+    * `fvf = modifier(factor × field)` (missing/null field → `missing`).
+    * `modifier` ∈ none | log1p | sqrt | ln1p is applied AFTER the factor,
+    * `boostMode` ∈ multiply | sum | max | min | replace | avg combines
+    * (score, fvf) — ES defaults: modifier none, boost_mode multiply.
+    * Top-k (score desc, docId asc).
+    *
+    * Plan: exhaustive per-shard scored walk (a doc-dependent multiplier
+    * breaks WAND's static upper bounds) → broadcast-free join with the
+    * docs relation on docId (field read from the columnar scan) → top-k
+    * merge. */
+  def functionScore(query: String, field: String, k: Int,
+      factor: Double = 1.0, modifier: String = "none",
+      boostMode: String = "multiply", missing: Double = 1.0,
+      minShouldMatch: Int = 1): DataFrame = {
+    require(k > 0, "k must be > 0")
+    validateNumericField(field)
+    val mods = Set("none", "log1p", "sqrt", "ln1p")
+    require(mods.contains(modifier), s"modifier must be one of ${mods.mkString(", ")}")
+    val modes = Set("multiply", "sum", "max", "min", "replace", "avg")
+    require(modes.contains(boostMode), s"boostMode must be one of ${modes.mkString(", ")}")
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val scored = scoredMatchesDs(pq, minShouldMatch).toDF("docId", "score_bm25")
+    val raw = coalesce(col(field).cast("double"), lit(missing)) * factor
+    val fvf = modifier match {
+      case "none" => raw
+      case "log1p" => log10(raw + 1.0) // ES log1p is base-10 log(1+x)
+      case "sqrt" => sqrt(raw)
+      case "ln1p" => log(raw + 1.0)
+    }
+    val combined = boostMode match {
+      case "multiply" => col("score_bm25") * col("fvf")
+      case "sum" => col("score_bm25") + col("fvf")
+      case "max" => greatest(col("score_bm25"), col("fvf"))
+      case "min" => least(col("score_bm25"), col("fvf"))
+      case "replace" => col("fvf")
+      case "avg" => (col("score_bm25") + col("fvf")) / 2.0
+    }
+    docsDf.select(col("docId"), fvf.as("fvf"))
+      .join(scored, Seq("docId"))
+      .select(col("docId"), combined.as("score"))
+      .orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
+  /** ES `rescore`: re-rank the top `window` hits of `query` with a second
+    * query's scores — `scoreMode` ∈ total | multiply | avg | max | min
+    * combines `queryWeight × base` with `rescoreWeight × secondary` (ES
+    * semantics: a window doc NOT matching the rescore query keeps
+    * `queryWeight × base` alone), then the best k of the window are
+    * returned (score desc, docId asc). Docs outside the window are
+    * untouched — exactly ES's contract (rescore never promotes a doc the
+    * base query ranked below the window).
+    *
+    * Plan: the base top-window via the ordinary WAND search, then ONE
+    * accept-gated per-shard scoring walk of the rescore query restricted
+    * to the ≤window base hits; the combine runs on the driver over ≤window
+    * rows (k-bounded, the ES coordinating-node shape). */
+  def rescore(query: String, rescoreQuery: String, window: Int, k: Int,
+      queryWeight: Double = 1.0, rescoreWeight: Double = 1.0,
+      scoreMode: String = "total", minShouldMatch: Int = 1): Array[ScoredDoc] = {
+    require(window > 0 && k > 0 && k <= window,
+      s"need 0 < k <= window (got k=$k window=$window)")
+    val modes = Set("total", "multiply", "avg", "max", "min")
+    require(modes.contains(scoreMode), s"scoreMode must be one of ${modes.mkString(", ")}")
+    val base = search(query, window, minShouldMatch = minShouldMatch)
+    if (base.isEmpty) return base
+    val rpq = Searcher.parseFull(rescoreQuery, meta.keywords.toSet)
+    require(rpq.phrases.isEmpty, "rescore query must be a term query (no phrases)")
+    val acceptIds = base.map(_.docId).sorted
+    val sec: Map[Long, Double] = {
+      val expanded = expandAll(rpq)
+      val qTerms = (rpq.terms ++ expanded).distinct
+      val stats = lookupTermStats((qTerms ++ rpq.filters).distinct.toSeq)
+      val filterIdArr = rpq.filters.flatMap(f => stats.get(f).map(_._1))
+      val n = meta.numDocs
+      val idfById: Map[Long, Double] = qTerms.flatMap(t =>
+        stats.get(t).map { case (tid, df) => tid -> BM25.idf(n, df) * rpq.boostOf(t) }).toMap
+      if (idfById.isEmpty || filterIdArr.length < rpq.filters.length) Map.empty
+      else {
+        val filterIds = filterIdArr.toSet
+        val excludeIds: Set[Long] = lookupTerms(rpq.allExcluded.toSeq).map(_._1).toSet
+        val params = p
+        val avgdl = meta.avgdl
+        val termIds = idfById.keySet ++ filterIds ++ excludeIds
+        val acc = acceptIds
+        blocksDf
+          .filter(col("termId").isin(termIds.toSeq.map(Long.box): _*))
+          .as[PostingBlock]
+          .groupByKey(_.shard)
+          .flatMapGroups((_, b) => Wand.scoreAll(b, idfById, filterIds, avgdl, params,
+            excludeTermIds = excludeIds, accept = acc))
+          .collect().map(sd => sd.docId -> sd.score).toMap
+      }
+    }
+    base.map { h =>
+      val b = queryWeight * h.score
+      val combined = sec.get(h.docId) match {
+        case None => b
+        case Some(r0) =>
+          val r = rescoreWeight * r0
+          scoreMode match {
+            case "total" => b + r
+            case "multiply" => b * r
+            case "avg" => (b + r) / 2.0
+            case "max" => math.max(b, r)
+            case "min" => math.min(b, r)
+          }
+      }
+      ScoredDoc(h.docId, combined)
+    }.sortBy(sd => (-sd.score, sd.docId)).take(k)
   }
 
   /** ES `date_histogram` (calendar_interval) in query context over a
@@ -1003,6 +1215,28 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
         .sortBy { case (_, c, df, d) => (d, -df, c) }
         .take(topN)
     }
+  }
+
+  /** ES completion suggester (search-as-you-type): dictionary terms
+    * starting with `prefix`, ranked by the weight convention the reference
+    * stack uses when no explicit weights are indexed — document frequency
+    * desc, term asc — top `topN` as (term, df) rows. The expansion cap is
+    * [[expandPrefixMap]]'s deterministic lexicographic `maxExpansions`
+    * (ES caps completion candidates per shard the same way); warm = one
+    * driver map scan, cold = one Spark dictionary job. */
+  def suggestCompletion(prefix: String, topN: Int = 5,
+      maxExpansions: Int = 10000): Seq[(String, Long)] = {
+    require(prefix.nonEmpty, "completion prefix must be non-empty")
+    val stem = graft.analysis.Analyzer.tokenize(prefix) match {
+      case Array(one) => one
+      case _ => throw new IllegalArgumentException(
+        s"completion prefix must analyze to exactly one term (got '$prefix')")
+    }
+    val cands = expandPrefixMap(Seq(stem), maxExpansions)(stem)
+    lookupTermStats(cands.toSeq).toSeq
+      .map { case (t, (_, df)) => (t, df) }
+      .sortBy { case (t, df) => (-df, t) }
+      .take(topN)
   }
 
   /** ES `highlight` (plain-highlighter semantics): one snippet per top-k
@@ -1257,8 +1491,16 @@ object Searcher {
       field: String,
       lo: Double, loInc: Boolean,
       hi: Double, hiInc: Boolean,
-      negated: Boolean = false) {
+      negated: Boolean = false,
+      /** ES `exists` query (`exists:field` token): matches documents whose
+        * stored column is non-null — any column type, no bounds. Negated
+        * (`-exists:field`) = ES must_not exists ≡ the classic `missing`
+        * filter: matches documents WITHOUT the field. */
+      existsOnly: Boolean = false) {
     def pred: org.apache.spark.sql.Column = {
+      if (existsOnly) {
+        return if (negated) col(field).isNull else col(field).isNotNull
+      }
       val c = col(field).cast("double")
       val lp =
         if (lo.isNegInfinity) lit(true) else if (loInc) c >= lit(lo) else c > lit(lo)
@@ -1275,8 +1517,14 @@ object Searcher {
     ("^([A-Za-z_][A-Za-z0-9_]*):(?:(>=|<=|>|<)(-?\\d+(?:\\.\\d+)?)" +
       "|(-?\\d+(?:\\.\\d+)?)\\.\\.(-?\\d+(?:\\.\\d+)?))$").r
 
+  /** `exists:field` token shape (the ES `exists` query). */
+  private val ExistsPattern = "^exists:([A-Za-z_][A-Za-z0-9_]*)$".r
+
   /** Parse one token as a range filter, if it has the range shape. */
   def parseRange(tok: String, negated: Boolean): Option[RangeFilter] = tok match {
+    case ExistsPattern(f) =>
+      Some(RangeFilter(f, Double.NegativeInfinity, loInc = true,
+        Double.PositiveInfinity, hiInc = true, negated, existsOnly = true))
     case RangePattern(f, op, v, lo, hi) =>
       if (op != null) {
         val d = v.toDouble
@@ -1371,6 +1619,30 @@ object Searcher {
       wildcards = wildParts.map(_.toLowerCase).distinct,
       regexps = regexpParts.map(t => t.substring(1, t.length - 1)).distinct,
       phraseSlops = phrasePairs.map(_._2))
+  }
+
+  /** ES query-time synonyms (`synonym_graph` in the search analyzer,
+    * expand=true): rewrite a query so every PLAIN content token with an
+    * entry in `synonyms` also contributes its synonyms as additional
+    * scored should-terms (each with its own idf — the scoring_boolean
+    * shape, the same rewrite ES applies to multi-token synonyms). Quoted
+    * phrases, `field:value` filters, negations, ranges and pattern tokens
+    * (`*`, `?`, `~`, `^`, `/re/`) pass through untouched — synonyms apply
+    * to plain analyzed terms only. Keys are matched on the lowercased
+    * token. Deterministic: appended in map-then-list order. */
+  def expandSynonyms(query: String, synonyms: Map[String, Seq[String]]): String = {
+    if (synonyms.isEmpty) return query
+    val phraseSpans = PhrasePattern.findAllIn(query).toSeq
+    val rest = PhrasePattern.replaceAllIn(query, " ")
+    val toks = rest.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def isPlain(t: String): Boolean =
+      !t.startsWith("-") && !t.contains(":") && !t.contains("/") &&
+        !t.exists(c => c == '*' || c == '?' || c == '~' || c == '^')
+    val extra = toks.filter(isPlain)
+      .flatMap(t => synonyms.getOrElse(t.toLowerCase, Nil))
+      .distinct
+      .filterNot(s => toks.exists(_.equalsIgnoreCase(s)))
+    (phraseSpans ++ toks ++ extra).mkString(" ")
   }
 
   /** Translate a wildcard pattern (`*` any run, `?` one char) to an
@@ -2173,6 +2445,95 @@ object Wand {
       if (hits >= minShouldMatch &&
         (accept == null || java.util.Arrays.binarySearch(accept, d) >= 0) &&
         passesFilters(d) && !isExcluded(d)) out += ScoredDoc(d, s)
+      var nd = Long.MaxValue
+      i = 0
+      while (i < scored.length) {
+        val c = scored(i)
+        if (c.curDoc == d) c.next()
+        if (c.curDoc < nd) nd = c.curDoc
+        i += 1
+      }
+      d = nd
+    }
+    out.iterator
+  }
+
+  /** [[scoreAll]] with ES `dis_max` combination: a document's score is its
+    * BEST single term contribution plus `tieBreaker ×` the others —
+    * `max + tb·(sum − max)` — instead of the bool-query sum. tb = 0 is pure
+    * dis_max (Lucene DisjunctionMaxQuery), tb = 1 degenerates to the sum.
+    * Exhaustive per-shard walk: a doc-dependent max admits no simple
+    * sum-of-upper-bounds WAND pivot, and the per-shard walk is the same
+    * cost the aggregation surfaces already pay. */
+  def scoreAllDisMax(
+      blocks: Iterator[PostingBlock],
+      idfByTermId: Map[Long, Double],
+      filterTermIds: Set[Long],
+      avgdl: Double,
+      p: Bm25Params,
+      tieBreaker: Double,
+      excludeTermIds: Set[Long] = Set.empty,
+      accept: Array[Long] = null,
+      minShouldMatch: Int = 1): Iterator[ScoredDoc] = {
+    if (accept != null && accept.isEmpty) return Iterator.empty
+    val byTerm = blocks.toArray.groupBy(_.termId)
+    val filters: Array[TermCursor] = filterTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks =>
+        new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p, exactBounds = true))
+    }
+    if (filters.length < filterTermIds.size) return Iterator.empty
+    val excludes: Array[TermCursor] = excludeTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks =>
+        new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), avgdl, p, exactBounds = true))
+    }
+    val scored: Array[TermCursor] = idfByTermId.keysIterator.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks =>
+        new TermCursor(tid, idfByTermId(tid), blks.sortBy(_.firstDoc), avgdl, p,
+          exactBounds = true))
+    }
+    if (scored.isEmpty) return Iterator.empty
+    def passesFilters(d: Long): Boolean = {
+      var i = 0
+      while (i < filters.length) {
+        val f = filters(i)
+        if (f.curDoc < d) f.advanceTo(d)
+        if (f.curDoc != d) return false
+        i += 1
+      }
+      true
+    }
+    def isExcluded(d: Long): Boolean = {
+      var i = 0
+      while (i < excludes.length) {
+        val e = excludes(i)
+        if (e.curDoc < d) e.advanceTo(d)
+        if (e.curDoc == d) return true
+        i += 1
+      }
+      false
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[ScoredDoc]
+    var d = Long.MaxValue
+    var i = 0
+    while (i < scored.length) { if (scored(i).curDoc < d) d = scored(i).curDoc; i += 1 }
+    while (d != Long.MaxValue) {
+      var hits = 0
+      var s = 0.0
+      var sMax = 0.0
+      i = 0
+      while (i < scored.length) {
+        if (scored(i).curDoc == d) {
+          hits += 1
+          val c = scored(i).score
+          s += c
+          if (c > sMax) sMax = c
+        }
+        i += 1
+      }
+      if (hits >= minShouldMatch &&
+        (accept == null || java.util.Arrays.binarySearch(accept, d) >= 0) &&
+        passesFilters(d) && !isExcluded(d))
+        out += ScoredDoc(d, sMax + tieBreaker * (s - sMax))
       var nd = Long.MaxValue
       i = 0
       while (i < scored.length) {

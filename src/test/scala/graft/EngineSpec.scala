@@ -101,7 +101,10 @@ class EngineSpec extends AnyFunSuite {
     ("/ind(ex|exes)/", 10),            // regexp: alternation, anchored
     ("/m.rge/ query", 10),             // regexp + literal term
     ("/zz+qq/", 10),                   // regexp matching nothing → no hits
-    ("/qu[aeiou]ry/ -def nbytes:>=200", 10)) // regexp + negation + range
+    ("/qu[aeiou]ry/ -def nbytes:>=200", 10), // regexp + negation + range
+    ("merge exists:nbytes", 10),       // exists on an always-present column ≡ base query
+    ("query -exists:nbytes", 10),      // must_not exists on an always-present column → empty
+    ("index exists:nbytes lang:scala", 10)) // exists + keyword filter compose
 
   private def engineHits(q: String, k: Int): Seq[(String, String, String, Double)] = {
     val hits = searcher.search(q, k)
@@ -957,5 +960,245 @@ class EngineSpec extends AnyFunSuite {
         .toSeq
       assert(eng == ora, s"sortBy mismatch for '$q' asc=$asc0")
     }
+  }
+
+  /** Driver-side replica of the per-(doc, term) BM25 contributions: the
+    * same analyzer, df/dl from the same token streams, terms in termId
+    * order (the kernel's summation order) — the dis_max/rescore oracles. */
+  private lazy val docTokens: Map[Long, Array[String]] = {
+    val byIdent = corpus.select("repo", "path", "commit", "content").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getString(3)).toMap
+    spark.read.parquet(s"$indexDir/docs")
+      .select("docId", "repo", "path", "commit").collect()
+      .map { r =>
+        r.getLong(0) -> graft.analysis.Analyzer.tokenize(
+          byIdent((r.getString(1), r.getString(2), r.getString(3))))
+      }.toMap
+  }
+
+  private def contributionsInCursorOrder(
+      docId: Long, terms: Seq[String]): Seq[Double] = {
+    val stats = searcher.lookupTermStats(terms)
+    val toks = docTokens(docId)
+    val dl = toks.length.toLong
+    val tf: Map[String, Int] = toks.groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val params = graft.search.Bm25Params(searcher.meta.k1, searcher.meta.b)
+    terms.flatMap(t => stats.get(t).map { case (tid, df) => (tid, df, t) })
+      .sortBy(_._1)
+      .flatMap { case (_, df, t) =>
+        tf.get(t).map(f => graft.search.BM25.idf(searcher.meta.numDocs, df) *
+          graft.search.BM25.tfNorm(f.toLong, dl, searcher.meta.avgdl, params))
+      }
+  }
+
+  test("searchDisMax: max + tieBreaker·rest combine, bit-identical to driver replica") {
+    val terms = Seq("index", "merge", "query")
+    for (tb <- Seq(0.0, 0.3, 1.0)) {
+      val eng = searcher.searchDisMax(terms.mkString(" "), 25, tieBreaker = tb).toSeq
+      assert(eng.nonEmpty)
+      val expected = docTokens.keysIterator.flatMap { d =>
+        val cs = contributionsInCursorOrder(d, terms)
+        if (cs.isEmpty) None
+        else {
+          var s = 0.0; var mx = 0.0
+          cs.foreach { c => s += c; if (c > mx) mx = c }
+          Some(ScoredDoc(d, mx + tb * (s - mx)))
+        }
+      }.toSeq.sortBy(sd => (-sd.score, sd.docId)).take(25)
+      assert(eng.map(_.docId) == expected.map(_.docId), s"dis_max ranking mismatch tb=$tb")
+      eng.zip(expected).foreach { case (e, x) =>
+        assert(java.lang.Double.doubleToLongBits(e.score) ==
+          java.lang.Double.doubleToLongBits(x.score),
+          s"dis_max score not bit-identical (tb=$tb): $e vs $x")
+      }
+      // filters/negations gate the same candidate set as the match oracle
+      val fq = "index merge lang:scala -codec"
+      val filtered = searcher.searchDisMax(fq, 1000, tieBreaker = tb)
+      val ident = spark.read.parquet(s"$indexDir/docs")
+        .select("docId", "repo", "path", "commit").collect()
+        .map(r => ((r.getString(1), r.getString(2), r.getString(3)), r.getLong(0))).toMap
+      val allowed = Oracle.matchingDocs(corpus, fq, Some(searcher.meta.keywords.toSet))
+        .select("repo", "path", "commit").collect()
+        .map(r => ident((r.getString(0), r.getString(1), r.getString(2)))).toSet
+      assert(allowed.nonEmpty, "fixture query should match something")
+      assert(filtered.map(_.docId).toSet == allowed, s"dis_max candidate set mismatch tb=$tb")
+    }
+    intercept[IllegalArgumentException] { searcher.searchDisMax("\"index merge\"", 5) }
+  }
+
+  test("functionScore: field_value_factor combine modes vs base relevance") {
+    val q = "index merge"
+    val ident = spark.read.parquet(s"$indexDir/docs").select("docId", "nbytes")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // base relevance = the ordinary summed BM25 (same walk, full match set)
+    val base: Map[Long, Double] = docTokens.keysIterator.flatMap { d =>
+      val cs = contributionsInCursorOrder(d, Seq("index", "merge"))
+      if (cs.isEmpty) None else Some(d -> cs.sum)
+    }.toMap
+    def fvf(d: Long): Double = math.log10(1.0 + 0.01 * ident(d))
+    val expect = base.toSeq.map { case (d, b) => (d, b * fvf(d)) }
+      .sortBy { case (d, s) => (-s, d) }.take(20)
+    val eng = searcher.functionScore(q, "nbytes", 20,
+      factor = 0.01, modifier = "log1p", boostMode = "multiply")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(eng.map(_._1) == expect.map(_._1), "function_score ranking mismatch")
+    eng.zip(expect).foreach { case ((_, e), (_, x)) => assert(math.abs(e - x) < 1e-12) }
+    // replace mode ignores relevance entirely
+    val repl = searcher.functionScore(q, "nbytes", 10, factor = 0.01,
+      modifier = "log1p", boostMode = "replace")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    repl.foreach { case (d, s) => assert(math.abs(s - fvf(d)) < 1e-12) }
+    // sum / max / min algebra per returned row
+    for (mode <- Seq("sum", "max", "min", "avg")) {
+      val rows = searcher.functionScore(q, "nbytes", 10, factor = 0.01,
+        modifier = "log1p", boostMode = mode)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      rows.foreach { case (d, s) =>
+        val b = base(d); val f = fvf(d)
+        val want = mode match {
+          case "sum" => b + f
+          case "max" => math.max(b, f)
+          case "min" => math.min(b, f)
+          case "avg" => (b + f) / 2.0
+        }
+        assert(math.abs(s - want) < 1e-12, s"$mode combine wrong for doc $d")
+      }
+    }
+  }
+
+  test("rescore: window re-rank, ES score_mode algebra, window never widened") {
+    val base = searcher.search("index merge", 30)
+    val sec: Map[Long, Double] = docTokens.keysIterator.flatMap { d =>
+      val cs = contributionsInCursorOrder(d, Seq("query"))
+      if (cs.isEmpty) None else Some(d -> cs.sum)
+    }.toMap
+    for (mode <- Seq("total", "multiply", "avg", "max", "min")) {
+      val eng = searcher.rescore("index merge", "query", window = 30, k = 15,
+        queryWeight = 1.0, rescoreWeight = 2.0, scoreMode = mode).toSeq
+      val expect = base.map { h =>
+        val b = h.score
+        val s = sec.get(h.docId) match {
+          case None => b
+          case Some(r0) =>
+            val r = 2.0 * r0
+            mode match {
+              case "total" => b + r
+              case "multiply" => b * r
+              case "avg" => (b + r) / 2.0
+              case "max" => math.max(b, r)
+              case "min" => math.min(b, r)
+            }
+        }
+        ScoredDoc(h.docId, s)
+      }.sortBy(sd => (-sd.score, sd.docId)).take(15).toSeq
+      assert(eng.map(_.docId) == expect.map(_.docId), s"rescore ranking mismatch mode=$mode")
+      eng.zip(expect).foreach { case (e, x) =>
+        assert(java.lang.Double.doubleToLongBits(e.score) ==
+          java.lang.Double.doubleToLongBits(x.score), s"rescore score mismatch mode=$mode")
+      }
+      // every returned doc was in the base window (ES: rescore never promotes)
+      val windowIds = base.map(_.docId).toSet
+      assert(eng.forall(h => windowIds.contains(h.docId)))
+    }
+  }
+
+  test("extendedStatsAgg: population variance/stddev over the match set") {
+    val q = "index merge query"
+    val matched = Oracle.matchingDocs(corpus, q, Some(searcher.meta.keywords.toSet))
+      .select("nbytes").collect().map(_.getLong(0).toDouble)
+    val row = searcher.extendedStatsAgg(q, "nbytes").collect()(0)
+    assert(row.getLong(0) == matched.length)
+    assert(row.getDouble(1) == matched.min && row.getDouble(2) == matched.max)
+    val mean = matched.sum / matched.length
+    assert(math.abs(row.getDouble(3) - matched.sum) < 1e-6)
+    assert(math.abs(row.getDouble(4) - mean) < 1e-9)
+    assert(math.abs(row.getDouble(5) - matched.map(v => v * v).sum) < 1e-3)
+    val varPop = matched.map(v => (v - mean) * (v - mean)).sum / matched.length
+    assert(math.abs(row.getDouble(6) - varPop) / varPop < 1e-9)
+    assert(math.abs(row.getDouble(7) - math.sqrt(varPop)) / math.sqrt(varPop) < 1e-9)
+  }
+
+  test("suggestCompletion: prefix candidates ranked df desc, term asc") {
+    val got = searcher.suggestCompletion("in", 5)
+    assert(got.nonEmpty)
+    // driver replica over the corpus token streams
+    val df: Map[String, Long] = docTokens.values
+      .flatMap(_.distinct.filter(_.startsWith("in"))).toSeq
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val expect = df.toSeq.sortBy { case (t, d) => (-d, t) }.take(5)
+    assert(got == expect)
+    // ranking is by df first: every returned df is >= any non-returned candidate's df
+    val returned = got.map(_._1).toSet
+    val maxOther = (df -- returned).values.foldLeft(0L)(math.max)
+    assert(got.forall(_._2 >= maxOther))
+    intercept[IllegalArgumentException] { searcher.suggestCompletion("") }
+    intercept[IllegalArgumentException] { searcher.suggestCompletion("two words") }
+  }
+
+  test("expandSynonyms: plain tokens expand, operators and phrases pass through") {
+    val syn = Map("index" -> Seq("catalog", "registry"), "fast" -> Seq("quick"))
+    assert(Searcher.expandSynonyms("index merge", syn) == "index merge catalog registry")
+    // operator tokens never expand and never break
+    val q = "\"index merge\" index -fast lang:scala ind* m?rge /m.rge/ nbytes:>=10 boost^2"
+    val out = Searcher.expandSynonyms(q, syn)
+    assert(out.contains("\"index merge\""))
+    assert(out.contains("-fast") && out.contains("lang:scala") && out.contains("ind*"))
+    assert(out.contains("catalog") && out.contains("registry"))
+    assert(!out.contains("quick"), "negated token must not pull synonyms in")
+    // already-present synonyms are not duplicated
+    assert(Searcher.expandSynonyms("index catalog", syn)
+      .split(" ").count(_ == "catalog") == 1)
+    // identity when the map is empty or nothing matches
+    assert(Searcher.expandSynonyms("merge query", syn) == "merge query")
+    // expanded query ranks exactly like the manually-written union query
+    val a = searcher.search(Searcher.expandSynonyms("index merge", Map("index" -> Seq("query"))), 15)
+    val b = searcher.search("index merge query", 15)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("searchBoosting: demotion without exclusion, bit-identical to driver replica") {
+    val ident = spark.read.parquet(s"$indexDir/docs")
+      .select("docId", "repo", "path", "commit").collect()
+      .map(r => ((r.getString(1), r.getString(2), r.getString(3)), r.getLong(0))).toMap
+    val negQ = "query lang:scala"
+    val negDocs: Set[Long] = Oracle.matchingDocs(corpus, negQ, Some(searcher.meta.keywords.toSet))
+      .select("repo", "path", "commit").collect()
+      .map(r => ident((r.getString(0), r.getString(1), r.getString(2)))).toSet
+    assert(negDocs.nonEmpty, "fixture negative query should match something")
+    val plain = searcher.search("index merge", 1000).toSeq
+    for (nb <- Seq(0.0, 0.4, 1.0)) {
+      val eng = searcher.searchBoosting("index merge", negQ, 25, negativeBoost = nb).toSeq
+      val expected = docTokens.keysIterator.flatMap { d =>
+        val cs = contributionsInCursorOrder(d, Seq("index", "merge"))
+        if (cs.isEmpty) None
+        else Some(ScoredDoc(d, if (negDocs(d)) cs.sum * nb else cs.sum))
+      }.toSeq.sortBy(sd => (-sd.score, sd.docId)).take(25)
+      assert(eng.map(_.docId) == expected.map(_.docId), s"boosting ranking mismatch nb=$nb")
+      eng.zip(expected).foreach { case (e, x) =>
+        assert(java.lang.Double.doubleToLongBits(e.score) ==
+          java.lang.Double.doubleToLongBits(x.score),
+          s"boosting score not bit-identical (nb=$nb): $e vs $x")
+      }
+    }
+    // demoted docs are demoted, never dropped: same match set as the plain query
+    val all = searcher.searchBoosting("index merge", negQ, 1000, negativeBoost = 0.4)
+    assert(all.map(_.docId).toSet == plain.map(_.docId).toSet)
+    // nb = 1.0 is a no-op: identical to the plain search
+    val same = searcher.searchBoosting("index merge", negQ, 15, negativeBoost = 1.0)
+    assert(same.toSeq == plain.take(15))
+    intercept[IllegalArgumentException] {
+      searcher.searchBoosting("index merge", negQ, 5, negativeBoost = 1.5)
+    }
+    intercept[IllegalArgumentException] { searcher.searchBoosting("lang:scala", "query", 5) }
+  }
+
+  test("getDoc: stored-field point lookup by identity key, miss is None") {
+    val want = spark.read.parquet(s"$indexDir/docs")
+      .select("repo", "path", "commit", "lang", "nbytes").collect()(3)
+    val got = searcher.getDoc(want.getString(0), want.getString(1), want.getString(2))
+    assert(got.isDefined)
+    assert(got.get.getAs[String]("lang") == want.getString(3))
+    assert(got.get.getAs[Long]("nbytes") == want.getLong(4))
+    assert(searcher.getDoc("no-such-repo", "nope", "0000").isEmpty)
   }
 }

@@ -185,4 +185,38 @@ class ModulesSpec extends AnyFunSuite {
     assert(collected == collected.sorted)
     assert(collected.toSet == Set(1L, 2L, 3L, 5L, 7L, 8L, 9L))
   }
+
+  test("aliases: atomic serving pointer — build fresh, flip, roll back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-alias").toString
+    val cfg = graft.index.IndexConfig(buildPartitions = 2, docsPerShard = 64L,
+      blockSize = 16, buildBuckets = 2)
+    val a = graft.corpus.CorpusGen.generate(spark, 30, seed = 3, partitions = 2).toDF()
+    val b = graft.corpus.CorpusGen.generate(spark, 40, seed = 5, partitions = 2).toDF()
+    new graft.index.IndexBuilder(spark, cfg).build(a, s"$dir/v1", resume = false)
+    // an alias may not point at a dir that isn't a published index
+    intercept[IllegalArgumentException] {
+      graft.index.Aliases.set(dir, "prod", s"$dir/not-built")
+    }
+    assert(graft.index.Aliases.resolve(dir, "prod").isEmpty)
+    graft.index.Aliases.set(dir, "prod", s"$dir/v1")
+    assert(graft.index.Aliases.resolve(dir, "prod").contains(s"$dir/v1"))
+    val s1 = new graft.search.Searcher(spark, graft.index.Aliases.resolveOrFail(dir, "prod"))
+    assert(s1.meta.numDocs == 30)
+    // reload: build v2 into a FRESH dir while prod serves v1, then flip
+    new graft.index.IndexBuilder(spark, cfg).build(b, s"$dir/v2", resume = false)
+    graft.index.Aliases.set(dir, "prod", s"$dir/v2")
+    val s2 = new graft.search.Searcher(spark, graft.index.Aliases.resolveOrFail(dir, "prod"))
+    assert(s2.meta.numDocs == 40)
+    // old index untouched → rollback is just another flip
+    graft.index.Aliases.set(dir, "prod", s"$dir/v1")
+    assert(new graft.search.Searcher(
+      spark, graft.index.Aliases.resolveOrFail(dir, "prod")).meta.numDocs == 30)
+    // several aliases coexist; removing one leaves the others
+    graft.index.Aliases.set(dir, "staging", s"$dir/v2")
+    assert(graft.index.Aliases.all(dir).keySet == Set("prod", "staging"))
+    graft.index.Aliases.remove(dir, "prod")
+    assert(graft.index.Aliases.resolve(dir, "prod").isEmpty)
+    assert(graft.index.Aliases.resolve(dir, "staging").contains(s"$dir/v2"))
+    intercept[IllegalArgumentException] { graft.index.Aliases.resolveOrFail(dir, "prod") }
+  }
 }

@@ -318,6 +318,24 @@ class SegmentedSpec extends AnyFunSuite {
     }
   }
 
+  test("segmented getDoc: identity point read finds the owning segment; miss is None") {
+    val dir = Files.createTempDirectory("graft-segget").toString
+    val a = CorpusGen.generate(spark, 50, seed = 7, partitions = 2).toDF()
+    val b = CorpusGen.generate(spark, 40, seed = 99, partitions = 2).toDF()
+    val idx = new SegmentedIndex(spark, s"$dir/index", cfg)
+    idx.ingest(a)
+    idx.ingest(b)
+    val ms = new MultiSearcher(spark, s"$dir/index")
+    // one key from each batch → both segments resolvable
+    for (src <- Seq(a, b)) {
+      val w = src.select("repo", "path", "commit", "lang").collect()(2)
+      val got = ms.getDoc(w.getString(0), w.getString(1), w.getString(2))
+      assert(got.isDefined)
+      assert(got.get.getAs[String]("lang") == w.getString(3))
+    }
+    assert(ms.getDoc("no-such-repo", "nope", "0000").isEmpty)
+  }
+
   test("segmented updateDocFields patches only owning segments, postings untouched") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
