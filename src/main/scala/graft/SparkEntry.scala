@@ -1736,6 +1736,205 @@ object SparkEntry {
         .getOrElse(throw new IllegalStateException("doc 42 missing from index"))
       Seq((row.getAs[String]("path").toLong, row.getAs[String]("lang")))
         .toDF("doc_id", "lang")
+    }),
+
+    // ES `_mget`: stored fields for a batch of identity keys in ONE
+    // column-pruned scan (vs one point read per id). Shares fts3's
+    // cached index.
+    "fts47_mget" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val keys = corpus
+        .filter(col("path").isin(Seq(7L, 42L, 99L).map(i => f"$i%08d"): _*))
+        .select("repo", "path", "commit").as[(String, String, String)].collect().toSeq
+      new Searcher(s, idxDir).mget(keys)
+        .select(col("path").cast("bigint").as("doc_id"), col("lang"), col("dl"))
+    }),
+
+    // ES `ids` query in bool filter context: BM25 scoring restricted to an
+    // identity key set (candidates only — statistics index-wide). Shares
+    // fts3's cached index.
+    "fts48_ids" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val keys = corpus.filter(col("path").cast("bigint") % 5 === 0)
+        .select("repo", "path", "commit").as[(String, String, String)].collect().toSeq
+      val hits = new Searcher(s, idxDir).search("merge query", 20, withinIds = keys).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `update_by_query`: patch a stored field on every document
+    // matching 'merge' (the painless ctx._source analogue — the new value
+    // is computed from an existing stored field). Own index (mutated);
+    // the patch is idempotent, so the cached index stays valid across
+    // harness invocations.
+    "fts49_update_by_query" -> ((s, d) => {
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts49-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      graft.index.IndexMaintenance.updateByQuery(s, idxDir, "merge",
+        Map("tag" -> concat(lit("hit-"), col("lang"))))
+      new Searcher(s, idxDir).scan("")
+        .select(col("path").cast("bigint").as("doc_id"), col("tag"))
+    }),
+
+    // ES `delete_by_query`: physically purge every 'lang:de' document,
+    // then report the measured index statistics — after the purge the
+    // index must be logically identical to a fresh build over the
+    // survivors (N, terms, postings, avgdl all recomputed). Own index
+    // (mutated); a second invocation matches nothing (no-op).
+    "fts50_delete_by_query" -> ((s, d) => {
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts50-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      graft.index.IndexMaintenance.deleteByQuery(s, idxDir, "lang:de", cfg)
+      new Searcher(s, idxDir).indexStats()
+        .select(col("num_docs"), col("num_terms"), col("num_postings"),
+          col("sum_dl"), round(col("avg_dl"), 4).as("avg_dl"))
+    }),
+
+    // ES `_reindex`: build a NEW index from the 'lang:fr' match set of
+    // fts3's index, re-reading matched docs from the source corpus with
+    // the sha256 lineage gate; BM25 stats (N, df, avgdl) recompute over
+    // the subset — scores match a brute-force oracle over ONLY fr docs.
+    "fts51_reindex" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val dstDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts51-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, srcDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, srcDir, resume = false)
+      }
+      cachedIndex(corpus, dstDir, cfg) {
+        graft.index.Reindex.reindex(s, srcDir, corpus, dstDir, "lang:fr", cfg); ()
+      }
+      val hits = new Searcher(s, dstDir).search("spark query", 20).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$dstDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `composite` aggregation (terms source): page 2 of the lang
+    // buckets over the 'merge' match set — size 2, after_key 'en'
+    // (exclusive), keys ordered asc. Shares fts3's cached index.
+    "fts52_composite" -> ((s, d) => {
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).compositeAgg("merge", "lang", 2, Some("en"))
+    }),
+
+    // ES `filters` aggregation: three named buckets — a scored-term match
+    // set, a keyword-filter match set, and a no-match bucket that must
+    // still appear at count 0 — computed as ONE tagged-union action.
+    // Shares fts3's cached index.
+    "fts53_filters_agg" -> ((s, d) => {
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).filtersAgg(Seq(
+        "b_es" -> "lang:es", "b_merge" -> "merge", "b_none" -> "zzzqqqxxx"))
+    }),
+
+    // ES multi-field sort: the 'spark' match set ordered (lang asc,
+    // n_chars desc, identity asc) — no scoring work at all. Shares
+    // fts12's cached index (keyword lang, stored n_chars).
+    "fts54_sort_multi" -> ((s, d) => {
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("n_chars"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts12-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang"), storedOnly = Seq("n_chars")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val res = new Searcher(s, idxDir)
+        .searchSortedByFields("spark", Seq("lang" -> true, "n_chars" -> false), 20)
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(res), Seq("docId"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // ES `_stats`: index-level statistics MEASURED from the index
+    // relations (and cross-checked against meta inside the engine) —
+    // the oracle recomputes docs/terms/postings/dl from the raw corpus,
+    // so this row is a standing dictionary/postings integrity gate.
+    // Shares fts3's cached index (keyword fields lang + repo).
+    "fts55_index_stats" -> ((s, d) => {
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).indexStats()
+        .select(col("num_docs"), col("num_terms"), col("num_postings"),
+          col("sum_dl"), round(col("avg_dl"), 4).as("avg_dl"))
     })
   )
 
@@ -2691,7 +2890,81 @@ object SparkEntry {
            |  b.doc_id ASC LIMIT 50""".stripMargin,
       // ES GET by _id: stored fields of one document by identity key
       "fts46_get" ->
-        "SELECT cast(doc_id AS bigint) AS doc_id, lang FROM documents WHERE doc_id = 42"
+        "SELECT cast(doc_id AS bigint) AS doc_id, lang FROM documents WHERE doc_id = 42",
+      "fts47_mget" ->
+        s"""SELECT cast(doc_id AS bigint) AS doc_id, lang,
+           | cast(len($tokExpr) AS bigint) AS dl
+           |FROM documents WHERE doc_id IN (7, 42, 99)""".stripMargin,
+      "fts48_ids" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('merge','query') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |raw AS (SELECT doc_id, sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))) AS r
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |WHERE doc_id % 5 = 0 GROUP BY doc_id)
+           |SELECT doc_id, round(r, 4) AS score FROM raw
+           |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin,
+      "fts49_update_by_query" ->
+        s"""SELECT cast(doc_id AS bigint) AS doc_id,
+           | CASE WHEN list_contains($tokExpr, 'merge') THEN 'hit-' || lang END AS tag
+           |FROM documents""".stripMargin,
+      "fts50_delete_by_query" ->
+        s"""WITH dt AS (SELECT doc_id, lang, $tokExpr AS tk FROM documents WHERE lang <> 'de'),
+           |ex AS (SELECT doc_id, unnest(tk) AS term FROM dt)
+           |SELECT cast((SELECT count(*) FROM dt) AS bigint) AS num_docs,
+           | cast((SELECT count(DISTINCT term) FROM ex)
+           |   + (SELECT count(DISTINCT lang) FROM dt) + 1 AS bigint) AS num_terms,
+           | cast((SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM ex))
+           |   + 2 * (SELECT count(*) FROM dt) AS bigint) AS num_postings,
+           | cast((SELECT sum(len(tk)) FROM dt) AS bigint) AS sum_dl,
+           | round((SELECT sum(len(tk)) FROM dt) * 1.0
+           |   / (SELECT count(*) FROM dt), 4) AS avg_dl""".stripMargin,
+      "fts51_reindex" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents WHERE lang = 'fr'),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('spark','query') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |raw AS (SELECT doc_id, sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))) AS r
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats GROUP BY doc_id)
+           |SELECT doc_id, round(r, 4) AS score FROM raw
+           |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin,
+      "fts52_composite" ->
+        s"""SELECT lang AS key, count(*) AS cnt FROM documents
+           |WHERE list_contains($tokExpr, 'merge') AND lang > 'en'
+           |GROUP BY 1 ORDER BY 1 LIMIT 2""".stripMargin,
+      "fts53_filters_agg" ->
+        s"""SELECT 'b_es' AS bucket,
+           |  cast((SELECT count(*) FROM documents WHERE lang = 'es') AS bigint) AS cnt
+           |UNION ALL SELECT 'b_merge',
+           |  cast((SELECT count(*) FROM documents
+           |        WHERE list_contains($tokExpr, 'merge')) AS bigint)
+           |UNION ALL SELECT 'b_none', cast(0 AS bigint)""".stripMargin,
+      "fts54_sort_multi" ->
+        s"""SELECT cast(doc_id AS bigint) AS doc_id, lang, n_chars FROM documents
+           |WHERE list_contains($tokExpr, 'spark')
+           |ORDER BY lang ASC, n_chars DESC, doc_id ASC LIMIT 20""".stripMargin,
+      "fts55_index_stats" ->
+        s"""WITH dt AS (SELECT doc_id, lang, $tokExpr AS tk FROM documents),
+           |ex AS (SELECT doc_id, unnest(tk) AS term FROM dt)
+           |SELECT cast((SELECT count(*) FROM dt) AS bigint) AS num_docs,
+           | cast((SELECT count(DISTINCT term) FROM ex)
+           |   + (SELECT count(DISTINCT lang) FROM dt) + 1 AS bigint) AS num_terms,
+           | cast((SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM ex))
+           |   + 2 * (SELECT count(*) FROM dt) AS bigint) AS num_postings,
+           | cast((SELECT sum(len(tk)) FROM dt) AS bigint) AS sum_dl,
+           | round((SELECT sum(len(tk)) FROM dt) * 1.0
+           |   / (SELECT count(*) FROM dt), 4) AS avg_dl""".stripMargin
     )
   }
 }

@@ -82,6 +82,49 @@ object IndexMaintenance {
     }
   }
 
+  /** ES `update_by_query`: patch stored fields on every document matching
+    * an engine query (full bool semantics — terms, phrases, filters,
+    * ranges, negations). `assignments` are Column expressions evaluated
+    * over the matched document's stored row (the painless `ctx._source`
+    * analogue: new values may be computed from existing stored fields).
+    * Structural columns stay protected via [[updateDocFields]]. Returns the
+    * number of matched (patched) documents; 0 = no-op, nothing rewritten. */
+  def updateByQuery(
+      spark: SparkSession,
+      indexDir: String,
+      query: String,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      io: TableIO = ParquetDirIO): Long = {
+    require(assignments.nonEmpty, "update_by_query needs at least one assignment")
+    val sr = new graft.search.Searcher(spark, indexDir, io)
+    val matched = sr.scan(query)
+    val n = matched.count()
+    if (n == 0L) return 0L
+    val updates = matched.select(
+      KeyCols.map(col) ++ assignments.toSeq.sortBy(_._1).map { case (c, e) => e.as(c) }: _*)
+    updateDocFields(spark, indexDir, updates, io)
+    n
+  }
+
+  /** ES `delete_by_query`: physically purge every document matching an
+    * engine query — the match set feeds [[deleteDocs]], so the result is
+    * logically identical to a fresh build over the survivors (no tombstone
+    * drift; see the delete-semantics note there). Returns the number of
+    * deleted documents; refuses to delete the whole index (ES would leave
+    * an empty index — here stats would be meaningless; drop the directory
+    * instead). */
+  def deleteByQuery(
+      spark: SparkSession,
+      indexDir: String,
+      query: String,
+      cfg: IndexConfig = IndexConfig()): Long = {
+    val sr = new graft.search.Searcher(spark, indexDir, cfg.io)
+    val keys = sr.scan(query).select(KeyCols.map(col): _*)
+    val n = keys.count()
+    if (n > 0L) deleteDocs(spark, indexDir, keys, cfg)
+    n
+  }
+
   /** [[updateDocFields]] over a segmented index: only segments that
     * actually contain updated identities are touched (broadcast semi-probe
     * of the identity columns — metadata-scale), and each is patched

@@ -795,6 +795,87 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       s"field '$name' is not numeric (${f.dataType.simpleString})")
   }
 
+  private def validateOrderableDocsField(name: String): Unit = {
+    import org.apache.spark.sql.types._
+    val docsSchema = io.read(spark, s"${segs.head._1}/docs").schema
+    val f = docsSchema.fields.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+      s"field '$name' is not a stored docs column (have: ${docsSchema.fieldNames.mkString(", ")})"))
+    require(f.dataType.isInstanceOf[NumericType] || f.dataType == StringType ||
+      f.dataType == DateType || f.dataType == TimestampType || f.dataType == BooleanType,
+      s"field '$name' is not sortable (${f.dataType.simpleString})")
+  }
+
+  /** ES multi-field sort over the segmented index —
+    * [[Searcher.searchSortedByFields]] semantics with DOCUMENT IDENTITY as
+    * the final tie-break (docIds are per-segment). Returns ≤k rows
+    * (repo, path, commit, sort fields…). */
+  def searchSortedByFields(query: String, sorts: Seq[(String, Boolean)], k: Int,
+      minShouldMatch: Int = 1): DataFrame = {
+    require(sorts.nonEmpty, "need at least one sort field")
+    require(sorts.map(_._1).distinct.length == sorts.length, "duplicate sort field")
+    sorts.foreach { case (f, _) => validateOrderableDocsField(f) }
+    val ord = sorts.map { case (f, up) =>
+      if (up) col(f).asc_nulls_last else col(f).desc_nulls_last
+    } ++ Seq(asc("repo"), asc("path"), asc("commit"))
+    matchedSegDoc(query, minShouldMatch)
+      .join(taggedUnion("docs",
+        (Seq("docId", "repo", "path", "commit") ++ sorts.map(_._1)).distinct),
+        Seq("seg", "docId"))
+      .select(Seq(col("repo"), col("path"), col("commit")) ++ sorts.map(s => col(s._1)): _*)
+      .orderBy(ord: _*)
+      .limit(k)
+  }
+
+  /** ES `_mget` over the segmented index — [[Searcher.mget]] semantics:
+    * stored fields for a batch of identity keys in ONE scan of the unioned
+    * docs relations (segments hold disjoint identities, so each key has at
+    * most one owner). Missing keys are simply absent. */
+  def mget(keys: Seq[(String, String, String)]): DataFrame = {
+    require(keys.nonEmpty, "mget needs at least one identity key")
+    val cols = io.read(spark, s"${segs.head._1}/docs").columns.toSeq
+    taggedUnion("docs", cols)
+      .join(broadcast(keys.toDF("repo", "path", "commit")),
+        Seq("repo", "path", "commit"))
+      .drop("seg")
+  }
+
+  /** ES `filters` aggregation over the segmented index —
+    * [[Searcher.filtersAgg]] semantics: one named bucket per (name, query),
+    * exact counts across segments (disjoint identities sum), empty buckets
+    * present at 0, one tagged-union action for the whole aggregation. */
+  def filtersAgg(filters: Seq[(String, String)]): DataFrame = {
+    require(filters.nonEmpty, "filters aggregation needs at least one named filter")
+    require(filters.map(_._1).distinct.length == filters.length,
+      "filters aggregation bucket names must be unique")
+    val tagged = filters.map { case (name, q) =>
+      matchedSegDoc(q).select(lit(name).as("bucket"))
+    }.reduce(_ unionByName _)
+    val names = filters.map(_._1).toDF("bucket")
+    names
+      .join(tagged.groupBy("bucket").agg(sqlCount(lit(1)).as("cnt")), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy(asc("bucket"))
+  }
+
+  /** ES `composite` aggregation over the segmented index —
+    * [[Searcher.compositeAgg]] semantics: key-ordered bucket pages resuming
+    * from `afterKey` (exclusive); counts exact across segments. */
+  def compositeAgg(query: String, field: String, size: Int,
+      afterKey: Option[String] = None, minShouldMatch: Int = 1): DataFrame = {
+    require(size > 0, s"composite size must be > 0 (got $size)")
+    val docsSchema = io.read(spark, s"${segs.head._1}/docs").schema
+    require(docsSchema.fieldNames.contains(field),
+      s"field '$field' is not a stored docs column (have: ${docsSchema.fieldNames.mkString(", ")})")
+    matchedSegDoc(query, minShouldMatch)
+      .join(taggedUnion("docs", Seq("docId", field)), Seq("seg", "docId"))
+      .filter(col(field).isNotNull)
+      .groupBy(col(field).cast("string").as("key"))
+      .agg(sqlCount(lit(1)).as("cnt"))
+      .filter(afterKey.map(a => col("key") > lit(a)).getOrElse(lit(true)))
+      .orderBy(asc("key"))
+      .limit(size)
+  }
+
   /** ES scroll / export analogue over the segmented index —
     * [[Searcher.scan]] semantics: the FULL match set as a DataFrame of
     * stored fields, never collected, no order. Identity columns

@@ -71,12 +71,35 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * (doc_values-style evaluation). Grouped per shard so the kernel-side
     * accept array is bounded by docsPerShard regardless of corpus size. */
   private def acceptsByShard(
-      ranges: Array[Searcher.RangeFilter]): org.apache.spark.sql.KeyValueGroupedDataset[Long, Long] = {
-    validateRanges(ranges)
-    val pred = ranges.map(_.pred).reduce(_ && _)
+      ranges: Array[Searcher.RangeFilter],
+      extraIds: Dataset[Long] = null): org.apache.spark.sql.KeyValueGroupedDataset[Long, Long] = {
     val dps = meta.docsPerShard
-    docsDf.filter(pred).select(col("docId")).as[Long].groupByKey(_ / dps)
+    val fromRanges: Option[Dataset[Long]] =
+      if (ranges.isEmpty) None
+      else {
+        validateRanges(ranges)
+        val pred = ranges.map(_.pred).reduce(_ && _)
+        Some(docsDf.filter(pred).select(col("docId")).as[Long])
+      }
+    val ds = (fromRanges, Option(extraIds)) match {
+      case (Some(a), Some(b)) => a.join(b.toDF("docId"), Seq("docId"), "left_semi").as[Long]
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        throw new IllegalArgumentException("accept set needs range filters or an id set")
+    }
+    ds.groupByKey(_ / dps)
   }
+
+  /** docId accept set for an ES `ids`-query identity list: one broadcast
+    * semi-join against the docs relation (the key list is user-bounded —
+    * the ES request body — never corpus-scale). */
+  private def acceptIdsOf(ids: Seq[(String, String, String)]): Dataset[Long] =
+    if (ids == null) null
+    else docsDf
+      .join(broadcast(ids.toDF("repo", "path", "commit")),
+        Seq("repo", "path", "commit"), "left_semi")
+      .select(col("docId")).as[Long]
 
   /** Driver-side dictionary (term → (termId, df)), populated by [[warm]] —
     * the reference's J10 broadcast-map pattern for a served index: term
@@ -248,9 +271,17 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * order are returned, so page N+1 costs one k-heap regardless of depth
     * (the scale-correct deep-paging shape; `from`/`size` pays an O(from+k)
     * heap and is capped at 10k in ES for exactly this reason). Mutually
-    * exclusive with `from`, as in ES. */
+    * exclusive with `from`, as in ES.
+    *
+    * `withinIds` is the ES `ids` query in bool filter context: hits are
+    * restricted to the given identity keys (one broadcast semi-join
+    * resolves them to docIds, then they ride the kernels' accept path
+    * exactly like range filters — candidates only, statistics untouched).
+    * An otherwise-empty query with `withinIds` is a pure ids query:
+    * constant score 0, docId order. */
   def search(query: String, k: Int, from: Int = 0, minShouldMatch: Int = 1,
-      after: ScoredDoc = null): Array[ScoredDoc] = {
+      after: ScoredDoc = null,
+      withinIds: Seq[(String, String, String)] = null): Array[ScoredDoc] = {
     require(from >= 0, s"from must be >= 0 (got $from)")
     require(from == 0 || after == null, "search_after cannot be combined with from (ES rule)")
     require(minShouldMatch >= 1, s"minShouldMatch must be >= 1 (got $minShouldMatch)")
@@ -261,9 +292,10 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     // terms like any other) reject candidates, never affect stats; a term
     // absent from the dictionary excludes nothing
     val excludeIds: Set[Long] = lookupTerms(pq.allExcluded.toSeq).map(_._1).toSet
+    val acceptIdsDs: Dataset[Long] = acceptIdsOf(withinIds)
     if (pq.phrases.nonEmpty)
       return searchPhrases(pq.phrases, pq.slops, (pq.terms ++ expanded).distinct, pq.filters,
-        kEff, excludeIds, pq.boostOf, pq.ranges, after).drop(from)
+        kEff, excludeIds, pq.boostOf, pq.ranges, after, acceptIdsDs).drop(from)
     val qTerms = (pq.terms ++ expanded).distinct
     val qFilters = pq.filters
     val stats = lookupTermStats(qTerms.toSeq)
@@ -273,12 +305,15 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       // docId asc. A query that HAS should clauses but none in the
       // dictionary matches nothing (minimum_should_match >= 1).
       if (pq.hasScoringClauses ||
-        (pq.filters.isEmpty && pq.ranges.isEmpty && pq.allExcluded.isEmpty))
+        (pq.filters.isEmpty && pq.ranges.isEmpty && pq.allExcluded.isEmpty &&
+          acceptIdsDs == null))
         return Array.empty
       // search_after on the constant-score order: every hit scores 0.0, so
       // the cursor reduces to docId > after.docId (a cursor with score > 0
       // precedes all constant-score hits and excludes nothing)
-      val ids = matchIdsDs(pq).toDF("docId")
+      val ids0 = matchIdsDs(pq).toDF("docId")
+      val ids = if (acceptIdsDs == null) ids0
+        else ids0.join(acceptIdsDs.toDF("docId"), Seq("docId"), "left_semi")
       val paged = if (after == null || after.score > 0.0) ids
         else ids.filter(col("docId") > after.docId)
       return paged.orderBy(asc("docId")).limit(kEff)
@@ -305,16 +340,16 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     val msm = minShouldMatch
     val aft = after
     val perShard =
-      if (pq.ranges.isEmpty)
+      if (pq.ranges.isEmpty && acceptIdsDs == null)
         blocksKV.flatMapGroups { (_, blocks) =>
           Wand.topK(blocks, idfById, filterIds, avgdl, params, kEff,
             excludeTermIds = excludeIds, minShouldMatch = msm, after = aft)
         }
       else
-        // range filters: cogroup the per-shard accept set (docs-relation
-        // scan with the predicate pushed down) into the kernel — a shard
-        // with no accepted doc emits nothing
-        blocksKV.cogroup(acceptsByShard(pq.ranges)) { (_, blocks, acc) =>
+        // range filters / ids restriction: cogroup the per-shard accept set
+        // (docs-relation scan with the predicate pushed down) into the
+        // kernel — a shard with no accepted doc emits nothing
+        blocksKV.cogroup(acceptsByShard(pq.ranges, acceptIdsDs)) { (_, blocks, acc) =>
           val a = acc.toArray
           java.util.Arrays.sort(a)
           Wand.topK(blocks, idfById, filterIds, avgdl, params, kEff,
@@ -342,7 +377,8 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       excludeIds: Set[Long] = Set.empty,
       boostOf: String => Double = _ => 1.0,
       ranges: Array[Searcher.RangeFilter] = Array.empty,
-      after: ScoredDoc = null): Array[ScoredDoc] = {
+      after: ScoredDoc = null,
+      acceptIdsDs: Dataset[Long] = null): Array[ScoredDoc] = {
     if (!meta.hasPositions)
       throw new IllegalStateException(
         "phrase query on an index built without positions (IndexConfig.storePositions=false)")
@@ -378,13 +414,13 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     val aft = after
     val slops = phraseSlops
     val perShard =
-      if (ranges.isEmpty)
+      if (ranges.isEmpty && acceptIdsDs == null)
         blocksKV.flatMapGroups { (_, blocks) =>
           Phrase.topK(blocks, phraseIdSeqs, slops, idfById, optIdfById, filterIds, avgdl,
             params, k, excludeTermIds = excludeIds, after = aft)
         }
       else
-        blocksKV.cogroup(acceptsByShard(ranges)) { (_, blocks, acc) =>
+        blocksKV.cogroup(acceptsByShard(ranges, acceptIdsDs)) { (_, blocks, acc) =>
           val a = acc.toArray
           java.util.Arrays.sort(a)
           Phrase.topK(blocks, phraseIdSeqs, slops, idfById, optIdfById, filterIds, avgdl,
@@ -1349,6 +1385,114 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
         ((fgRate - bgRate) * fgRate / bgRate).as("score"))
       .orderBy(desc("score"), asc("term"))
       .limit(topN)
+  }
+
+  /** ES `_mget`: stored fields for a batch of identity keys in ONE
+    * column-pruned scan of the docs relation (vs one point read per id —
+    * [[getDoc]]). The requested keys are the broadcast side; the docs table
+    * is the 10^12-row side. Keys absent from the index are simply absent
+    * from the result (ES `found: false`). */
+  def mget(keys: Seq[(String, String, String)]): DataFrame = {
+    require(keys.nonEmpty, "mget needs at least one identity key")
+    docsDf.join(broadcast(keys.toDF("repo", "path", "commit")),
+      Seq("repo", "path", "commit"))
+  }
+
+  /** ES `filters` aggregation: one named bucket per (name, query) pair,
+    * each counting ITS query's full match set (full bool semantics per
+    * filter, including filter-only / match_all / must_not shapes). The
+    * per-filter match plans run as ONE tagged union — one Spark action for
+    * the whole aggregation — and empty buckets are present at count 0 (the
+    * ES contract: every named filter always appears). Returns (bucket, cnt)
+    * ordered by bucket name asc. */
+  def filtersAgg(filters: Seq[(String, String)]): DataFrame = {
+    require(filters.nonEmpty, "filters aggregation needs at least one named filter")
+    require(filters.map(_._1).distinct.length == filters.length,
+      "filters aggregation bucket names must be unique")
+    val tagged = filters.map { case (name, q) =>
+      matchIdsDs(Searcher.parseFull(q, meta.keywords.toSet))
+        .toDF("docId").select(lit(name).as("bucket"))
+    }.reduce(_ unionByName _)
+    val names = filters.map(_._1).toDF("bucket")
+    names
+      .join(tagged.groupBy("bucket").agg(sqlCount(lit(1)).as("cnt")), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy(asc("bucket"))
+  }
+
+  /** ES `composite` aggregation (single terms source): deterministic
+    * key-ordered bucket pages over the match set — page N+1 resumes from
+    * `afterKey` (exclusive), so paging through ALL buckets of an unbounded-
+    * cardinality field costs one bounded pass per page (the agg-side
+    * `search_after`; ES built composite precisely because deep terms-agg
+    * paging doesn't scale). Returns ≤size (key, cnt) rows ordered key asc;
+    * docs missing the field are skipped (ES agg rule). */
+  def compositeAgg(query: String, field: String, size: Int,
+      afterKey: Option[String] = None, minShouldMatch: Int = 1): DataFrame = {
+    require(size > 0, s"composite size must be > 0 (got $size)")
+    require(docsDf.columns.contains(field),
+      s"field '$field' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})")
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
+      .filter(col(field).isNotNull)
+      .groupBy(col(field).cast("string").as("key"))
+      .agg(sqlCount(lit(1)).as("cnt"))
+      .filter(afterKey.map(a => col("key") > lit(a)).getOrElse(lit(true)))
+      .orderBy(asc("key"))
+      .limit(size)
+  }
+
+  /** Orderable stored-column check for field sorts (ES sorts on any
+    * doc_values field: numeric, keyword, date or boolean). */
+  private def validateOrderableField(name: String): Unit = {
+    import org.apache.spark.sql.types._
+    val f = docsDf.schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"field '$name' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})"))
+    require(f.dataType.isInstanceOf[NumericType] || f.dataType == StringType ||
+      f.dataType == DateType || f.dataType == TimestampType || f.dataType == BooleanType,
+      s"field '$name' is not sortable (${f.dataType.simpleString})")
+  }
+
+  /** ES multi-field sort (`sort: [{f1: desc}, {f2: asc}]`): the match set
+    * ordered by a sequence of stored doc_values columns — numeric, keyword
+    * (string), date or boolean — missing values last (ES `missing: _last`),
+    * final tie-break docId asc. `sorts` maps field → ascending?. No scoring
+    * work at all (match-only kernels); Spark's TakeOrderedAndProject merges
+    * per-partition top-k. Returns ≤k rows (docId, sort fields…). */
+  def searchSortedByFields(query: String, sorts: Seq[(String, Boolean)], k: Int,
+      minShouldMatch: Int = 1): DataFrame = {
+    require(sorts.nonEmpty, "need at least one sort field")
+    require(sorts.map(_._1).distinct.length == sorts.length, "duplicate sort field")
+    sorts.foreach { case (f, _) => validateOrderableField(f) }
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val ord = sorts.map { case (f, up) =>
+      if (up) col(f).asc_nulls_last else col(f).desc_nulls_last
+    } :+ col("docId").asc
+    docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
+      .select(col("docId") +: sorts.map(s => col(s._1)): _*)
+      .orderBy(ord: _*)
+      .limit(k)
+  }
+
+  /** ES `_stats` (index-level statistics), MEASURED from the index
+    * relations — one aggregation pass each over docs and terms — and
+    * cross-checked against the build-time meta counts, so a served index
+    * whose relations drifted from the published `meta.json` fails loudly
+    * instead of silently mis-scoring (df/N/avgdl all feed BM25). One row:
+    * (num_docs, num_terms, num_postings, sum_dl, avg_dl). */
+  def indexStats(): DataFrame = {
+    val d = docsDf.agg(sqlCount(lit(1)).as("n"), sum("dl").as("s")).head()
+    val (nDocs, sumDl) = (d.getLong(0), d.getLong(1))
+    val t = termsDf.agg(sqlCount(lit(1)).as("n"), sum("df").as("p")).head()
+    val (nTerms, nPostings) = (t.getLong(0), t.getLong(1))
+    require(nDocs == meta.numDocs && sumDl == meta.sumDl && nTerms == meta.numTerms &&
+      nPostings == meta.numPostings,
+      s"index stats drift: measured (docs=$nDocs, sumDl=$sumDl, terms=$nTerms, " +
+        s"postings=$nPostings) vs meta (${meta.numDocs}, ${meta.sumDl}, " +
+        s"${meta.numTerms}, ${meta.numPostings})")
+    Seq((nDocs, nTerms, nPostings, sumDl, sumDl.toDouble / nDocs))
+      .toDF("num_docs", "num_terms", "num_postings", "sum_dl", "avg_dl")
   }
 }
 
