@@ -1935,6 +1935,62 @@ object SparkEntry {
       new Searcher(s, idxDir).indexStats()
         .select(col("num_docs"), col("num_terms"), col("num_postings"),
           col("sum_dl"), round(col("avg_dl"), 4).as("avg_dl"))
+    }),
+
+    // ES `multi_match` (type: best_fields, tie_breaker 0.3): one query
+    // scored over TWO analyzed fields — content and a short derived
+    // `title` field (boosted ×2) — with EXACT per-field BM25: the tagged
+    // `title:token` postings carry the title's own length, and the
+    // `title:` marker's dictionary row carries the field's docCount /
+    // token total (per-field idf + avgdl). Own cached index (multi-field
+    // mapping).
+    "fts56_multi_match_best" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), concat_ws(" ", col("source"), col("lang")).as("title"),
+        col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts56-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(analyzed = Seq("title")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir)
+        .multiMatch("merge src3 query", Seq("content", "title^2"), 20, "best_fields", 0.3)
+        .toSeq.toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `multi_match` (type: most_fields): per-field BM25 sums added
+    // across fields, restricted by a keyword filter — shares fts56's
+    // cached multi-field index.
+    "fts57_multi_match_most" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), concat_ws(" ", col("source"), col("lang")).as("title"),
+        col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts56-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(analyzed = Seq("title")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir)
+        .multiMatch("es merge lang:es", Seq("content", "title"), 20, "most_fields")
+        .toSeq.toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
     })
   )
 
@@ -2964,7 +3020,71 @@ object SparkEntry {
            |   + 2 * (SELECT count(*) FROM dt) AS bigint) AS num_postings,
            | cast((SELECT sum(len(tk)) FROM dt) AS bigint) AS sum_dl,
            | round((SELECT sum(len(tk)) FROM dt) * 1.0
-           |   / (SELECT count(*) FROM dt), 4) AS avg_dl""".stripMargin
+           |   / (SELECT count(*) FROM dt), 4) AS avg_dl""".stripMargin,
+      // per-field BM25: content stats from all docs, title stats (docCount,
+      // avgdl, df) from the title token lists ONLY — the independent
+      // formulation of what the engine reads off tagged postings and the
+      // `title:` marker row
+      "fts56_multi_match_best" ->
+        s"""WITH doc AS (SELECT doc_id, $tokExpr AS ck,
+           |  list_filter(regexp_split_to_array(lower(source || ' ' || lang),'[^a-z0-9]+'),
+           |              x -> length(x)>0) AS tk FROM documents),
+           |cs AS (SELECT count(*) AS n, sum(len(ck)) * 1.0 / count(*) AS avgdl FROM doc),
+           |fd AS (SELECT doc_id, cast(len(tk) AS bigint) AS fdl, tk FROM doc WHERE len(tk) > 0),
+           |fs AS (SELECT count(*) AS n, sum(fdl) * 1.0 / count(*) AS avgdl FROM fd),
+           |ctf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |        FROM (SELECT doc_id, cast(len(ck) AS bigint) AS dl, unnest(ck) AS term FROM doc)
+           |        WHERE term IN ('merge','src3','query') GROUP BY 1,2,3),
+           |cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
+           |csc AS (SELECT doc_id, sum(
+           |    ln(1.0 + (cs.n - cdf.df + 0.5)/(cdf.df + 0.5)) *
+           |    (ctf.tf/(ctf.tf + 1.2*(0.25 + 0.75*ctf.dl/cs.avgdl)))) AS sc
+           |  FROM ctf JOIN cdf USING (term) CROSS JOIN cs GROUP BY doc_id),
+           |ttf AS (SELECT doc_id, fdl, term, count(*) AS tf
+           |        FROM (SELECT doc_id, fdl, unnest(tk) AS term FROM fd)
+           |        WHERE term IN ('merge','src3','query') GROUP BY 1,2,3),
+           |tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY 1),
+           |tsc AS (SELECT doc_id, sum(2.0 *
+           |    ln(1.0 + (fs.n - tdf.df + 0.5)/(tdf.df + 0.5)) *
+           |    (ttf.tf/(ttf.tf + 1.2*(0.25 + 0.75*ttf.fdl/fs.avgdl)))) AS sc
+           |  FROM ttf JOIN tdf USING (term) CROSS JOIN fs GROUP BY doc_id),
+           |allsc AS (SELECT coalesce(csc.doc_id, tsc.doc_id) AS doc_id,
+           |    coalesce(csc.sc, 0) AS c, coalesce(tsc.sc, 0) AS f
+           |  FROM csc FULL OUTER JOIN tsc ON csc.doc_id = tsc.doc_id),
+           |raw AS (SELECT doc_id, greatest(c, f) + 0.3 * (c + f - greatest(c, f)) AS r
+           |  FROM allsc)
+           |SELECT doc_id, round(r, 4) AS score FROM raw
+           |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin,
+      "fts57_multi_match_most" ->
+        s"""WITH doc AS (SELECT doc_id, lang, $tokExpr AS ck,
+           |  list_filter(regexp_split_to_array(lower(source || ' ' || lang),'[^a-z0-9]+'),
+           |              x -> length(x)>0) AS tk FROM documents),
+           |cs AS (SELECT count(*) AS n, sum(len(ck)) * 1.0 / count(*) AS avgdl FROM doc),
+           |fd AS (SELECT doc_id, cast(len(tk) AS bigint) AS fdl, tk FROM doc WHERE len(tk) > 0),
+           |fs AS (SELECT count(*) AS n, sum(fdl) * 1.0 / count(*) AS avgdl FROM fd),
+           |ctf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |        FROM (SELECT doc_id, cast(len(ck) AS bigint) AS dl, unnest(ck) AS term FROM doc)
+           |        WHERE term IN ('es','merge') GROUP BY 1,2,3),
+           |cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
+           |csc AS (SELECT doc_id, sum(
+           |    ln(1.0 + (cs.n - cdf.df + 0.5)/(cdf.df + 0.5)) *
+           |    (ctf.tf/(ctf.tf + 1.2*(0.25 + 0.75*ctf.dl/cs.avgdl)))) AS sc
+           |  FROM ctf JOIN cdf USING (term) CROSS JOIN cs GROUP BY doc_id),
+           |ttf AS (SELECT doc_id, fdl, term, count(*) AS tf
+           |        FROM (SELECT doc_id, fdl, unnest(tk) AS term FROM fd)
+           |        WHERE term IN ('es','merge') GROUP BY 1,2,3),
+           |tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY 1),
+           |tsc AS (SELECT doc_id, sum(
+           |    ln(1.0 + (fs.n - tdf.df + 0.5)/(tdf.df + 0.5)) *
+           |    (ttf.tf/(ttf.tf + 1.2*(0.25 + 0.75*ttf.fdl/fs.avgdl)))) AS sc
+           |  FROM ttf JOIN tdf USING (term) CROSS JOIN fs GROUP BY doc_id),
+           |allsc AS (SELECT coalesce(csc.doc_id, tsc.doc_id) AS doc_id,
+           |    coalesce(csc.sc, 0) + coalesce(tsc.sc, 0) AS r
+           |  FROM csc FULL OUTER JOIN tsc ON csc.doc_id = tsc.doc_id)
+           |SELECT a.doc_id, round(a.r, 4) AS score
+           |FROM allsc a JOIN documents d ON a.doc_id = d.doc_id
+           |WHERE d.lang = 'es'
+           |ORDER BY a.r DESC, a.doc_id ASC LIMIT 20""".stripMargin
     )
   }
 }

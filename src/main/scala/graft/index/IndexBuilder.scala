@@ -124,9 +124,11 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     // field plan (schema-derived — the elasticsearch_schema_for_table
     // analogue): keyword columns become `field:value` filter terms,
     // storedOnly columns ride along into docs with NO postings
-    // (disable_index). Both sets may extend past the standard five columns.
+    // (disable_index), analyzed columns become tagged `field:token`
+    // per-field full-text postings (the ES multi-field mapping) and are
+    // stored too. All sets may extend past the standard five columns.
     val baseCols = Seq("repo", "path", "commit", "lang", "content")
-    val extraCols = (cfg.fields.keyword ++ cfg.fields.storedOnly)
+    val extraCols = (cfg.fields.keyword ++ cfg.fields.storedOnly ++ cfg.fields.analyzed)
       .distinct.filterNot(baseCols.contains)
     val selCols = baseCols ++ extraCols
 
@@ -139,15 +141,24 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     val doctfDir = s"$staging/_doctf"
     val doctfManifest: StageManifest = loadIfDone(doctfDir, inputFp).getOrElse(stage("doctf") {
       import org.apache.spark.sql.types._
-      for (c <- cfg.fields.keyword ++ cfg.fields.storedOnly)
+      for (c <- cfg.fields.keyword ++ cfg.fields.storedOnly ++ cfg.fields.analyzed)
         require(corpus.columns.contains(c), s"field-config column '$c' not in corpus schema")
       for (c <- cfg.fields.keyword)
         require(corpus.schema(c).dataType == StringType,
           s"keyword field '$c' must be a string column (tstr→keyword rule)")
+      for (c <- cfg.fields.analyzed) {
+        require(c != "content", "'content' is always analyzed; list only EXTRA fields")
+        require(corpus.schema(c).dataType == StringType,
+          s"analyzed field '$c' must be a string column")
+        require(!cfg.fields.keyword.contains(c) && !cfg.fields.storedOnly.contains(c),
+          s"field '$c' cannot be both analyzed and keyword/storedOnly")
+      }
       val inDf = corpus.select(selCols.map(col): _*)
       val inSchema = inDf.schema
       val keywordIdx: Array[(String, Int)] =
         cfg.fields.keyword.map(k => k -> inSchema.fieldIndex(k)).toArray
+      val analyzedIdx: Array[(String, Int)] =
+        cfg.fields.analyzed.map(k => k -> inSchema.fieldIndex(k)).toArray
       val storedExtra: Array[(String, Int)] =
         extraCols.map(c => c -> inSchema.fieldIndex(c)).toArray
       val contentIdx = inSchema.fieldIndex("content")
@@ -158,7 +169,12 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
           StructField("sha256", StringType), StructField("dl", LongType, nullable = false),
           StructField("terms", ArrayType(StructType(Seq(
             StructField("term", StringType), StructField("tf", LongType, nullable = false),
-            StructField("pos", ArrayType(LongType, containsNull = false))))))) ++
+            StructField("pos", ArrayType(LongType, containsNull = false)),
+            // the owning FIELD's token count — the dl BM25 normalizes this
+            // term's tf with (content terms: the doc dl; keyword filter
+            // terms: 1; `field:token` tagged terms and `field:` markers:
+            // that field's length)
+            StructField("fdl", LongType, nullable = false)))))) ++
         storedExtra.map { case (c, i) => StructField(c, inSchema(i).dataType) })
       val withPositions = cfg.storePositions
       // dense-docId range plan from the CHEAP identity projection (a
@@ -199,29 +215,64 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
             }
             i += 1
           }
+          val termsBuf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](
+            tfMap.size + 8)
+          val contentDl = toks.length.toLong
+          val eit = tfMap.entrySet().iterator()
+          while (eit.hasNext) {
+            val e = eit.next()
+            val pos: Seq[Long] = if (withPositions) posMap.get(e.getKey).toSeq else emptyPos
+            termsBuf += org.apache.spark.sql.Row(e.getKey, e.getValue, pos, contentDl)
+          }
           // keyword-field filter terms (the ES `keyword` mapping analogue,
           // reference `elasticsearch_utils.py:39-48`): posting-listed like
           // content terms but never scored, and excluded from dl. The
           // tokenizer strips ':' so these can't collide with content terms.
+          val kwPos: Seq[Long] = if (withPositions) Seq(0L) else emptyPos
           keywordIdx.foreach { case (name, idx) =>
+            if (!r.isNullAt(idx))
+              termsBuf += org.apache.spark.sql.Row(s"$name:${r.getString(idx)}", 1L, kwPos, 1L)
+          }
+          // extra analyzed fields (ES multi-field mapping): the field's
+          // token stream as `field:token` tagged terms carrying the FIELD's
+          // length as fdl (exact per-field BM25), plus one `field:` marker
+          // whose tf is the field length — so the marker's dictionary row
+          // accumulates df = field docCount and cf = field token total, the
+          // per-field statistics multi_match needs, maintained by the same
+          // machinery as any other term (merge, delete, segments).
+          analyzedIdx.foreach { case (name, idx) =>
             if (!r.isNullAt(idx)) {
-              val t = s"$name:${r.getString(idx)}"
-              tfMap.put(t, 1L)
-              if (withPositions) {
-                val buf = new scala.collection.mutable.ArrayBuffer[Long](1); buf += 0L
-                posMap.put(t, buf)
+              val ftoks = Analyzer.tokenize(r.getString(idx))
+              if (ftoks.length > 0) {
+                val fdl = ftoks.length.toLong
+                val ftf = new java.util.HashMap[String, Long]()
+                val fpos: java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]] =
+                  if (withPositions) new java.util.HashMap() else null
+                var fi = 0
+                while (fi < ftoks.length) {
+                  val tagged = s"$name:${ftoks(fi)}"
+                  ftf.merge(tagged, 1L, (a, b) => a + b)
+                  if (withPositions) {
+                    var buf = fpos.get(tagged)
+                    if (buf == null) {
+                      buf = new scala.collection.mutable.ArrayBuffer[Long](4)
+                      fpos.put(tagged, buf)
+                    }
+                    buf += fi.toLong
+                  }
+                  fi += 1
+                }
+                val fit = ftf.entrySet().iterator()
+                while (fit.hasNext) {
+                  val e = fit.next()
+                  val pos: Seq[Long] = if (withPositions) fpos.get(e.getKey).toSeq else emptyPos
+                  termsBuf += org.apache.spark.sql.Row(e.getKey, e.getValue, pos, fdl)
+                }
+                termsBuf += org.apache.spark.sql.Row(s"$name:", fdl, kwPos, fdl)
               }
             }
           }
-          val terms = new Array[org.apache.spark.sql.Row](tfMap.size)
-          val eit = tfMap.entrySet().iterator()
-          var j = 0
-          while (eit.hasNext) {
-            val e = eit.next()
-            val pos: Seq[Long] = if (withPositions) posMap.get(e.getKey).toSeq else emptyPos
-            terms(j) = org.apache.spark.sql.Row(e.getKey, e.getValue, pos)
-            j += 1
-          }
+          val terms = termsBuf.toArray
           md.reset()
           val dig = md.digest(content.getBytes("UTF-8"))
           val shaChars = new Array[Char](64)
@@ -335,10 +386,13 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     val tfDir = s"$staging/_tf"
     val tfManifest = loadIfDone(tfDir, lineage).getOrElse(stage("tf") {
       val obs = org.apache.spark.sql.Observation()
+      // the posting's dl is the term's OWNING FIELD's length (t.fdl):
+      // content terms carry the doc dl, tagged `field:token` terms their
+      // field's dl — per-field BM25 tf-normalization is exact by storage
       cfg.io.read(spark, doctfDir)
-        .select(col("docId"), col("dl"), explode(col("terms")).as("t"))
-        .select(col("t.term").as("term"), col("docId"), col("t.tf").as("tf"), col("dl"),
-          col("t.pos").as("pos"))
+        .select(col("docId"), explode(col("terms")).as("t"))
+        .select(col("t.term").as("term"), col("docId"), col("t.tf").as("tf"),
+          col("t.fdl").as("dl"), col("t.pos").as("pos"))
         .observe(obs, count(lit(1)).as("n"))
         .pipe(df => cfg.io.write(df, tfDir))
       val n = obs.get("n").asInstanceOf[Long]
@@ -531,7 +585,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     val meta = IndexMeta(numDocs, sumDl, numTerms, numPostings, numBlocks,
       Analyzer.Version, cfg.k1, cfg.b, cfg.blockSize, cfg.docsPerShard, lineage, cfg.configHash,
       keywordFields = cfg.fields.keyword, hasPositions = cfg.storePositions,
-      userMeta = cfg.userMeta)
+      analyzedExtra = cfg.fields.analyzed, userMeta = cfg.userMeta)
     Json.write(s"$staging/meta.json", meta)
     cfg.io.dropTree(spark, doctfDir)
     cfg.io.dropTree(spark, tfDir)

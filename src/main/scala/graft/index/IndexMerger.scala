@@ -87,7 +87,7 @@ object IndexMerger {
         .observe(docsObs, count(lit(1)).as("n"), sum("dl").as("sumDl"),
           expr("bit_xor(xxhash64(sha256))").as("lineage")),
       docsDir)
-    val mapping = ided.df.select("src", "oldDocId", "docId", "dl")
+    val mapping = ided.df.select("src", "oldDocId", "docId")
     cfg.io.write(mapping, s"$staging/_idmap")
     ided.release()
     val row = docsObs.get
@@ -103,12 +103,16 @@ object IndexMerger {
       val blocks = cfg.io.read(spark, s"$dir/blocks")
         .select(PostingBlock.columns.map(col): _*)
         .as[PostingBlock]
+      // dl is the PER-POSTING value stored in the block (the owning
+      // FIELD's length for tagged `field:token` terms, 1 for keyword
+      // terms, the doc dl for content terms) — never the doc-level dl
+      // from the idmap, which would silently break per-field BM25
       val flat = blocks.flatMap { b =>
-        val ids = b.docIds; val tfs = b.tfValues
+        val ids = b.docIds; val tfs = b.tfValues; val dls = b.dlValues
         val poss = if (withPos) b.positions else null
         (0 until b.n).iterator.map(i =>
-          (b.termId, ids(i), tfs(i), if (withPos) poss(i) else Array.emptyLongArray))
-      }.toDF("termId", "oldDocId", "tf", "pos")
+          (b.termId, ids(i), tfs(i), dls(i), if (withPos) poss(i) else Array.emptyLongArray))
+      }.toDF("termId", "oldDocId", "tf", "dl", "pos")
       val dict = cfg.io.read(spark, s"$dir/terms").select("termId", "term")
       flat
         .join(dict, Seq("termId"))
@@ -190,7 +194,7 @@ object IndexMerger {
         .observe(docsObs, count(lit(1)).as("n"), sum("dl").as("sumDl"),
           expr("bit_xor(xxhash64(sha256))").as("lineage")),
       docsDir)
-    cfg.io.write(ided.df.select("oldDocId", "docId", "dl"), s"$staging/_idmap")
+    cfg.io.write(ided.df.select("oldDocId", "docId"), s"$staging/_idmap")
     ided.release()
     val row = docsObs.get
     val lineage = row("lineage").asInstanceOf[Long]
@@ -205,12 +209,13 @@ object IndexMerger {
     val blocks = cfg.io.read(spark, s"$dir/blocks")
       .select(PostingBlock.columns.map(col): _*)
       .as[PostingBlock]
+    // per-posting dl from the block, as in merge — see the note there
     val flat = blocks.flatMap { b =>
-      val ids = b.docIds; val tfs = b.tfValues
+      val ids = b.docIds; val tfs = b.tfValues; val dls = b.dlValues
       val poss = if (withPos) b.positions else null
       (0 until b.n).iterator.map(i =>
-        (b.termId, ids(i), tfs(i), if (withPos) poss(i) else Array.emptyLongArray))
-    }.toDF("termId", "oldDocId", "tf", "pos")
+        (b.termId, ids(i), tfs(i), dls(i), if (withPos) poss(i) else Array.emptyLongArray))
+    }.toDF("termId", "oldDocId", "tf", "dl", "pos")
     val dict = cfg.io.read(spark, s"$dir/terms").select("termId", "term")
     val tfDir = s"$staging/_tf"
     val tfObs = org.apache.spark.sql.Observation()

@@ -26,10 +26,22 @@ package graft.index
   *
   * `keyword` columns are posting-listed as exact-match `field:value` filter
   * terms (never scored, excluded from dl); `storedOnly` columns are carried
-  * into the docs table but produce no postings. */
+  * into the docs table but produce no postings.
+  *
+  * `analyzed` columns are EXTRA full-text fields (the ES multi-field
+  * mapping: `content` is always analyzed; each listed column is tokenized
+  * with the same analyzer and posting-listed as `field:token` tagged terms
+  * carrying the FIELD's document length, so per-field BM25 is exact). Each
+  * analyzed field also emits one `field:` exists-marker term per document
+  * with ≥1 token, whose tf is the field length — its dictionary row then
+  * carries the field's docCount (df) and total token count (cf), i.e. the
+  * per-field statistics (Lucene's docCount / sumTotalTermFreq) needed for
+  * idf and avgdl, and they survive merge/delete/segmenting for free because
+  * the marker is an ordinary term. Analyzed columns are also stored. */
 final case class FieldConfig(
     keyword: Seq[String] = Seq("lang", "repo"),
-    storedOnly: Seq[String] = Nil)
+    storedOnly: Seq[String] = Nil,
+    analyzed: Seq[String] = Nil)
 
 object FieldConfig {
   /** Derive from the corpus schema: every string column except the analyzed
@@ -83,7 +95,8 @@ final case class IndexConfig(
   def configHash: String = {
     val s = s"${graft.analysis.Analyzer.Version}|$docsPerShard|$blockSize|$k1|$b" +
       s"|k=${fields.keyword.mkString(",")}|s=${fields.storedOnly.mkString(",")}" +
-      s"|p=$storePositions"
+      s"|p=$storePositions" +
+      (if (fields.analyzed.isEmpty) "" else s"|a=${fields.analyzed.mkString(",")}")
     java.lang.Long.toHexString(
       s.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
   }
@@ -179,6 +192,10 @@ final case class IndexMeta(
     keywordFields: Seq[String] = Seq("lang", "repo"),
     /** whether posting blocks carry per-posting positions (phrase queries) */
     hasPositions: Boolean = false,
+    /** extra analyzed (multi-field) columns — `field:token` tagged postings
+      * with per-field dl; per-field stats live on the `field:` marker's
+      * dictionary row (null-safe default for older metas) */
+    analyzedExtra: Seq[String] = Nil,
     /** caller-supplied metadata stamped into the published index — the
       * reference's `_meta` globals export (dataset provenance, genome
       * version, seed: `hail_elasticsearch_client.py:90,177-181`). Purely
@@ -188,6 +205,7 @@ final case class IndexMeta(
   def avgdl: Double = sumDl.toDouble / numDocs.toDouble
   def keywords: Seq[String] =
     if (keywordFields == null) Seq("lang", "repo") else keywordFields
+  def analyzed: Seq[String] = if (analyzedExtra == null) Nil else analyzedExtra
   def meta: Map[String, String] = if (userMeta == null) Map.empty else userMeta
 }
 

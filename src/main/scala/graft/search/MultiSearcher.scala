@@ -116,9 +116,10 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       val matches: Array[String] =
         if (dictMaps != null)
           dictMaps.iterator.flatMap(_.keysIterator)
-            .filter(t => prefixes.exists(t.startsWith)).toArray.distinct
+            .filter(t => !t.contains(':') && prefixes.exists(t.startsWith)).toArray.distinct
         else
-          termsAll.filter(prefixes.map(pf => col("term").startsWith(pf)).reduce(_ || _))
+          termsAll.filter(!col("term").contains(":") &&
+              prefixes.map(pf => col("term").startsWith(pf)).reduce(_ || _))
             .select("term").distinct().as[String].collect()
       val sorted = matches.sorted
       prefixes.map(pf => pf -> sorted.filter(_.startsWith(pf)).take(maxExpansions)).toMap
@@ -135,11 +136,13 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       val matches: Array[String] =
         if (dictMaps != null)
           dictMaps.iterator.flatMap(_.keysIterator)
-            .filter(t => fuzzies.exists { case (st, b) => Searcher.editWithin(st, t, b) })
+            .filter(t => !t.contains(':') &&
+              fuzzies.exists { case (st, b) => Searcher.editWithin(st, t, b) })
             .toArray.distinct
         else
-          termsAll.filter(fuzzies.map { case (st, b) =>
-              levenshtein(col("term"), lit(st)) <= b }.reduce(_ || _))
+          termsAll.filter(!col("term").contains(":") &&
+              fuzzies.map { case (st, b) =>
+                levenshtein(col("term"), lit(st)) <= b }.reduce(_ || _))
             .select("term").distinct().as[String].collect()
       val sorted = matches.sorted
       fuzzies.map { case (st, b) =>
@@ -158,10 +161,12 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       val matches: Array[String] =
         if (dictMaps != null)
           dictMaps.iterator.flatMap(_.keysIterator)
-            .filter(t => compiled.valuesIterator.exists(_.matcher(t).matches()))
+            .filter(t => !t.contains(':') &&
+              compiled.valuesIterator.exists(_.matcher(t).matches()))
             .toArray.distinct
         else
-          termsAll.filter(regexes.map(r => col("term").rlike(s"^(?:$r)$$")).reduce(_ || _))
+          termsAll.filter(!col("term").contains(":") &&
+              regexes.map(r => col("term").rlike(s"^(?:$r)$$")).reduce(_ || _))
             .select("term").distinct().as[String].collect()
       val sorted = matches.sorted
       regexes.map(r =>

@@ -139,17 +139,25 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * with its own idf). Deterministic cap: the lexicographically smallest
     * `maxExpansions` matches per prefix — ES's `index_prefixes`-less rewrite
     * cap analogue. Warm: a driver map scan; cold: ONE Spark job over the
-    * terms relation for the whole prefix set. */
+    * terms relation for the whole prefix set.
+    *
+    * All expansions match CONTENT terms only: `field:value` keyword terms,
+    * `field:token` tagged per-field terms and `field:` exists markers live
+    * in the same dictionary but a different namespace (':' never survives
+    * the content tokenizer), and a content pattern like `la*` must never
+    * silently expand to `lang:de` and score a filter term. */
   def expandPrefixMap(
       prefixes: Seq[String], maxExpansions: Int = 1024): Map[String, Array[String]] =
     if (prefixes.isEmpty) Map.empty
     else {
       val matches: Array[String] =
         if (dictMap != null)
-          dictMap.keysIterator.filter(t => prefixes.exists(t.startsWith)).toArray
+          dictMap.keysIterator
+            .filter(t => !t.contains(':') && prefixes.exists(t.startsWith)).toArray
         else
           termsDf
-            .filter(prefixes.map(pf => col("term").startsWith(pf)).reduce(_ || _))
+            .filter(!col("term").contains(":") &&
+              prefixes.map(pf => col("term").startsWith(pf)).reduce(_ || _))
             .select("term").as[String].collect()
       val sorted = matches.sorted
       prefixes.map(pf => pf -> sorted.filter(_.startsWith(pf)).take(maxExpansions)).toMap
@@ -170,12 +178,14 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       val matches: Array[String] =
         if (dictMap != null)
           dictMap.keysIterator
-            .filter(t => fuzzies.exists { case (st, b) => Searcher.editWithin(st, t, b) })
+            .filter(t => !t.contains(':') &&
+              fuzzies.exists { case (st, b) => Searcher.editWithin(st, t, b) })
             .toArray
         else
           termsDf
-            .filter(fuzzies.map { case (st, b) =>
-              levenshtein(col("term"), lit(st)) <= b }.reduce(_ || _))
+            .filter(!col("term").contains(":") &&
+              fuzzies.map { case (st, b) =>
+                levenshtein(col("term"), lit(st)) <= b }.reduce(_ || _))
             .select("term").as[String].collect()
       val sorted = matches.sorted
       fuzzies.map { case (st, b) =>
@@ -196,10 +206,12 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       val matches: Array[String] =
         if (dictMap != null)
           dictMap.keysIterator
-            .filter(t => compiled.valuesIterator.exists(_.matcher(t).matches())).toArray
+            .filter(t => !t.contains(':') &&
+              compiled.valuesIterator.exists(_.matcher(t).matches())).toArray
         else
           termsDf
-            .filter(regexes.map(r => col("term").rlike(s"^(?:$r)$$")).reduce(_ || _))
+            .filter(!col("term").contains(":") &&
+              regexes.map(r => col("term").rlike(s"^(?:$r)$$")).reduce(_ || _))
             .select("term").as[String].collect()
       val sorted = matches.sorted
       regexes.map(r =>
@@ -986,6 +998,121 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(pq.hasScoringClauses, "dis_max needs at least one scoring clause")
     scoredMatchesDs(pq, minShouldMatch, disMaxTieBreaker = Some(tieBreaker))
       .orderBy(desc("score"), asc("docId")).limit(k).collect()
+  }
+
+  /** ES `multi_match`: ONE query string scored over SEVERAL analyzed
+    * fields — `content` plus any [[FieldConfig.analyzed]] extra field,
+    * each optionally boosted ES-style (`"source^2"`). Per-field BM25 is
+    * EXACT: a field's tagged `field:token` postings carry the field's own
+    * document length, its df is the tagged term's dictionary df, and its
+    * docCount / avgdl come from the `field:` marker's dictionary row
+    * (Lucene's per-field docCount / sumTotalTermFreq) — not the
+    * content-wide statistics.
+    *
+    * `matchType` is ES `type`: `best_fields` (default) combines the
+    * per-field scores dis_max-style — best field + `tieBreaker ×` the
+    * rest; `most_fields` sums them. Keyword/range filters and negations
+    * behave exactly as in [[search]]; phrases and pattern clauses are not
+    * supported (per-field position/pattern semantics — extension point).
+    * `minShouldMatch` bounds the DISTINCT QUERY TOKENS matched in at
+    * least one field. A listed field absent from this index's analyzed
+    * set is rejected; a field whose marker is missing (no document has
+    * it) simply contributes nothing, as in ES. Top-k (score desc, docId
+    * asc).
+    *
+    * Plan: exhaustive per-shard grouped scoring walk (per-field sums
+    * combined doc-locally — same argument as [[searchDisMax]]: a
+    * doc-dependent max admits no sum-of-bounds WAND pivot) → per-partition
+    * top-k → TakeOrderedAndProject merge. */
+  def multiMatch(query: String, fields: Seq[String], k: Int,
+      matchType: String = "best_fields", tieBreaker: Double = 0.0,
+      minShouldMatch: Int = 1): Array[ScoredDoc] = {
+    require(k > 0, "k must be > 0")
+    require(matchType == "best_fields" || matchType == "most_fields",
+      s"matchType must be best_fields or most_fields (got '$matchType')")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tieBreaker must be in [0, 1] (got $tieBreaker)")
+    require(minShouldMatch >= 1, s"minShouldMatch must be >= 1 (got $minShouldMatch)")
+    require(fields.nonEmpty, "multi_match needs at least one field")
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    require(pq.phrases.isEmpty && pq.prefixes.isEmpty && pq.fuzzies.isEmpty &&
+      pq.wildcards.isEmpty && pq.regexps.isEmpty,
+      "multi_match supports plain terms, keyword/range filters and negations only")
+    require(pq.terms.nonEmpty, "multi_match needs at least one scored term")
+    val fieldSpecs: Seq[(String, Double)] = fields.map { f =>
+      val i = f.lastIndexOf('^')
+      if (i < 0) (f, 1.0) else (f.take(i), f.drop(i + 1).toDouble)
+    }
+    require(fieldSpecs.map(_._1).distinct.length == fieldSpecs.length,
+      "multi_match fields must be distinct")
+    for ((f, b) <- fieldSpecs) {
+      require(b > 0.0, s"field boost must be > 0 (got $f^$b)")
+      require(f == "content" || meta.analyzed.contains(f),
+        s"'$f' is not an analyzed field of this index " +
+          s"(analyzed: ${("content" +: meta.analyzed).mkString(", ")})")
+    }
+    // per-field statistics: content from meta; an extra field from its
+    // `field:` marker dictionary row — (df, cf) = (docCount, token total)
+    val markerStats: Map[String, (Long, Long)] = {
+      val markers = fieldSpecs.collect { case (f, _) if f != "content" => s"$f:" }
+      if (markers.isEmpty) Map.empty
+      else termsDf.filter(col("term").isin(markers: _*))
+        .select("term", "df", "cf").collect()
+        .map(r => r.getString(0).dropRight(1) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    val tokens: Array[String] = pq.terms.distinct
+    // one clause per (field present in index) × token
+    final case class Clause(term: String, group: Int, tokIdx: Int, nF: Long,
+        avgdlF: Double, fieldBoost: Double)
+    val clauses: Seq[Clause] = fieldSpecs.zipWithIndex.flatMap { case ((f, fb), g) =>
+      val statsF: Option[(Long, Double)] =
+        if (f == "content") Some((meta.numDocs, meta.avgdl))
+        else markerStats.get(f).map { case (dc, ttf) => (dc, ttf.toDouble / dc.toDouble) }
+      statsF.toSeq.flatMap { case (nF, avgdlF) =>
+        tokens.zipWithIndex.map { case (t, ti) =>
+          Clause(if (f == "content") t else s"$f:$t", g, ti, nF, avgdlF, fb)
+        }
+      }
+    }
+    if (clauses.isEmpty) return Array.empty
+    val stats = lookupTermStats((clauses.map(_.term) ++ pq.filters).distinct)
+    val excludeIds: Set[Long] = lookupTerms(pq.allExcluded.toSeq).map(_._1).toSet
+    val filterIdArr = pq.filters.flatMap(f => stats.get(f).map(_._1))
+    if (filterIdArr.length < pq.filters.length) return Array.empty
+    val filterIds = filterIdArr.toSet
+    val infoById: Map[Long, Wand.FieldTermInfo] = clauses.flatMap { c =>
+      stats.get(c.term).map { case (tid, df) =>
+        tid -> Wand.FieldTermInfo(
+          BM25.idf(c.nF, df) * c.fieldBoost * pq.boostOf(tokens(c.tokIdx)),
+          c.avgdlF, c.group, c.tokIdx)
+      }
+    }.toMap
+    if (infoById.isEmpty) return Array.empty
+    val params = p
+    val gAvgdl = meta.avgdl
+    val numGroups = fieldSpecs.size
+    val numTokens = tokens.length
+    val mostFields = matchType == "most_fields"
+    val tb = tieBreaker
+    val msm = minShouldMatch
+    val termIds = infoById.keySet ++ filterIds ++ excludeIds
+    import spark.implicits._
+    val kv = blocksDf
+      .filter(col("termId").isin(termIds.toSeq.map(Long.box): _*))
+      .as[PostingBlock]
+      .groupByKey(_.shard)
+    val scored =
+      if (pq.ranges.isEmpty)
+        kv.flatMapGroups((_, b) => Wand.scoreAllFields(b, infoById, numGroups, numTokens,
+          filterIds, gAvgdl, params, tb, mostFields, excludeIds, null, msm))
+      else
+        kv.cogroup(acceptsByShard(pq.ranges)) { (_, b, acc) =>
+          val a = acc.toArray
+          java.util.Arrays.sort(a)
+          Wand.scoreAllFields(b, infoById, numGroups, numTokens,
+            filterIds, gAvgdl, params, tb, mostFields, excludeIds, a, msm)
+        }
+    scored.orderBy(desc("score"), asc("docId")).limit(k).collect()
   }
 
   /** ES `boosting` query: hits of the `positive` query ranked by the
@@ -2678,6 +2805,120 @@ object Wand {
         (accept == null || java.util.Arrays.binarySearch(accept, d) >= 0) &&
         passesFilters(d) && !isExcluded(d))
         out += ScoredDoc(d, sMax + tieBreaker * (s - sMax))
+      var nd = Long.MaxValue
+      i = 0
+      while (i < scored.length) {
+        val c = scored(i)
+        if (c.curDoc == d) c.next()
+        if (c.curDoc < nd) nd = c.curDoc
+        i += 1
+      }
+      d = nd
+    }
+    out.iterator
+  }
+
+  /** One `multi_match` clause's scoring inputs: the clause's idf (already
+    * field- and term-boosted), its FIELD's avgdl (per-field BM25
+    * tf-normalization), the field group it sums into, and which query
+    * token it came from (for `minimum_should_match` over distinct
+    * tokens). */
+  final case class FieldTermInfo(idf: Double, avgdl: Double, group: Int, token: Int)
+
+  /** [[scoreAll]] with per-FIELD grouped combination — the ES
+    * `multi_match` kernel. Each scored cursor carries its own avgdl (its
+    * field's), contributions sum WITHIN a field group, and the groups
+    * combine doc-locally: `most_fields` = Σ groups, `best_fields` =
+    * best group + tieBreaker × the rest. `minShouldMatch` counts DISTINCT
+    * query tokens matched in ≥1 field. Exhaustive per-shard walk — the
+    * doc-dependent best-group admits no sum-of-bounds WAND pivot (the
+    * [[scoreAllDisMax]] argument). */
+  def scoreAllFields(
+      blocks: Iterator[PostingBlock],
+      infoById: Map[Long, FieldTermInfo],
+      numGroups: Int,
+      numTokens: Int,
+      filterTermIds: Set[Long],
+      filterAvgdl: Double,
+      p: Bm25Params,
+      tieBreaker: Double,
+      mostFields: Boolean,
+      excludeTermIds: Set[Long] = Set.empty,
+      accept: Array[Long] = null,
+      minShouldMatch: Int = 1): Iterator[ScoredDoc] = {
+    if (accept != null && accept.isEmpty) return Iterator.empty
+    val byTerm = blocks.toArray.groupBy(_.termId)
+    val filters: Array[TermCursor] = filterTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks =>
+        new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), filterAvgdl, p, exactBounds = true))
+    }
+    if (filters.length < filterTermIds.size) return Iterator.empty
+    val excludes: Array[TermCursor] = excludeTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks =>
+        new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), filterAvgdl, p, exactBounds = true))
+    }
+    val ids: Array[Long] = infoById.keysIterator.toArray.sorted
+    val scored: Array[TermCursor] = ids.flatMap { tid =>
+      byTerm.get(tid).map { blks =>
+        val info = infoById(tid)
+        new TermCursor(tid, info.idf, blks.sortBy(_.firstDoc), info.avgdl, p,
+          exactBounds = false) // stored maxTfn used content avgdl; bounds unused here anyway
+      }
+    }
+    if (scored.isEmpty) return Iterator.empty
+    val groupOf: Array[Int] = scored.map(c => infoById(c.termId).group)
+    val tokenOf: Array[Int] = scored.map(c => infoById(c.termId).token)
+    def passesFilters(d: Long): Boolean = {
+      var i = 0
+      while (i < filters.length) {
+        val f = filters(i)
+        if (f.curDoc < d) f.advanceTo(d)
+        if (f.curDoc != d) return false
+        i += 1
+      }
+      true
+    }
+    def isExcluded(d: Long): Boolean = {
+      var i = 0
+      while (i < excludes.length) {
+        val e = excludes(i)
+        if (e.curDoc < d) e.advanceTo(d)
+        if (e.curDoc == d) return true
+        i += 1
+      }
+      false
+    }
+    val groupSum = new Array[Double](numGroups)
+    val tokenHit = new Array[Boolean](numTokens)
+    val out = scala.collection.mutable.ArrayBuffer.empty[ScoredDoc]
+    var d = Long.MaxValue
+    var i = 0
+    while (i < scored.length) { if (scored(i).curDoc < d) d = scored(i).curDoc; i += 1 }
+    while (d != Long.MaxValue) {
+      java.util.Arrays.fill(groupSum, 0.0)
+      java.util.Arrays.fill(tokenHit, false)
+      var hits = 0
+      i = 0
+      while (i < scored.length) {
+        if (scored(i).curDoc == d) {
+          groupSum(groupOf(i)) += scored(i).score
+          if (!tokenHit(tokenOf(i))) { tokenHit(tokenOf(i)) = true; hits += 1 }
+        }
+        i += 1
+      }
+      if (hits >= minShouldMatch &&
+        (accept == null || java.util.Arrays.binarySearch(accept, d) >= 0) &&
+        passesFilters(d) && !isExcluded(d)) {
+        var s = 0.0
+        var sMax = 0.0
+        var g = 0
+        while (g < numGroups) {
+          s += groupSum(g)
+          if (groupSum(g) > sMax) sMax = groupSum(g)
+          g += 1
+        }
+        out += ScoredDoc(d, if (mostFields) s else sMax + tieBreaker * (s - sMax))
+      }
       var nd = Long.MaxValue
       i = 0
       while (i < scored.length) {

@@ -1,0 +1,194 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.Analyzer
+import graft.corpus.CorpusGen
+import graft.index.{FieldConfig, IndexBuilder, IndexConfig, IndexMerger}
+import graft.search.{BM25, Bm25Params, Searcher}
+
+/** Multi-field analyzed indexing (ES multi-field mapping) + `multi_match`
+  * (best_fields / most_fields), checked against a driver-side brute-force
+  * replica computed straight from the corpus; plus the expansion-namespace
+  * guard (content patterns must never expand into `field:...` tagged
+  * terms). */
+class MultiMatchSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val cfg = IndexConfig(
+    buildPartitions = 8, docsPerShard = 64L, blockSize = 16, buildBuckets = 2,
+    fields = FieldConfig(keyword = Seq("lang", "repo"), analyzed = Seq("title")))
+
+  /** corpus with an extra short analyzed field derived from the path —
+    * realistic multi-field shape (title ≪ content). */
+  private def corpusWithTitle(n: Int, seed: Long): DataFrame =
+    CorpusGen.generate(spark, n, seed = seed, partitions = 4).toDF()
+      .withColumn("title", regexp_replace(col("path"), "[/._]", " "))
+
+  /** Brute-force multi_match over the raw corpus: per-field BM25 with the
+    * field's own docCount/avgdl/df, per-field sums combined best_fields /
+    * most_fields. Returns top-k (repo, path, commit, score) in the
+    * engine's total order (score desc, identity asc — docIds are assigned
+    * in identity sort order). */
+  private def replica(
+      corpus: DataFrame,
+      fieldsWithBoost: Seq[(String, Double)],
+      tokens: Seq[String],
+      mostFields: Boolean,
+      tb: Double,
+      k: Int,
+      langFilter: Option[String] = None,
+      msm: Int = 1): Seq[((String, String, String), Double)] = {
+    val p = Bm25Params(cfg.k1, cfg.b)
+    val rows = corpus
+      .select("repo", "path", "commit", "lang", "content", "title")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        Analyzer.tokenize(r.getString(4)), Analyzer.tokenize(r.getString(5))))
+      .sortBy(t => (t._1, t._2, t._3)) // identity order == docId order
+    def toksOf(fld: String, r: (String, String, String, String, Array[String], Array[String])) =
+      if (fld == "content") r._5 else r._6
+    // per-field stats (Lucene docCount / sumTotalTermFreq)
+    val stats: Map[String, (Long, Double)] = fieldsWithBoost.map { case (f, _) =>
+      val withField = rows.filter(r => toksOf(f, r).nonEmpty)
+      val (n, ttf) =
+        if (f == "content") (rows.length.toLong, rows.map(_._5.length.toLong).sum)
+        else (withField.length.toLong, withField.map(r => toksOf(f, r).length.toLong).sum)
+      f -> ((n, ttf.toDouble / n.toDouble))
+    }.toMap
+    val dfOf: Map[(String, String), Long] = (for {
+      (f, _) <- fieldsWithBoost; t <- tokens
+    } yield (f, t) -> rows.count(r => toksOf(f, r).contains(t)).toLong).toMap
+    val scored = rows.zipWithIndex.flatMap { case (r, _) =>
+      if (langFilter.exists(_ != r._4)) None
+      else {
+        val matchedToks = tokens.count(t => fieldsWithBoost.exists { case (f, _) =>
+          toksOf(f, r).contains(t) })
+        if (matchedToks < msm || matchedToks == 0) None
+        else {
+          val perField = fieldsWithBoost.map { case (f, fb) =>
+            val (nF, avgdlF) = stats(f)
+            val fToks = toksOf(f, r)
+            val fdl = fToks.length.toLong
+            tokens.filter(fToks.contains).map { t =>
+              BM25.idf(nF, dfOf((f, t))) * fb * BM25.tfNorm(
+                fToks.count(_ == t).toLong, fdl, avgdlF, p)
+            }.sum
+          }
+          val s = perField.sum
+          val sMax = perField.max
+          Some(((r._1, r._2, r._3), if (mostFields) s else sMax + tb * (s - sMax)))
+        }
+      }
+    }
+    scored.sortBy { case (id, s) => (-s, id._1, id._2, id._3) }.take(k).toSeq
+  }
+
+  private def hitsWithIdentity(dir: String, hits: Array[graft.search.ScoredDoc]) = {
+    val byId = spark.read.parquet(s"$dir/docs")
+      .select("docId", "repo", "path", "commit")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+      .toMap
+    hits.map(h => (byId(h.docId), h.score)).toSeq
+  }
+
+  private def assertSame(
+      got: Seq[((String, String, String), Double)],
+      want: Seq[((String, String, String), Double)]): Unit = {
+    assert(got.map(_._1) == want.map(_._1), s"\n got=$got\nwant=$want")
+    got.zip(want).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)), s"score $a vs $b")
+    }
+  }
+
+  test("marker term carries per-field docCount and token total; content stats untouched") {
+    val dir = Files.createTempDirectory("graft-mm").toString
+    val corpus = corpusWithTitle(120, seed = 31)
+    val meta = new IndexBuilder(spark, cfg).build(corpus, s"$dir/idx", resume = false)
+    assert(meta.analyzed == Seq("title"))
+    val marker = spark.read.parquet(s"$dir/idx/terms")
+      .filter(col("term") === "title:").select("df", "cf").head()
+    val exp = corpus.select(col("title")).collect()
+      .map(r => Analyzer.tokenize(r.getString(0)).length.toLong).filter(_ > 0)
+    assert(marker.getLong(0) == exp.length.toLong) // docCount
+    assert(marker.getLong(1) == exp.sum) // sumTotalTermFreq
+    // content-wide stats exclude every tagged/keyword/marker term
+    val expContentDl = corpus.select(col("content")).collect()
+      .map(r => Analyzer.tokenize(r.getString(0)).length.toLong).sum
+    assert(meta.sumDl == expContentDl)
+    // the analyzed column is also stored
+    assert(spark.read.parquet(s"$dir/idx/docs").columns.contains("title"))
+  }
+
+  test("multi_match best_fields matches the brute-force replica") {
+    val dir = Files.createTempDirectory("graft-mm").toString
+    val corpus = corpusWithTitle(150, seed = 32)
+    new IndexBuilder(spark, cfg).build(corpus, s"$dir/idx", resume = false)
+    val sr = new Searcher(spark, s"$dir/idx")
+    val toks = Seq("scala", "merge") // 'scala' appears in titles (".scala" ext) and content
+    val got = hitsWithIdentity(s"$dir/idx",
+      sr.multiMatch("scala merge", Seq("content", "title^2"), 10, "best_fields", 0.3))
+    assertSame(got, replica(corpus, Seq("content" -> 1.0, "title" -> 2.0), toks,
+      mostFields = false, tb = 0.3, k = 10))
+    assert(got.nonEmpty)
+  }
+
+  test("multi_match most_fields + keyword filter + minimum_should_match") {
+    val dir = Files.createTempDirectory("graft-mm").toString
+    val corpus = corpusWithTitle(150, seed = 33)
+    new IndexBuilder(spark, cfg).build(corpus, s"$dir/idx", resume = false)
+    val sr = new Searcher(spark, s"$dir/idx")
+    val toks = Seq("src", "query")
+    val got = hitsWithIdentity(s"$dir/idx",
+      sr.multiMatch("src query lang:scala", Seq("content", "title"), 12, "most_fields"))
+    assertSame(got, replica(corpus, Seq("content" -> 1.0, "title" -> 1.0), toks,
+      mostFields = true, tb = 0.0, k = 12, langFilter = Some("scala")))
+    assert(got.nonEmpty)
+    val msm2 = hitsWithIdentity(s"$dir/idx",
+      sr.multiMatch("src query lang:scala", Seq("content", "title"), 12, "most_fields",
+        minShouldMatch = 2))
+    assertSame(msm2, replica(corpus, Seq("content" -> 1.0, "title" -> 1.0), toks,
+      mostFields = true, tb = 0.0, k = 12, langFilter = Some("scala"), msm = 2))
+  }
+
+  test("merge of analyzed-field segments preserves marker stats and multi_match results") {
+    val dir = Files.createTempDirectory("graft-mm").toString
+    val corpus = corpusWithTitle(140, seed = 34)
+    val (a, b) = (corpus.filter(col("repo") < "org020"), corpus.filter(col("repo") >= "org020"))
+    new IndexBuilder(spark, cfg).build(a, s"$dir/a", resume = false)
+    new IndexBuilder(spark, cfg).build(b, s"$dir/b", resume = false)
+    IndexMerger.merge(spark, s"$dir/a", s"$dir/b", s"$dir/merged", cfg)
+    new IndexBuilder(spark, cfg).build(corpus, s"$dir/fresh", resume = false)
+    val m = spark.read.parquet(s"$dir/merged/terms").filter(col("term") === "title:")
+      .select("df", "cf").head()
+    val f = spark.read.parquet(s"$dir/fresh/terms").filter(col("term") === "title:")
+      .select("df", "cf").head()
+    assert(m.getLong(0) == f.getLong(0) && m.getLong(1) == f.getLong(1))
+    val gm = hitsWithIdentity(s"$dir/merged",
+      new Searcher(spark, s"$dir/merged").multiMatch("scala merge", Seq("content", "title^2"), 10))
+    val gf = hitsWithIdentity(s"$dir/fresh",
+      new Searcher(spark, s"$dir/fresh").multiMatch("scala merge", Seq("content", "title^2"), 10))
+    assert(gm == gf)
+  }
+
+  test("content pattern expansion never leaks into the field: namespace") {
+    val dir = Files.createTempDirectory("graft-mm").toString
+    val corpus = corpusWithTitle(100, seed = 35)
+    new IndexBuilder(spark, cfg).build(corpus, s"$dir/idx", resume = false)
+    val sr = new Searcher(spark, s"$dir/idx")
+    // 'la*' would lexically match 'lang:scala' keyword terms; 'ti*' would
+    // match 'title:' tagged terms — none may appear in an expansion
+    val all = sr.expandPrefixMap(Seq("la", "ti", "s")).values.flatten ++
+      sr.expandFuzzyMap(Seq(("lang", 2), ("title", 2))).values.flatten ++
+      sr.expandWildcardMap(Seq("l*", "t?tle*")).values.flatten
+    assert(all.forall(!_.contains(':')), s"leaked: ${all.filter(_.contains(':')).toSeq}")
+    // cold path (no warmed dictionary map) takes the DataFrame branch
+    val cold = new Searcher(spark, s"$dir/idx")
+    assert(cold.expandPrefixMap(Seq("la")).values.flatten.forall(!_.contains(':')))
+  }
+}
