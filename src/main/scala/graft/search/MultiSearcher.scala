@@ -831,6 +831,138 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       .limit(k)
   }
 
+  /** ES `multi_match` over the segmented index — [[Searcher.multiMatch]]
+    * semantics with EXACT global per-field statistics: a field's docCount /
+    * token total are SUMS of its `field:` marker's (df, cf) over the
+    * segment dictionaries (disjoint identities), per-clause df sums the
+    * tagged term's df the same way, and every segment's kernel scores with
+    * those global values. A field analyzed in only some segments simply
+    * contributes nothing elsewhere. Returns ≤k rows
+    * (repo, path, commit, score), (score desc, identity asc) — per-segment
+    * docIds are not globally comparable, so identity is the tie-break. */
+  def multiMatch(query: String, fields: Seq[String], k: Int,
+      matchType: String = "best_fields", tieBreaker: Double = 0.0,
+      minShouldMatch: Int = 1): DataFrame = {
+    import MultiSearcher.SegPlan
+    require(k > 0, "k must be > 0")
+    require(matchType == "best_fields" || matchType == "most_fields",
+      s"matchType must be best_fields or most_fields (got '$matchType')")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tieBreaker must be in [0, 1] (got $tieBreaker)")
+    require(minShouldMatch >= 1, s"minShouldMatch must be >= 1 (got $minShouldMatch)")
+    require(fields.nonEmpty, "multi_match needs at least one field")
+    val kw = segs.head._2.keywords.toSet
+    val pq = Searcher.parseFull(query, kw)
+    require(pq.phrases.isEmpty && pq.prefixes.isEmpty && pq.fuzzies.isEmpty &&
+      pq.wildcards.isEmpty && pq.regexps.isEmpty,
+      "multi_match supports plain terms, keyword/range filters and negations only")
+    require(pq.terms.nonEmpty, "multi_match needs at least one scored term")
+    val fieldSpecs: Seq[(String, Double)] = fields.map { f =>
+      val i = f.lastIndexOf('^')
+      if (i < 0) (f, 1.0) else (f.take(i), f.drop(i + 1).toDouble)
+    }
+    require(fieldSpecs.map(_._1).distinct.length == fieldSpecs.length,
+      "multi_match fields must be distinct")
+    for ((f, b) <- fieldSpecs) {
+      require(b > 0.0, s"field boost must be > 0 (got $f^$b)")
+      require(f == "content" || segs.exists(_._2.analyzed.contains(f)),
+        s"'$f' is not an analyzed field of any segment")
+    }
+    def emptyOut = Seq.empty[(String, String, String, Double)]
+      .toDF("repo", "path", "commit", "score")
+    // global per-field stats: Σ over the segments' marker dictionary rows
+    val markers = fieldSpecs.collect { case (f, _) if f != "content" => s"$f:" }
+    val markerBySeg: Seq[Map[String, (Long, Long)]] = segs.map { case (d, _) =>
+      if (markers.isEmpty) Map.empty[String, (Long, Long)]
+      else io.read(spark, s"$d/terms").filter(col("term").isin(markers: _*))
+        .select("term", "df", "cf").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    val fieldStats: Map[String, (Long, Double)] = fieldSpecs.flatMap { case (f, _) =>
+      if (f == "content") Some(f -> ((numDocs, avgdl)))
+      else {
+        val dc = markerBySeg.map(_.get(s"$f:").map(_._1).getOrElse(0L)).sum
+        val ttf = markerBySeg.map(_.get(s"$f:").map(_._2).getOrElse(0L)).sum
+        if (dc == 0L) None else Some(f -> ((dc, ttf.toDouble / dc.toDouble)))
+      }
+    }.toMap
+    val tokens: Array[String] = pq.terms.distinct
+    final case class Clause(term: String, group: Int, tokIdx: Int, nF: Long,
+        avgdlF: Double, fieldBoost: Double)
+    val clauses: Seq[Clause] = fieldSpecs.zipWithIndex.flatMap { case ((f, fb), g) =>
+      fieldStats.get(f).toSeq.flatMap { case (nF, avgdlF) =>
+        tokens.zipWithIndex.map { case (t, ti) =>
+          Clause(if (f == "content") t else s"$f:$t", g, ti, nF, avgdlF, fb)
+        }
+      }
+    }
+    if (clauses.isEmpty) return emptyOut
+    val allTerms = (clauses.map(_.term) ++ pq.filters ++ pq.allExcluded).distinct
+    val dicts = lookup(allTerms)
+    val globalDf: Map[String, Long] =
+      clauses.map(_.term).distinct.map(t =>
+        t -> dicts.map(_.get(t).map(_._2).getOrElse(0L)).sum).toMap
+    // one plan + one FieldTermInfo map per segment that can contribute
+    val plansAndInfo: Seq[(SegPlan, Map[Long, Wand.FieldTermInfo])] =
+      segs.indices.flatMap { s =>
+        val dict = dicts(s)
+        val filterIds = pq.filters.flatMap(f => dict.get(f).map(_._1))
+        if (filterIds.length < pq.filters.length) Nil // a required filter absent here
+        else {
+          val info: Map[Long, Wand.FieldTermInfo] = clauses.flatMap { c =>
+            dict.get(c.term).collect {
+              case (tid, _) if globalDf(c.term) > 0 =>
+                tid -> Wand.FieldTermInfo(
+                  BM25.idf(c.nF, globalDf(c.term)) * c.fieldBoost *
+                    pq.boostOf(tokens(c.tokIdx)),
+                  c.avgdlF, c.group, c.tokIdx)
+            }
+          }.toMap
+          if (info.isEmpty) Nil
+          else {
+            val excl: Set[Long] = pq.allExcluded.flatMap(t => dict.get(t).map(_._1)).toSet
+            Seq((SegPlan(0, s, info.map { case (tid, fi) => tid -> fi.idf },
+              filterIds.toSet, k, Nil, Map.empty, exactBounds = true,
+              excludeIds = excl, ranges = pq.ranges.toSeq), info))
+          }
+        }
+      }
+    if (plansAndInfo.isEmpty) return emptyOut
+    val plans = plansAndInfo.map(_._1)
+    val infoBySeg: Map[Int, Map[Long, Wand.FieldTermInfo]] =
+      plansAndInfo.map { case (pl, info) => pl.seg -> info }.toMap
+    val plansBySeg = plans.groupBy(_.seg)
+    val params = p
+    val tb = tieBreaker
+    val most = matchType == "most_fields"
+    val msm = minShouldMatch
+    val gAvgdl = avgdl
+    val nG = fieldSpecs.size
+    val nT = tokens.length
+    def run(s: Int, blocks: Iterator[PostingBlock],
+        acceptByQ: Map[Int, Array[Long]]): Iterator[(Int, Long, Double)] = {
+      val pl = plansBySeg(s).head
+      val accept =
+        if (pl.ranges.isEmpty) null else acceptByQ.getOrElse(0, Array.empty[Long])
+      Wand.scoreAllFields(blocks.filter(b => pl.wantsBlock(b.termId)), infoBySeg(s),
+        nG, nT, pl.filterIds, gAvgdl, params, tb, most, pl.excludeIds, accept, msm)
+        .map(sd => (s, sd.docId, sd.score))
+    }
+    val grouped = segBlocks(plansBySeg)
+    val scored = acceptsKV(plans) match {
+      case None => grouped.flatMapGroups { (key, it) => run(key._1, it.map(_._2), Map.empty) }
+      case Some(acc) =>
+        grouped.cogroup(acc) { (key, it, accIt) =>
+          run(key._1, it.map(_._2), MultiSearcher.acceptArrays(accIt))
+        }
+    }
+    scored.toDF("seg", "docId", "score")
+      .join(taggedUnion("docs", Seq("docId", "repo", "path", "commit")), Seq("seg", "docId"))
+      .select("repo", "path", "commit", "score")
+      .orderBy(desc("score"), asc("repo"), asc("path"), asc("commit"))
+      .limit(k)
+  }
+
   /** ES `_mget` over the segmented index — [[Searcher.mget]] semantics:
     * stored fields for a batch of identity keys in ONE scan of the unioned
     * docs relations (segments hold disjoint identities, so each key has at

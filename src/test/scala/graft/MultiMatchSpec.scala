@@ -176,6 +176,33 @@ class MultiMatchSpec extends AnyFunSuite {
     assert(gm == gf)
   }
 
+  test("segmented multi_match equals the single-index answer (global field stats)") {
+    val dir = Files.createTempDirectory("graft-mm").toString
+    val corpus = corpusWithTitle(160, seed = 36)
+    new IndexBuilder(spark, cfg).build(corpus, s"$dir/one", resume = false)
+    val seg = new graft.index.SegmentedIndex(spark, s"$dir/seg", cfg)
+    (0 until 3).foreach { i =>
+      seg.ingest(
+        corpus.filter(pmod(xxhash64(col("repo"), col("path"), col("commit")), lit(3)) === i),
+        batchId = i.toLong)
+    }
+    val one = new Searcher(spark, s"$dir/one")
+    val ms = new graft.search.MultiSearcher(spark, s"$dir/seg")
+    for ((q, ty, tb) <- Seq(
+        ("scala merge", "best_fields", 0.3),
+        ("src query lang:scala", "most_fields", 0.0))) {
+      val single = hitsWithIdentity(s"$dir/one",
+        one.multiMatch(q, Seq("content", "title^2"), 10, ty, tb))
+      val segd = ms.multiMatch(q, Seq("content", "title^2"), 10, ty, tb)
+        .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getDouble(3)))
+        .toSeq
+      assert(segd.map(_._1) == single.map(_._1), s"$q: \n seg=$segd\n one=$single")
+      segd.zip(single).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)))
+      }
+    }
+  }
+
   test("content pattern expansion never leaks into the field: namespace") {
     val dir = Files.createTempDirectory("graft-mm").toString
     val corpus = corpusWithTitle(100, seed = 35)
