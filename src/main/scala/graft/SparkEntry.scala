@@ -1991,6 +1991,43 @@ object SparkEntry {
         .select(col("docId"), col("path").cast("bigint").as("doc_id"))
         .join(broadcast(hits), Seq("docId"))
         .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `_analyze`: the index analyzer's (position, token) stream for a
+    // document's text — the codegen'd Column form of the code-aware
+    // tokenizer inlined into the scan plan (no UDF), the same stream dl
+    // counts and positions index. Needs no index at all, as in ES's
+    // analyzer-only `_analyze` calls.
+    "fts58_analyze" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id") === 42)
+        .select(posexplode(graft.analysis.Analyzer.analyze(col("text")))
+          .as(Seq("pos", "token")))
+        .select(col("pos").cast("bigint").as("position"), col("token"))),
+
+    // ES `match_phrase_prefix` (search-as-you-type): exact phrase with a
+    // trailing prefix — 'data s*' expands the stem against the dictionary
+    // (≤50, lexicographic — the ES cap) and a doc scores its best matching
+    // variant; ONE batched kernel pass for the whole variant set. Shares
+    // fts5's cached positions index.
+    "fts59_phrase_prefix" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts5-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12,
+        buildBuckets = 2, storePositions = true)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).matchPhrasePrefix("data s", 20, maxExpansions = 50)
+        .toSeq.toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
     })
   )
 
@@ -3084,7 +3121,42 @@ object SparkEntry {
            |SELECT a.doc_id, round(a.r, 4) AS score
            |FROM allsc a JOIN documents d ON a.doc_id = d.doc_id
            |WHERE d.lang = 'es'
-           |ORDER BY a.r DESC, a.doc_id ASC LIMIT 20""".stripMargin
+           |ORDER BY a.r DESC, a.doc_id ASC LIMIT 20""".stripMargin,
+      // parallel unnest zips the token list with its 0-based positions —
+      // the independent formulation of the analyzer's (position, token)
+      // stream
+      "fts58_analyze" ->
+        s"""WITH d AS (SELECT $tokExpr AS tk FROM documents WHERE doc_id = 42)
+           |SELECT cast(unnest(range(len(tk))) AS bigint) AS position,
+           |       unnest(tk) AS token FROM d""".stripMargin,
+      // variant set = the ≤50 lexicographically smallest dictionary terms
+      // on the stem; a doc's score is its best matching variant's
+      // distinct-term BM25 sum (stats corpus-wide, as the engine's)
+      "fts59_phrase_prefix" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) AS bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |exp AS (SELECT term FROM (SELECT DISTINCT unnest(tk) AS term FROM doc)
+           |        WHERE term LIKE 's%' ORDER BY term LIMIT 50),
+           |pm AS (SELECT DISTINCT d.doc_id, e.term AS last
+           |       FROM doc d, exp e
+           |       WHERE len(list_filter(generate_series(1, len(d.tk)-1),
+           |             i -> d.tk[i] = 'data' AND d.tk[i+1] = e.term)) > 0),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term = 'data' OR term IN (SELECT term FROM exp)
+           |       GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT doc_id, term,
+           |       ln(1.0 + (stats.n - dfc.df + 0.5)/(dfc.df + 0.5)) *
+           |       (tf.tf/(tf.tf + 1.2*(0.25 + 0.75*tf.dl/stats.avgdl))) AS s
+           |       FROM tf JOIN dfc USING (term) CROSS JOIN stats),
+           |vs AS (SELECT pm.doc_id, sd.s + se.s AS v
+           |       FROM pm JOIN sc sd ON sd.doc_id = pm.doc_id AND sd.term = 'data'
+           |               JOIN sc se ON se.doc_id = pm.doc_id AND se.term = pm.last),
+           |raw AS (SELECT doc_id, max(v) AS r FROM vs GROUP BY doc_id)
+           |SELECT doc_id, round(r, 4) AS score FROM raw
+           |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin
     )
   }
 }

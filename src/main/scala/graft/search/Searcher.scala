@@ -1115,6 +1115,50 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     scored.orderBy(desc("score"), asc("docId")).limit(k).collect()
   }
 
+  /** ES `match_phrase_prefix` (search-as-you-type): an exact phrase whose
+    * LAST token is a prefix — `matchPhrasePrefix("data mer")` matches
+    * "data merge", "data merger", … . The trailing stem expands to the
+    * lexicographically smallest `maxExpansions` dictionary terms (ES caps
+    * at 50), each completing the phrase as one VARIANT; a document matches
+    * if ANY variant phrase matches at `slop`, and scores as its BEST
+    * matching variant (phrase scoring is the distinct-term BM25 sum, the
+    * engine's documented departure, so variants differ only in the final
+    * term's contribution). Top-k (score desc, docId asc).
+    *
+    * Plan: ONE batched kernel pass for the whole variant set
+    * ([[searchMany]] — union of the variants' terms, one scan, every
+    * variant's kernel per shard), then a driver-side max-merge. Per-variant
+    * top-k + max-merge is EXACT for the global top-k: if a doc's best
+    * variant is v with score s, every doc ranked above it globally that
+    * matches v has variant-v rank above it too, so a global top-k doc is
+    * inside v's top-k. */
+  def matchPhrasePrefix(phrase: String, k: Int, maxExpansions: Int = 50,
+      slop: Int = 0): Array[ScoredDoc] = {
+    require(k > 0, "k must be > 0")
+    require(maxExpansions > 0, "maxExpansions must be > 0")
+    require(slop >= 0, "slop must be >= 0")
+    val toks = Analyzer.tokenize(phrase)
+    require(toks.nonEmpty, "match_phrase_prefix needs at least one token")
+    val stem = toks.last
+    val lead = toks.dropRight(1)
+    val expansions = expandPrefixMap(Seq(stem), maxExpansions)(stem)
+    if (expansions.isEmpty) return Array.empty
+    if (lead.isEmpty) // single-token prefix degenerates to the ES prefix query
+      return search(stem + "*", k)
+    val suffix = if (slop > 0) s"~$slop" else ""
+    val variants = expansions.toSeq.map(e =>
+      (lead :+ e).mkString("\"", " ", "\"") + suffix -> k)
+    val perVariant = searchMany(variants)
+    val best = new java.util.HashMap[Long, Double]()
+    perVariant.foreach(_.foreach { h =>
+      best.merge(h.docId, h.score, (a, b) => math.max(a, b))
+    })
+    import scala.jdk.CollectionConverters._
+    best.entrySet().iterator().asScala
+      .map(e => ScoredDoc(e.getKey.longValue(), e.getValue.doubleValue())).toArray
+      .sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
   /** ES `boosting` query: hits of the `positive` query ranked by the
     * ordinary summed BM25, except that any hit ALSO matching the
     * `negative` query has its score multiplied by `negativeBoost`

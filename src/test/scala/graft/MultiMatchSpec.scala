@@ -203,6 +203,28 @@ class MultiMatchSpec extends AnyFunSuite {
     }
   }
 
+  test("match_phrase_prefix equals per-variant searches max-merged") {
+    val dir = Files.createTempDirectory("graft-mpp").toString
+    val corpus = CorpusGen.generate(spark, 150, seed = 37, partitions = 4).toDF()
+    val pcfg = IndexConfig(buildPartitions = 8, docsPerShard = 64L, blockSize = 16,
+      buildBuckets = 2, storePositions = true)
+    new IndexBuilder(spark, pcfg).build(corpus, s"$dir/idx", resume = false)
+    val sr = new Searcher(spark, s"$dir/idx")
+    val stem = "s"
+    val expansions = sr.expandPrefixMap(Seq(stem), 50)(stem)
+    assert(expansions.length > 1, "need a multi-variant stem for this test")
+    val expected = expansions.toSeq
+      .flatMap(e => sr.search(s""""def $e"""", 200).toSeq)
+      .groupBy(_.docId).map { case (d, hs) => (d, hs.map(_.score).max) }
+      .toSeq.sortBy { case (d, s) => (-s, d) }.take(10)
+    val got = sr.matchPhrasePrefix("def s", 10, maxExpansions = 50)
+      .map(h => (h.docId, h.score)).toSeq
+    assert(got == expected)
+    // single-token degenerates to the prefix query
+    assert(sr.matchPhrasePrefix("s", 5).map(_.docId).toSeq ==
+      sr.search("s*", 5).map(_.docId).toSeq)
+  }
+
   test("content pattern expansion never leaks into the field: namespace") {
     val dir = Files.createTempDirectory("graft-mm").toString
     val corpus = corpusWithTitle(100, seed = 35)
