@@ -2028,6 +2028,83 @@ object SparkEntry {
         .select(col("docId"), col("path").cast("bigint").as("doc_id"))
         .join(broadcast(hits), Seq("docId"))
         .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `_termvectors` (term_statistics=true): doc 42's content term
+    // vector — per term its tf plus index-wide df/cf from the dictionary;
+    // the by-document read over the by-term layout, bounded to the owning
+    // shard's blocks. Shares fts3's cached index.
+    "fts60_termvectors" -> ((s, d) => {
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts3-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val key = corpus.filter(col("path") === f"${42}%08d")
+        .select("repo", "path", "commit").head()
+      new Searcher(s, idxDir)
+        .termVectors(key.getString(0), key.getString(1), key.getString(2))
+    }),
+
+    // ES `match_phrase` on an ANALYZED EXTRA FIELD: the span must occur in
+    // the `title` field's own token stream (tagged postings store
+    // within-field positions), scored with the FIELD's BM25 statistics
+    // (marker docCount, field avgdl, per-doc field length). Own cached
+    // index (multi-field mapping + positions).
+    "fts61_phrase_field" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"),
+        concat_ws(" ", col("source"), col("lang"), substring(col("text"), 1, 20)).as("title"),
+        col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts61-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        storePositions = true, fields = graft.index.FieldConfig(analyzed = Seq("title")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).matchPhraseField("title", "src3 de", 20)
+        .toSeq.toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `multi_match` (type: cross_fields, tie_breaker 0.2): the fields
+    // scored as ONE blended field — per-token df blended (max across
+    // fields), idf against the index docCount, per-token field scores
+    // combined dis_max-style, tokens summed (the Lucene BlendedTermQuery
+    // shape). Shares fts56's cached multi-field index.
+    "fts62_multi_match_cross" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), concat_ws(" ", col("source"), col("lang")).as("title"),
+        col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts56-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(analyzed = Seq("title")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir)
+        .multiMatch("merge src3", Seq("content", "title"), 20, "cross_fields", 0.2)
+        .toSeq.toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
     })
   )
 
@@ -3155,6 +3232,74 @@ object SparkEntry {
            |       FROM pm JOIN sc sd ON sd.doc_id = pm.doc_id AND sd.term = 'data'
            |               JOIN sc se ON se.doc_id = pm.doc_id AND se.term = pm.last),
            |raw AS (SELECT doc_id, max(v) AS r FROM vs GROUP BY doc_id)
+           |SELECT doc_id, round(r, 4) AS score FROM raw
+           |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin,
+      "fts60_termvectors" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |d42 AS (SELECT unnest(tk) AS term FROM dt WHERE doc_id = 42),
+           |tv AS (SELECT term, cast(count(*) AS bigint) AS tf FROM d42 GROUP BY 1),
+           |ex AS (SELECT doc_id, unnest(tk) AS term FROM dt),
+           |st AS (SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df,
+           |       cast(count(*) AS bigint) AS cf FROM ex GROUP BY 1)
+           |SELECT tv.term, tv.tf, st.df, st.cf FROM tv JOIN st USING (term)
+           |ORDER BY tv.term""".stripMargin,
+      // field-local phrase: adjacency verified in the title token list;
+      // stats (docCount, avgdl, df) and tf/fdl all field-local
+      "fts61_phrase_field" ->
+        s"""WITH doc AS (SELECT doc_id,
+           |  list_filter(regexp_split_to_array(
+           |    lower(source || ' ' || lang || ' ' || substring(text, 1, 20)),
+           |    '[^a-z0-9]+'), x -> length(x)>0) AS tk FROM documents),
+           |fd AS (SELECT doc_id, cast(len(tk) AS bigint) AS fdl, tk FROM doc
+           |       WHERE len(tk) > 0),
+           |fs AS (SELECT count(*) AS n, sum(fdl) * 1.0 / count(*) AS avgdl FROM fd),
+           |pm AS (SELECT doc_id FROM fd
+           |       WHERE len(list_filter(generate_series(1, len(tk)-1),
+           |             i -> tk[i] = 'src3' AND tk[i+1] = 'de')) > 0),
+           |tf AS (SELECT doc_id, fdl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, fdl, unnest(tk) AS term FROM fd)
+           |       WHERE term IN ('src3','de') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |raw AS (SELECT tf.doc_id, sum(
+           |    ln(1.0 + (fs.n - dfc.df + 0.5)/(dfc.df + 0.5)) *
+           |    (tf.tf/(tf.tf + 1.2*(0.25 + 0.75*tf.fdl/fs.avgdl)))) AS r
+           |  FROM tf JOIN dfc USING (term) CROSS JOIN fs
+           |  WHERE tf.doc_id IN (SELECT doc_id FROM pm) GROUP BY 1)
+           |SELECT doc_id, round(r, 4) AS score FROM raw
+           |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin,
+      // blended df = max across fields; idf vs index docCount; per-token
+      // dis_max across fields (tb 0.2); tokens sum
+      "fts62_multi_match_cross" ->
+        s"""WITH doc AS (SELECT doc_id, $tokExpr AS ck,
+           |  list_filter(regexp_split_to_array(lower(source || ' ' || lang),'[^a-z0-9]+'),
+           |              x -> length(x)>0) AS tk FROM documents),
+           |cs AS (SELECT count(*) AS n, sum(len(ck)) * 1.0 / count(*) AS avgdl FROM doc),
+           |fd AS (SELECT doc_id, cast(len(tk) AS bigint) AS fdl, tk FROM doc WHERE len(tk) > 0),
+           |fs AS (SELECT sum(fdl) * 1.0 / count(*) AS avgdl FROM fd),
+           |ctf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |        FROM (SELECT doc_id, cast(len(ck) AS bigint) AS dl, unnest(ck) AS term FROM doc)
+           |        WHERE term IN ('merge','src3') GROUP BY 1,2,3),
+           |ttf AS (SELECT doc_id, fdl, term, count(*) AS tf
+           |        FROM (SELECT doc_id, fdl, unnest(tk) AS term FROM fd)
+           |        WHERE term IN ('merge','src3') GROUP BY 1,2,3),
+           |cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
+           |tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY 1),
+           |bl AS (SELECT t.term, greatest(coalesce(cdf.df, 0), coalesce(tdf.df, 0)) AS dfb
+           |       FROM (SELECT 'merge' AS term UNION ALL SELECT 'src3') t
+           |       LEFT JOIN cdf USING (term) LEFT JOIN tdf USING (term)),
+           |sc AS (
+           |  SELECT ctf.doc_id, ctf.term,
+           |    ln(1.0 + (cs.n - bl.dfb + 0.5)/(bl.dfb + 0.5)) *
+           |    (ctf.tf/(ctf.tf + 1.2*(0.25 + 0.75*ctf.dl/cs.avgdl))) AS s
+           |  FROM ctf JOIN bl USING (term) CROSS JOIN cs
+           |  UNION ALL
+           |  SELECT ttf.doc_id, ttf.term,
+           |    ln(1.0 + (cs.n - bl.dfb + 0.5)/(bl.dfb + 0.5)) *
+           |    (ttf.tf/(ttf.tf + 1.2*(0.25 + 0.75*ttf.fdl/fs.avgdl))) AS s
+           |  FROM ttf JOIN bl USING (term) CROSS JOIN cs CROSS JOIN fs),
+           |tokg AS (SELECT doc_id, term, max(s) + 0.2 * (sum(s) - max(s)) AS ts
+           |         FROM sc GROUP BY 1,2),
+           |raw AS (SELECT doc_id, sum(ts) AS r FROM tokg GROUP BY 1)
            |SELECT doc_id, round(r, 4) AS score FROM raw
            |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin
     )

@@ -845,8 +845,13 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       minShouldMatch: Int = 1): DataFrame = {
     import MultiSearcher.SegPlan
     require(k > 0, "k must be > 0")
-    require(matchType == "best_fields" || matchType == "most_fields",
-      s"matchType must be best_fields or most_fields (got '$matchType')")
+    val mode = matchType match {
+      case "most_fields" => Wand.MostFields
+      case "best_fields" => Wand.BestFields
+      case "cross_fields" => Wand.CrossFields
+      case other => throw new IllegalArgumentException(
+        s"matchType must be best_fields, most_fields or cross_fields (got '$other')")
+    }
     require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
       s"tieBreaker must be in [0, 1] (got $tieBreaker)")
     require(minShouldMatch >= 1, s"minShouldMatch must be >= 1 (got $minShouldMatch)")
@@ -902,6 +907,12 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     val globalDf: Map[String, Long] =
       clauses.map(_.term).distinct.map(t =>
         t -> dicts.map(_.get(t).map(_._2).getOrElse(0L)).sum).toMap
+    // cross_fields: blended per-token df (max across fields, global sums)
+    val dfBlend: Map[Int, Long] =
+      if (mode != Wand.CrossFields) Map.empty
+      else clauses.groupBy(_.tokIdx).map { case (ti, cs) =>
+        ti -> cs.map(c => globalDf(c.term)).foldLeft(0L)(math.max)
+      }
     // one plan + one FieldTermInfo map per segment that can contribute
     val plansAndInfo: Seq[(SegPlan, Map[Long, Wand.FieldTermInfo])] =
       segs.indices.flatMap { s =>
@@ -912,10 +923,14 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
           val info: Map[Long, Wand.FieldTermInfo] = clauses.flatMap { c =>
             dict.get(c.term).collect {
               case (tid, _) if globalDf(c.term) > 0 =>
+                val idf =
+                  if (mode == Wand.CrossFields) BM25.idf(numDocs, dfBlend(c.tokIdx))
+                  else BM25.idf(c.nF, globalDf(c.term))
                 tid -> Wand.FieldTermInfo(
-                  BM25.idf(c.nF, globalDf(c.term)) * c.fieldBoost *
-                    pq.boostOf(tokens(c.tokIdx)),
-                  c.avgdlF, c.group, c.tokIdx)
+                  idf * c.fieldBoost * pq.boostOf(tokens(c.tokIdx)),
+                  c.avgdlF,
+                  if (mode == Wand.CrossFields) c.tokIdx else c.group,
+                  c.tokIdx)
             }
           }.toMap
           if (info.isEmpty) Nil
@@ -934,18 +949,19 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     val plansBySeg = plans.groupBy(_.seg)
     val params = p
     val tb = tieBreaker
-    val most = matchType == "most_fields"
+    val md = mode
     val msm = minShouldMatch
     val gAvgdl = avgdl
-    val nG = fieldSpecs.size
+    val nG = if (mode == Wand.CrossFields) tokens.length else fieldSpecs.size
     val nT = tokens.length
+    val kk = k
     def run(s: Int, blocks: Iterator[PostingBlock],
         acceptByQ: Map[Int, Array[Long]]): Iterator[(Int, Long, Double)] = {
       val pl = plansBySeg(s).head
       val accept =
         if (pl.ranges.isEmpty) null else acceptByQ.getOrElse(0, Array.empty[Long])
-      Wand.scoreAllFields(blocks.filter(b => pl.wantsBlock(b.termId)), infoBySeg(s),
-        nG, nT, pl.filterIds, gAvgdl, params, tb, most, pl.excludeIds, accept, msm)
+      Wand.topKFields(blocks.filter(b => pl.wantsBlock(b.termId)), infoBySeg(s),
+        nG, nT, pl.filterIds, gAvgdl, params, tb, md, kk, pl.excludeIds, accept, msm)
         .map(sd => (s, sd.docId, sd.score))
     }
     val grouped = segBlocks(plansBySeg)

@@ -1011,7 +1011,13 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     *
     * `matchType` is ES `type`: `best_fields` (default) combines the
     * per-field scores dis_max-style — best field + `tieBreaker ×` the
-    * rest; `most_fields` sums them. Keyword/range filters and negations
+    * rest; `most_fields` sums them; `cross_fields` treats the fields as
+    * one blended field, the Lucene BlendedTermQuery shape — each token's
+    * document frequency is BLENDED (max across the fields), its idf is
+    * computed against the index docCount, the token is scored in each
+    * field with that shared idf but the field's own tf/dl/avgdl, the
+    * per-token field scores combine dis_max-style (best + tieBreaker ×
+    * rest) and the per-token results SUM. Keyword/range filters and negations
     * behave exactly as in [[search]]; phrases and pattern clauses are not
     * supported (per-field position/pattern semantics — extension point).
     * `minShouldMatch` bounds the DISTINCT QUERY TOKENS matched in at
@@ -1020,16 +1026,22 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * it) simply contributes nothing, as in ES. Top-k (score desc, docId
     * asc).
     *
-    * Plan: exhaustive per-shard grouped scoring walk (per-field sums
-    * combined doc-locally — same argument as [[searchDisMax]]: a
-    * doc-dependent max admits no sum-of-bounds WAND pivot) → per-partition
-    * top-k → TakeOrderedAndProject merge. */
+    * Plan: per-shard grouped block-max WAND ([[Wand.topKFields]] — the
+    * plain sum-of-bounds pivot upper-bounds BOTH combine modes, so
+    * skipping stays admissible; bounds derived per cursor from
+    * (maxTf, minDl) under the FIELD's avgdl) → per-shard top-k →
+    * TakeOrderedAndProject merge. */
   def multiMatch(query: String, fields: Seq[String], k: Int,
       matchType: String = "best_fields", tieBreaker: Double = 0.0,
       minShouldMatch: Int = 1): Array[ScoredDoc] = {
     require(k > 0, "k must be > 0")
-    require(matchType == "best_fields" || matchType == "most_fields",
-      s"matchType must be best_fields or most_fields (got '$matchType')")
+    val mode = matchType match {
+      case "most_fields" => Wand.MostFields
+      case "best_fields" => Wand.BestFields
+      case "cross_fields" => Wand.CrossFields
+      case other => throw new IllegalArgumentException(
+        s"matchType must be best_fields, most_fields or cross_fields (got '$other')")
+    }
     require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
       s"tieBreaker must be in [0, 1] (got $tieBreaker)")
     require(minShouldMatch >= 1, s"minShouldMatch must be >= 1 (got $minShouldMatch)")
@@ -1080,19 +1092,30 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     val filterIdArr = pq.filters.flatMap(f => stats.get(f).map(_._1))
     if (filterIdArr.length < pq.filters.length) return Array.empty
     val filterIds = filterIdArr.toSet
+    // cross_fields: blended per-token df (max across the fields), idf
+    // against the index docCount, clause group = TOKEN
+    val dfBlend: Map[Int, Long] =
+      if (mode != Wand.CrossFields) Map.empty
+      else clauses.groupBy(_.tokIdx).map { case (ti, cs) =>
+        ti -> cs.flatMap(c => stats.get(c.term).map(_._2)).foldLeft(0L)(math.max)
+      }
     val infoById: Map[Long, Wand.FieldTermInfo] = clauses.flatMap { c =>
       stats.get(c.term).map { case (tid, df) =>
+        val idf =
+          if (mode == Wand.CrossFields) BM25.idf(meta.numDocs, dfBlend(c.tokIdx))
+          else BM25.idf(c.nF, df)
         tid -> Wand.FieldTermInfo(
-          BM25.idf(c.nF, df) * c.fieldBoost * pq.boostOf(tokens(c.tokIdx)),
-          c.avgdlF, c.group, c.tokIdx)
+          idf * c.fieldBoost * pq.boostOf(tokens(c.tokIdx)),
+          c.avgdlF,
+          if (mode == Wand.CrossFields) c.tokIdx else c.group,
+          c.tokIdx)
       }
     }.toMap
     if (infoById.isEmpty) return Array.empty
     val params = p
     val gAvgdl = meta.avgdl
-    val numGroups = fieldSpecs.size
+    val numGroups = if (mode == Wand.CrossFields) tokens.length else fieldSpecs.size
     val numTokens = tokens.length
-    val mostFields = matchType == "most_fields"
     val tb = tieBreaker
     val msm = minShouldMatch
     val termIds = infoById.keySet ++ filterIds ++ excludeIds
@@ -1101,16 +1124,18 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .filter(col("termId").isin(termIds.toSeq.map(Long.box): _*))
       .as[PostingBlock]
       .groupByKey(_.shard)
+    val kk = k
+    val md = mode
     val scored =
       if (pq.ranges.isEmpty)
-        kv.flatMapGroups((_, b) => Wand.scoreAllFields(b, infoById, numGroups, numTokens,
-          filterIds, gAvgdl, params, tb, mostFields, excludeIds, null, msm))
+        kv.flatMapGroups((_, b) => Wand.topKFields(b, infoById, numGroups, numTokens,
+          filterIds, gAvgdl, params, tb, md, kk, excludeIds, null, msm))
       else
         kv.cogroup(acceptsByShard(pq.ranges)) { (_, b, acc) =>
           val a = acc.toArray
           java.util.Arrays.sort(a)
-          Wand.scoreAllFields(b, infoById, numGroups, numTokens,
-            filterIds, gAvgdl, params, tb, mostFields, excludeIds, a, msm)
+          Wand.topKFields(b, infoById, numGroups, numTokens,
+            filterIds, gAvgdl, params, tb, md, kk, excludeIds, a, msm)
         }
     scored.orderBy(desc("score"), asc("docId")).limit(k).collect()
   }
@@ -1190,6 +1215,90 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
           .otherwise(col("score")).as("score"))
       .orderBy(desc("score"), asc("docId")).limit(k)
       .collect().map(r => ScoredDoc(r.getLong(0), r.getDouble(1)))
+  }
+
+  /** ES `match_phrase` on an ANALYZED EXTRA FIELD
+    * ([[graft.index.FieldConfig.analyzed]]): the quoted span must occur in
+    * THAT field's token stream — tagged `field:token` postings store
+    * within-FIELD positions, so adjacency/slop verification is exact per
+    * field — and scores as the field's distinct-term BM25 sum (field idf
+    * from the `field:` marker's docCount, field avgdl from its token
+    * total; the same per-field statistics multi_match uses). Top-k
+    * (score desc, docId asc). Requires storePositions. */
+  def matchPhraseField(field: String, phrase: String, k: Int,
+      slop: Int = 0): Array[ScoredDoc] = {
+    require(k > 0, "k must be > 0")
+    require(slop >= 0, "slop must be >= 0")
+    require(meta.analyzed.contains(field),
+      s"'$field' is not an analyzed extra field of this index " +
+        s"(analyzed: ${meta.analyzed.mkString(", ")})")
+    if (!meta.hasPositions)
+      throw new IllegalStateException(
+        "phrase query on an index built without positions (IndexConfig.storePositions=false)")
+    val toks = Analyzer.tokenize(phrase)
+    require(toks.nonEmpty, "match_phrase needs at least one token")
+    val tagged = toks.map(t => s"$field:$t")
+    val mk = termsDf.filter(col("term") === s"$field:").select("df", "cf").collect()
+    if (mk.isEmpty) return Array.empty // no document has the field
+    val nF = mk(0).getLong(0)
+    val avgdlF = mk(0).getLong(1).toDouble / nF.toDouble
+    val distinctTagged = tagged.distinct.toSeq
+    val stats = lookupTermStats(distinctTagged)
+    if (distinctTagged.exists(t => !stats.contains(t))) return Array.empty // conjunctive
+    val idfById: Map[Long, Double] = distinctTagged.map { t =>
+      val (tid, df) = stats(t); tid -> BM25.idf(nF, df)
+    }.toMap
+    val phraseIdSeqs = Array(tagged.map(t => stats(t)._1))
+    val params = p
+    val kk = k
+    val slops = Array(slop)
+    import spark.implicits._
+    blocksDf.filter(col("termId").isin(idfById.keySet.toSeq.map(Long.box): _*))
+      .as[PostingBlock]
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, blocks) =>
+        Phrase.topK(blocks, phraseIdSeqs, slops, idfById, Map.empty, Set.empty,
+          avgdlF, params, kk)
+      }
+      .orderBy(desc("score"), asc("docId")).limit(k).collect()
+  }
+
+  /** ES `_termvectors` (with `term_statistics`): one document's term
+    * vector for an analyzed field — per term its in-document frequency
+    * (tf) plus the index-wide doc frequency (df) and total term frequency
+    * (cf), term-ordered. `field` is `content` or a
+    * [[graft.index.FieldConfig.analyzed]] extra field (tagged terms are
+    * presented untagged; the `field:` exists-marker is excluded).
+    *
+    * Plan: resolve the identity to its docId (point read), then decode
+    * ONLY the owning shard's posting blocks (the `shard =` predicate is
+    * pushed into the columnar blocks scan) probing each block's sorted
+    * docIds — the by-document read over the by-term layout, same shape as
+    * [[significantTerms]] but bounded by ONE shard; dictionary join adds
+    * term/df/cf. */
+  def termVectors(repo: String, path: String, commit: String,
+      field: String = "content"): DataFrame = {
+    require(field == "content" || meta.analyzed.contains(field),
+      s"'$field' is not an analyzed field of this index " +
+        s"(analyzed: ${("content" +: meta.analyzed).mkString(", ")})")
+    import spark.implicits._
+    val doc = getDoc(repo, path, commit).getOrElse(
+      return Seq.empty[(String, Long, Long, Long)].toDF("term", "tf", "df", "cf"))
+    val docId = doc.getAs[Long]("docId")
+    val shard = docId / meta.docsPerShard
+    val did = docId
+    val pairs = blocksDf.filter(col("shard") === shard)
+      .as[PostingBlock]
+      .flatMap { b =>
+        val i = java.util.Arrays.binarySearch(b.docIds, did)
+        if (i >= 0) Iterator((b.termId, b.tfValues(i))) else Iterator.empty
+      }.toDF("termId", "tf")
+    val named = pairs.join(termsDf.select("termId", "term", "df", "cf"), Seq("termId"))
+    val scoped =
+      if (field == "content") named.filter(!col("term").contains(":"))
+      else named.filter(col("term").startsWith(s"$field:") && col("term") =!= s"$field:")
+        .withColumn("term", expr(s"substring(term, ${field.length + 2})"))
+    scoped.select(col("term"), col("tf"), col("df"), col("cf")).orderBy(asc("term"))
   }
 
   /** ES GET / `_mget` analogue: fetch one document's stored fields by its
@@ -2864,19 +2973,218 @@ object Wand {
 
   /** One `multi_match` clause's scoring inputs: the clause's idf (already
     * field- and term-boosted), its FIELD's avgdl (per-field BM25
-    * tf-normalization), the field group it sums into, and which query
+    * tf-normalization), the group it combines into (field for
+    * best_fields/most_fields, TOKEN for cross_fields), and which query
     * token it came from (for `minimum_should_match` over distinct
     * tokens). */
   final case class FieldTermInfo(idf: Double, avgdl: Double, group: Int, token: Int)
 
-  /** [[scoreAll]] with per-FIELD grouped combination — the ES
+  /** `multi_match` combine modes over the per-group (sum, max) pairs:
+    * most_fields = Σ group sums; best_fields = best group sum +
+    * tb·(rest); cross_fields = Σ over TOKEN groups of (best clause +
+    * tb·(rest)) — the BlendedTermQuery shape (the caller groups clauses
+    * by token and blends df into the idf). Every mode is upper-bounded by
+    * the plain sum of clause contributions (tb ≤ 1), so the WAND
+    * sum-of-bounds pivot stays admissible for all three. */
+  val MostFields = 0
+  val BestFields = 1
+  val CrossFields = 2
+
+  @inline private def combineGroups(
+      mode: Int, tb: Double, groupSum: Array[Double], groupMax: Array[Double],
+      numGroups: Int): Double = {
+    var s = 0.0
+    var g = 0
+    if (mode == CrossFields) {
+      while (g < numGroups) {
+        s += groupMax(g) + tb * (groupSum(g) - groupMax(g))
+        g += 1
+      }
+      s
+    } else {
+      var sMax = 0.0
+      while (g < numGroups) {
+        s += groupSum(g)
+        if (groupSum(g) > sMax) sMax = groupSum(g)
+        g += 1
+      }
+      if (mode == MostFields) s else sMax + tb * (s - sMax)
+    }
+  }
+
+  /** Block-max WAND top-k with per-FIELD grouped combination — the ES
     * `multi_match` kernel. Each scored cursor carries its own avgdl (its
     * field's), contributions sum WITHIN a field group, and the groups
     * combine doc-locally: `most_fields` = Σ groups, `best_fields` =
-    * best group + tieBreaker × the rest. `minShouldMatch` counts DISTINCT
-    * query tokens matched in ≥1 field. Exhaustive per-shard walk — the
-    * doc-dependent best-group admits no sum-of-bounds WAND pivot (the
-    * [[scoreAllDisMax]] argument). */
+    * best group + tieBreaker × the rest.
+    *
+    * The sum-of-upper-bounds pivot IS admissible for BOTH modes: with
+    * tieBreaker ≤ 1, `max + tb·(sum − max) ≤ sum ≤ Σ termUB` — the plain
+    * WAND bound upper-bounds the combined score (it is merely looser for
+    * best_fields, so skipping is safe, just less aggressive). Block bounds
+    * are always DERIVED from the avgdl-independent (maxTf, minDl) pair —
+    * the stored maxTfn was computed under the content avgdl and is not
+    * admissible under a field's own avgdl. `minShouldMatch` counts
+    * DISTINCT query tokens matched in ≥1 field (msm > 1 never loosens the
+    * bound — it only rejects candidates). Accumulation order matches
+    * [[scoreAllFields]] exactly (per-group sums in ascending termId,
+    * groups combined in index order), so the two kernels are bit-identical
+    * on the docs they both emit. */
+  def topKFields(
+      blocks: Iterator[PostingBlock],
+      infoById: Map[Long, FieldTermInfo],
+      numGroups: Int,
+      numTokens: Int,
+      filterTermIds: Set[Long],
+      filterAvgdl: Double,
+      p: Bm25Params,
+      tieBreaker: Double,
+      mode: Int,
+      k: Int,
+      excludeTermIds: Set[Long] = Set.empty,
+      accept: Array[Long] = null,
+      minShouldMatch: Int = 1): Iterator[ScoredDoc] = {
+    if (accept != null && accept.isEmpty) return Iterator.empty
+    val byTerm = blocks.toArray.groupBy(_.termId)
+    val filters: Array[TermCursor] = filterTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks =>
+        new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), filterAvgdl, p, exactBounds = true))
+    }
+    if (filters.length < filterTermIds.size) return Iterator.empty
+    val excludes: Array[TermCursor] = excludeTermIds.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map(blks =>
+        new TermCursor(tid, 0.0, blks.sortBy(_.firstDoc), filterAvgdl, p, exactBounds = true))
+    }
+    val cursors: Array[TermCursor] = infoById.keysIterator.toArray.sorted.flatMap { tid =>
+      byTerm.get(tid).map { blks =>
+        val info = infoById(tid)
+        new TermCursor(tid, info.idf, blks.sortBy(_.firstDoc), info.avgdl, p,
+          exactBounds = false)
+      }
+    }
+    if (cursors.isEmpty) return Iterator.empty
+    def passesFilters(d: Long): Boolean = {
+      var i = 0
+      while (i < filters.length) {
+        val f = filters(i)
+        if (f.curDoc < d) f.advanceTo(d)
+        if (f.curDoc != d) return false
+        i += 1
+      }
+      true
+    }
+    def isExcluded(d: Long): Boolean = {
+      var i = 0
+      while (i < excludes.length) {
+        val e = excludes(i)
+        if (e.curDoc < d) e.advanceTo(d)
+        if (e.curDoc == d) return true
+        i += 1
+      }
+      false
+    }
+    val heap = new java.util.PriorityQueue[ScoredDoc](k, worstFirst)
+    val matched = new Array[TermCursor](cursors.length)
+    val groupSum = new Array[Double](numGroups)
+    val groupMax = new Array[Double](numGroups)
+    val tokenHit = new Array[Boolean](numTokens)
+
+    var live = cursors.count(!_.exhausted)
+    while (live > 0) {
+      java.util.Arrays.sort(cursors, new java.util.Comparator[TermCursor] {
+        def compare(a: TermCursor, b: TermCursor): Int =
+          java.lang.Long.compare(a.curDoc, b.curDoc)
+      })
+      val theta = if (heap.size < k) -1.0 else heap.peek().score
+      var acc = 0.0
+      var pvt = -1
+      var i = 0
+      while (pvt < 0 && i < cursors.length) {
+        if (cursors(i).curDoc != Long.MaxValue) {
+          acc += cursors(i).termUB
+          if (acc > theta) pvt = i
+        } else i = cursors.length
+        i += 1
+      }
+      if (pvt < 0) return drain(heap)
+      val pivotDoc = cursors(pvt).curDoc
+      if (pivotDoc == Long.MaxValue) return drain(heap)
+      while (pvt + 1 < cursors.length && cursors(pvt + 1).curDoc == pivotDoc) pvt += 1
+      var ubSum = 0.0
+      var j = 0
+      while (j <= pvt) {
+        cursors(j).shallowAdvance(pivotDoc)
+        ubSum += cursors(j).blockUB
+        j += 1
+      }
+      if (ubSum <= theta) {
+        var d = Long.MaxValue
+        j = 0
+        while (j <= pvt) {
+          val bl = cursors(j).blockLast
+          if (bl < d) d = bl
+          j += 1
+        }
+        val next = if (d == Long.MaxValue) Long.MaxValue else d + 1
+        val bound =
+          if (pvt + 1 < cursors.length && cursors(pvt + 1).curDoc < next)
+            cursors(pvt + 1).curDoc
+          else next
+        j = 0
+        while (j <= pvt) {
+          if (cursors(j).curDoc < bound) cursors(j).advanceTo(bound)
+          j += 1
+        }
+      } else if (cursors(0).curDoc == pivotDoc) {
+        var m = 0
+        j = 0
+        while (j < cursors.length && cursors(j).curDoc == pivotDoc) {
+          matched(m) = cursors(j); m += 1; j += 1
+        }
+        // distinct matched tokens + grouped combine, in termId order
+        java.util.Arrays.sort(matched, 0, m, new java.util.Comparator[TermCursor] {
+          def compare(a: TermCursor, b: TermCursor): Int =
+            java.lang.Long.compare(a.termId, b.termId)
+        })
+        java.util.Arrays.fill(groupSum, 0.0)
+        java.util.Arrays.fill(groupMax, 0.0)
+        java.util.Arrays.fill(tokenHit, false)
+        var hits = 0
+        j = 0
+        while (j < m) {
+          val info = infoById(matched(j).termId)
+          val sc = matched(j).score
+          groupSum(info.group) += sc
+          if (sc > groupMax(info.group)) groupMax(info.group) = sc
+          if (!tokenHit(info.token)) { tokenHit(info.token) = true; hits += 1 }
+          j += 1
+        }
+        if (hits >= minShouldMatch &&
+          (accept == null || java.util.Arrays.binarySearch(accept, pivotDoc) >= 0) &&
+          passesFilters(pivotDoc) && !isExcluded(pivotDoc)) {
+          val combined = combineGroups(mode, tieBreaker, groupSum, groupMax, numGroups)
+          if (heap.size < k) heap.add(ScoredDoc(pivotDoc, combined))
+          else if (combined > heap.peek().score) {
+            heap.poll(); heap.add(ScoredDoc(pivotDoc, combined))
+          }
+        }
+        j = 0
+        while (j < m) { matched(j).next(); j += 1 }
+      } else {
+        j = 0
+        while (j < pvt) {
+          if (cursors(j).curDoc < pivotDoc) cursors(j).advanceTo(pivotDoc)
+          j += 1
+        }
+      }
+      live = cursors.count(!_.exhausted)
+    }
+    drain(heap)
+  }
+
+  /** [[scoreAll]] with per-FIELD grouped combination — the exhaustive
+    * (every-match) form of [[topKFields]], behind scored-ALL surfaces.
+    * Same accumulation order — bit-identical scores. */
   def scoreAllFields(
       blocks: Iterator[PostingBlock],
       infoById: Map[Long, FieldTermInfo],
@@ -2886,7 +3194,7 @@ object Wand {
       filterAvgdl: Double,
       p: Bm25Params,
       tieBreaker: Double,
-      mostFields: Boolean,
+      mode: Int,
       excludeTermIds: Set[Long] = Set.empty,
       accept: Array[Long] = null,
       minShouldMatch: Int = 1): Iterator[ScoredDoc] = {
@@ -2933,6 +3241,7 @@ object Wand {
       false
     }
     val groupSum = new Array[Double](numGroups)
+    val groupMax = new Array[Double](numGroups)
     val tokenHit = new Array[Boolean](numTokens)
     val out = scala.collection.mutable.ArrayBuffer.empty[ScoredDoc]
     var d = Long.MaxValue
@@ -2940,29 +3249,23 @@ object Wand {
     while (i < scored.length) { if (scored(i).curDoc < d) d = scored(i).curDoc; i += 1 }
     while (d != Long.MaxValue) {
       java.util.Arrays.fill(groupSum, 0.0)
+      java.util.Arrays.fill(groupMax, 0.0)
       java.util.Arrays.fill(tokenHit, false)
       var hits = 0
       i = 0
       while (i < scored.length) {
         if (scored(i).curDoc == d) {
-          groupSum(groupOf(i)) += scored(i).score
+          val sc = scored(i).score
+          groupSum(groupOf(i)) += sc
+          if (sc > groupMax(groupOf(i))) groupMax(groupOf(i)) = sc
           if (!tokenHit(tokenOf(i))) { tokenHit(tokenOf(i)) = true; hits += 1 }
         }
         i += 1
       }
       if (hits >= minShouldMatch &&
         (accept == null || java.util.Arrays.binarySearch(accept, d) >= 0) &&
-        passesFilters(d) && !isExcluded(d)) {
-        var s = 0.0
-        var sMax = 0.0
-        var g = 0
-        while (g < numGroups) {
-          s += groupSum(g)
-          if (groupSum(g) > sMax) sMax = groupSum(g)
-          g += 1
-        }
-        out += ScoredDoc(d, if (mostFields) s else sMax + tieBreaker * (s - sMax))
-      }
+        passesFilters(d) && !isExcluded(d))
+        out += ScoredDoc(d, combineGroups(mode, tieBreaker, groupSum, groupMax, numGroups))
       var nd = Long.MaxValue
       i = 0
       while (i < scored.length) {

@@ -39,7 +39,7 @@ class MultiMatchSpec extends AnyFunSuite {
       corpus: DataFrame,
       fieldsWithBoost: Seq[(String, Double)],
       tokens: Seq[String],
-      mostFields: Boolean,
+      mode: String, // "most" | "best" | "cross"
       tb: Double,
       k: Int,
       langFilter: Option[String] = None,
@@ -64,6 +64,8 @@ class MultiMatchSpec extends AnyFunSuite {
     val dfOf: Map[(String, String), Long] = (for {
       (f, _) <- fieldsWithBoost; t <- tokens
     } yield (f, t) -> rows.count(r => toksOf(f, r).contains(t)).toLong).toMap
+    val dfBlend: Map[String, Long] =
+      tokens.map(t => t -> fieldsWithBoost.map(fb => dfOf((fb._1, t))).max).toMap
     val scored = rows.zipWithIndex.flatMap { case (r, _) =>
       if (langFilter.exists(_ != r._4)) None
       else {
@@ -71,18 +73,33 @@ class MultiMatchSpec extends AnyFunSuite {
           toksOf(f, r).contains(t) })
         if (matchedToks < msm || matchedToks == 0) None
         else {
-          val perField = fieldsWithBoost.map { case (f, fb) =>
-            val (nF, avgdlF) = stats(f)
+          // per (field, token) clause score
+          def clause(f: String, fb: Double, t: String): Option[Double] = {
             val fToks = toksOf(f, r)
-            val fdl = fToks.length.toLong
-            tokens.filter(fToks.contains).map { t =>
-              BM25.idf(nF, dfOf((f, t))) * fb * BM25.tfNorm(
-                fToks.count(_ == t).toLong, fdl, avgdlF, p)
-            }.sum
+            if (!fToks.contains(t)) None
+            else {
+              val (nF, avgdlF) = stats(f)
+              val idf =
+                if (mode == "cross") BM25.idf(rows.length.toLong, dfBlend(t))
+                else BM25.idf(nF, dfOf((f, t)))
+              Some(idf * fb * BM25.tfNorm(
+                fToks.count(_ == t).toLong, fToks.length.toLong, avgdlF, p))
+            }
           }
-          val s = perField.sum
-          val sMax = perField.max
-          Some(((r._1, r._2, r._3), if (mostFields) s else sMax + tb * (s - sMax)))
+          val combined = mode match {
+            case "cross" =>
+              tokens.map { t =>
+                val cs = fieldsWithBoost.flatMap { case (f, fb) => clause(f, fb, t) }
+                if (cs.isEmpty) 0.0 else cs.max + tb * (cs.sum - cs.max)
+              }.sum
+            case _ =>
+              val perField = fieldsWithBoost.map { case (f, fb) =>
+                tokens.flatMap(t => clause(f, fb, t)).sum
+              }
+              val s = perField.sum
+              if (mode == "most") s else perField.max + tb * (s - perField.max)
+          }
+          Some(((r._1, r._2, r._3), combined))
         }
       }
     }
@@ -134,7 +151,7 @@ class MultiMatchSpec extends AnyFunSuite {
     val got = hitsWithIdentity(s"$dir/idx",
       sr.multiMatch("scala merge", Seq("content", "title^2"), 10, "best_fields", 0.3))
     assertSame(got, replica(corpus, Seq("content" -> 1.0, "title" -> 2.0), toks,
-      mostFields = false, tb = 0.3, k = 10))
+      mode = "best", tb = 0.3, k = 10))
     assert(got.nonEmpty)
   }
 
@@ -147,13 +164,26 @@ class MultiMatchSpec extends AnyFunSuite {
     val got = hitsWithIdentity(s"$dir/idx",
       sr.multiMatch("src query lang:scala", Seq("content", "title"), 12, "most_fields"))
     assertSame(got, replica(corpus, Seq("content" -> 1.0, "title" -> 1.0), toks,
-      mostFields = true, tb = 0.0, k = 12, langFilter = Some("scala")))
+      mode = "most", tb = 0.0, k = 12, langFilter = Some("scala")))
     assert(got.nonEmpty)
     val msm2 = hitsWithIdentity(s"$dir/idx",
       sr.multiMatch("src query lang:scala", Seq("content", "title"), 12, "most_fields",
         minShouldMatch = 2))
     assertSame(msm2, replica(corpus, Seq("content" -> 1.0, "title" -> 1.0), toks,
-      mostFields = true, tb = 0.0, k = 12, langFilter = Some("scala"), msm = 2))
+      mode = "most", tb = 0.0, k = 12, langFilter = Some("scala"), msm = 2))
+  }
+
+  test("multi_match cross_fields: blended df, per-token dis_max, tokens summed") {
+    val dir = Files.createTempDirectory("graft-mm").toString
+    val corpus = corpusWithTitle(150, seed = 40)
+    new IndexBuilder(spark, cfg).build(corpus, s"$dir/idx", resume = false)
+    val sr = new Searcher(spark, s"$dir/idx")
+    val toks = Seq("scala", "merge")
+    val got = hitsWithIdentity(s"$dir/idx",
+      sr.multiMatch("scala merge", Seq("content", "title"), 10, "cross_fields", 0.2))
+    assertSame(got, replica(corpus, Seq("content" -> 1.0, "title" -> 1.0), toks,
+      mode = "cross", tb = 0.2, k = 10))
+    assert(got.nonEmpty)
   }
 
   test("merge of analyzed-field segments preserves marker stats and multi_match results") {
@@ -190,7 +220,8 @@ class MultiMatchSpec extends AnyFunSuite {
     val ms = new graft.search.MultiSearcher(spark, s"$dir/seg")
     for ((q, ty, tb) <- Seq(
         ("scala merge", "best_fields", 0.3),
-        ("src query lang:scala", "most_fields", 0.0))) {
+        ("src query lang:scala", "most_fields", 0.0),
+        ("scala merge", "cross_fields", 0.2))) {
       val single = hitsWithIdentity(s"$dir/one",
         one.multiMatch(q, Seq("content", "title^2"), 10, ty, tb))
       val segd = ms.multiMatch(q, Seq("content", "title^2"), 10, ty, tb)
@@ -223,6 +254,69 @@ class MultiMatchSpec extends AnyFunSuite {
     // single-token degenerates to the prefix query
     assert(sr.matchPhrasePrefix("s", 5).map(_.docId).toSeq ==
       sr.search("s*", 5).map(_.docId).toSeq)
+  }
+
+  test("match_phrase on an analyzed field: positions in the FIELD stream, field stats") {
+    val dir = Files.createTempDirectory("graft-mpf").toString
+    val corpus = corpusWithTitle(140, seed = 38)
+    val pcfg = cfg.copy(storePositions = true)
+    new IndexBuilder(spark, pcfg).build(corpus, s"$dir/idx", resume = false)
+    val sr = new Searcher(spark, s"$dir/idx")
+    val p = Bm25Params(cfg.k1, cfg.b)
+    val rows = corpus.select("repo", "path", "commit", "title").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Analyzer.tokenize(r.getString(3))))
+      .sortBy(t => (t._1, t._2, t._3))
+    // pick an adjacent pair that actually occurs
+    val (w1, w2) = rows.iterator.map(_._4).collectFirst {
+      case tk if tk.length >= 2 => (tk(0), tk(1))
+    }.get
+    val withF = rows.filter(_._4.nonEmpty)
+    val nF = withF.length.toLong
+    val avgdlF = withF.map(_._4.length.toLong).sum.toDouble / nF
+    def df(t: String) = withF.count(_._4.contains(t)).toLong
+    val expect = rows.zipWithIndex.flatMap { case (r, i) =>
+      val tk = r._4
+      val adj = tk.indices.dropRight(1).exists(j => tk(j) == w1 && tk(j + 1) == w2)
+      if (!adj) None
+      else {
+        val fdl = tk.length.toLong
+        val s = Seq(w1, w2).distinct.map { t =>
+          BM25.idf(nF, df(t)) * BM25.tfNorm(tk.count(_ == t).toLong, fdl, avgdlF, p)
+        }.sum
+        Some((i.toLong, s)) // docId = rank in identity order
+      }
+    }.sortBy { case (d, s) => (-s, d) }.take(10).toSeq
+    val got = sr.matchPhraseField("title", s"$w1 $w2", 10).map(h => (h.docId, h.score)).toSeq
+    assert(got.map(_._1) == expect.map(_._1), s"phrase '$w1 $w2':\n got=$got\nwant=$expect")
+    got.zip(expect).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)))
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("termvectors: one doc's (term, tf) + index-wide (df, cf), per field") {
+    val dir = Files.createTempDirectory("graft-tv").toString
+    val corpus = corpusWithTitle(80, seed = 39)
+    new IndexBuilder(spark, cfg).build(corpus, s"$dir/idx", resume = false)
+    val sr = new Searcher(spark, s"$dir/idx")
+    val rows = corpus.select("repo", "path", "commit", "content", "title").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Analyzer.tokenize(r.getString(3)), Analyzer.tokenize(r.getString(4))))
+    val target = rows.sortBy(t => (t._1, t._2, t._3)).apply(7)
+    for ((field, toksOf) <- Seq(
+        ("content", (t: (String, String, String, Array[String], Array[String])) => t._4),
+        ("title", (t: (String, String, String, Array[String], Array[String])) => t._5))) {
+      val mine = toksOf(target)
+      val expect = mine.distinct.sorted.map { t =>
+        Seq[Any](t, mine.count(_ == t).toLong,
+          rows.count(r => toksOf(r).contains(t)).toLong,
+          rows.map(r => toksOf(r).count(_ == t).toLong).sum)
+      }.toSeq
+      val got = sr.termVectors(target._1, target._2, target._3, field)
+        .collect().map(_.toSeq).toSeq
+      assert(got == expect, s"field $field")
+    }
   }
 
   test("content pattern expansion never leaks into the field: namespace") {
