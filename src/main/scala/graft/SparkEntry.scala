@@ -2105,6 +2105,26 @@ object SparkEntry {
         .select(col("docId"), col("path").cast("bigint").as("doc_id"))
         .join(broadcast(hits), Seq("docId"))
         .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `_cat/shards`: per-shard docs / postings / encoded blocks /
+    // content-token totals MEASURED from the index relations; the oracle
+    // recomputes them — including the ⌈postings/blockSize⌉ packing
+    // invariant per (term, shard) — from the raw corpus, a standing gate
+    // on the pack stage's on-disk layout. Own small-shard index
+    // (docsPerShard 128 → 4 real shards; dense docIds = doc_id order).
+    "fts63_shard_stats" -> ((s, d) => {
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts63-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 128L, buildBuckets = 2)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).shardStats()
     })
   )
 
@@ -3301,7 +3321,26 @@ object SparkEntry {
            |         FROM sc GROUP BY 1,2),
            |raw AS (SELECT doc_id, sum(ts) AS r FROM tokg GROUP BY 1)
            |SELECT doc_id, round(r, 4) AS score FROM raw
-           |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin
+           |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin,
+      // dense docIds equal doc_id here (identity sort order == zero-padded
+      // doc_id order), so shard = doc_id // docsPerShard; postings = per
+      // doc distinct content terms + the two keyword terms; blocks =
+      // Σ ⌈per-(term,shard) postings / 128⌉
+      "fts63_shard_stats" ->
+        s"""WITH dt AS (SELECT doc_id, lang, $tokExpr AS tk FROM documents),
+           |base AS (SELECT doc_id, doc_id // 128 AS shard,
+           |         cast(len(tk) AS bigint) AS dl FROM dt),
+           |ex AS (SELECT doc_id, unnest(list_distinct(tk)) AS term FROM dt
+           |       UNION ALL SELECT doc_id, 'lang:' || lang FROM dt
+           |       UNION ALL SELECT doc_id, 'repo:docs' FROM dt),
+           |ps AS (SELECT doc_id // 128 AS shard, term, count(*) AS c
+           |       FROM ex GROUP BY 1, 2),
+           |d AS (SELECT shard, cast(count(*) AS bigint) AS num_docs,
+           |      cast(sum(dl) AS bigint) AS sum_dl FROM base GROUP BY 1),
+           |p AS (SELECT shard, cast(sum(c) AS bigint) AS num_postings,
+           |      cast(sum(ceil(c / 128.0)) AS bigint) AS num_blocks FROM ps GROUP BY 1)
+           |SELECT d.shard, d.num_docs, p.num_postings, p.num_blocks, d.sum_dl
+           |FROM d JOIN p USING (shard) ORDER BY d.shard""".stripMargin
     )
   }
 }

@@ -1761,6 +1761,26 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * whose relations drifted from the published `meta.json` fails loudly
     * instead of silently mis-scoring (df/N/avgdl all feed BM25). One row:
     * (num_docs, num_terms, num_postings, sum_dl, avg_dl). */
+  /** ES `_cat/shards` analogue: per-SHARD statistics measured from the
+    * index relations — documents, content-token total, postings, and
+    * encoded block count per shard. The block count is a PACKING
+    * invariant (⌈postings/blockSize⌉ per (term, shard)) the DuckDB oracle
+    * recomputes from the raw corpus, so this row is a standing gate on
+    * the pack stage's on-disk layout, the same way [[indexStats]] gates
+    * the dictionary. One partial-aggregated pass per relation. */
+  def shardStats(): DataFrame = {
+    val d = docsDf
+      .groupBy(expr(s"docId div ${meta.docsPerShard}").as("shard"))
+      .agg(sqlCount(lit(1)).as("num_docs"), sum("dl").as("sum_dl"))
+    val b = blocksDf
+      .groupBy(col("shard"))
+      .agg(sum(col("n")).as("num_postings"), sqlCount(lit(1)).as("num_blocks"))
+    d.join(b, Seq("shard"))
+      .select(col("shard"), col("num_docs"), col("num_postings"),
+        col("num_blocks"), col("sum_dl"))
+      .orderBy(asc("shard"))
+  }
+
   def indexStats(): DataFrame = {
     val d = docsDf.agg(sqlCount(lit(1)).as("n"), sum("dl").as("s")).head()
     val (nDocs, sumDl) = (d.getLong(0), d.getLong(1))
