@@ -2125,6 +2125,34 @@ object SparkEntry {
         new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
       }
       new Searcher(s, idxDir).shardStats()
+    }),
+
+    // ES keyword ARRAY field (the reference's tarray(tstr)→keyword
+    // mapping — per-sample/tag lists, `elasticsearch_utils.py:70-121`):
+    // an array<string> keyword column emits one `field:value` filter term
+    // per DISTINCT element, so `tags:v` is ES `term` on an array field —
+    // matches every doc whose list CONTAINS v; scoring/stats untouched.
+    // Own cached index (array-keyword mapping).
+    "fts64_keyword_array" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), array(col("lang"), col("source")).as("tags"),
+        col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts64-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang", "repo", "tags")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).search("merge tags:src3", 20).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
     })
   )
 
@@ -3340,7 +3368,25 @@ object SparkEntry {
            |p AS (SELECT shard, cast(sum(c) AS bigint) AS num_postings,
            |      cast(sum(ceil(c / 128.0)) AS bigint) AS num_blocks FROM ps GROUP BY 1)
            |SELECT d.shard, d.num_docs, p.num_postings, p.num_blocks, d.sum_dl
-           |FROM d JOIN p USING (shard) ORDER BY d.shard""".stripMargin
+           |FROM d JOIN p USING (shard) ORDER BY d.shard""".stripMargin,
+      // ES term query on an array field: filter = list containment;
+      // statistics stay index-wide (keyword filters never affect idf/avgdl)
+      "fts64_keyword_array" ->
+        s"""WITH dt AS (SELECT doc_id, lang, source, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, lang, source, cast(len(tk) AS bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, lang, source, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, lang, source, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term = 'merge' GROUP BY 1,2,3,4,5),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |raw AS (SELECT doc_id, sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))) AS r
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |WHERE list_contains([tf.lang, tf.source], 'src3')
+           |GROUP BY doc_id)
+           |SELECT doc_id, round(r, 4) AS score FROM raw
+           |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin
     )
   }
 }

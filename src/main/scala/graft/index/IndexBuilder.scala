@@ -144,8 +144,11 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       for (c <- cfg.fields.keyword ++ cfg.fields.storedOnly ++ cfg.fields.analyzed)
         require(corpus.columns.contains(c), s"field-config column '$c' not in corpus schema")
       for (c <- cfg.fields.keyword)
-        require(corpus.schema(c).dataType == StringType,
-          s"keyword field '$c' must be a string column (tstr→keyword rule)")
+        require(corpus.schema(c).dataType == StringType ||
+          corpus.schema(c).dataType.isInstanceOf[ArrayType] &&
+            corpus.schema(c).dataType.asInstanceOf[ArrayType].elementType == StringType,
+          s"keyword field '$c' must be a string or array<string> column " +
+            s"(tstr/tarray(tstr)→keyword rule)")
       for (c <- cfg.fields.analyzed) {
         require(c != "content", "'content' is always analyzed; list only EXTRA fields")
         require(corpus.schema(c).dataType == StringType,
@@ -228,10 +231,21 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
           // reference `elasticsearch_utils.py:39-48`): posting-listed like
           // content terms but never scored, and excluded from dl. The
           // tokenizer strips ':' so these can't collide with content terms.
+          // An array<string> keyword column (the tarray(tstr)→keyword-array
+          // mapping — per-sample/tag lists) emits one filter term per
+          // DISTINCT element: `f:v` matches documents whose list contains v.
           val kwPos: Seq[Long] = if (withPositions) Seq(0L) else emptyPos
           keywordIdx.foreach { case (name, idx) =>
-            if (!r.isNullAt(idx))
-              termsBuf += org.apache.spark.sql.Row(s"$name:${r.getString(idx)}", 1L, kwPos, 1L)
+            if (!r.isNullAt(idx)) r.get(idx) match {
+              case v: String =>
+                termsBuf += org.apache.spark.sql.Row(s"$name:$v", 1L, kwPos, 1L)
+              case vs: scala.collection.Seq[_] =>
+                vs.iterator.collect { case e: String => e }.toSet[String].foreach { e =>
+                  termsBuf += org.apache.spark.sql.Row(s"$name:$e", 1L, kwPos, 1L)
+                }
+              case other => throw new IllegalStateException(
+                s"keyword field '$name' has unsupported value type ${other.getClass}")
+            }
           }
           // extra analyzed fields (ES multi-field mapping): the field's
           // token stream as `field:token` tagged terms carrying the FIELD's

@@ -18,7 +18,7 @@ object IndexMaintenance {
 
   private val KeyCols = Seq("repo", "path", "commit")
   /** columns that define index structure — never patchable */
-  private val Structural = Set("docId", "sha256", "dl", "lang")
+  private val Structural = Set("docId", "sha256", "dl")
 
   /** Patch/add stored document fields. `updates` must carry the identity
     * key columns plus the fields to set; rows for unknown documents are
@@ -32,9 +32,13 @@ object IndexMaintenance {
       io: TableIO = ParquetDirIO): Unit = {
     val updCols = updates.columns.filterNot(KeyCols.contains).toSeq
     require(updCols.nonEmpty, "no update columns given")
-    val bad = updCols.filter(Structural.contains)
+    // a keyword/analyzed column's stored value must stay in sync with its
+    // postings — patching one would silently desync filters/scores
+    val meta = Json.read(s"$indexDir/meta.json", classOf[IndexMeta])
+    val protectedCols = Structural ++ meta.keywords ++ meta.analyzed
+    val bad = updCols.filter(protectedCols.contains)
     require(bad.isEmpty,
-      s"structural columns cannot be patched (rebuild instead): ${bad.mkString(",")}")
+      s"structural/indexed columns cannot be patched (rebuild instead): ${bad.mkString(",")}")
 
     val docsDir = s"$indexDir/docs"
     io.recover(spark, docsDir) // heal a prior update that died mid-swap

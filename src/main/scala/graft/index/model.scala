@@ -44,17 +44,23 @@ final case class FieldConfig(
     analyzed: Seq[String] = Nil)
 
 object FieldConfig {
-  /** Derive from the corpus schema: every string column except the analyzed
-    * `content` and the `storedOnly` overrides becomes a keyword field —
-    * the reference's tstr→keyword rule. */
+  /** Derive from the corpus schema: every string column — and every
+    * array<string> column, the reference's tarray(tstr)→keyword-array
+    * rule (per-sample/tag lists) — except the analyzed `content` and the
+    * `storedOnly` overrides becomes a keyword field. */
   def derive(
       schema: org.apache.spark.sql.types.StructType,
-      storedOnly: Set[String] = Set.empty): FieldConfig = FieldConfig(
-    keyword = schema.fields.collect {
-      case f if f.dataType == org.apache.spark.sql.types.StringType &&
-        f.name != "content" && !storedOnly.contains(f.name) => f.name
-    }.toSeq,
-    storedOnly = storedOnly.toSeq.sorted)
+      storedOnly: Set[String] = Set.empty): FieldConfig = {
+    import org.apache.spark.sql.types._
+    FieldConfig(
+      keyword = schema.fields.collect {
+        case f if (f.dataType == StringType ||
+          (f.dataType.isInstanceOf[ArrayType] &&
+            f.dataType.asInstanceOf[ArrayType].elementType == StringType)) &&
+          f.name != "content" && !storedOnly.contains(f.name) => f.name
+      }.toSeq,
+      storedOnly = storedOnly.toSeq.sorted)
+  }
 }
 
 final case class IndexConfig(

@@ -319,6 +319,38 @@ class MultiMatchSpec extends AnyFunSuite {
     }
   }
 
+  test("array keyword field: term filter is list containment; derive maps array<string>") {
+    val dir = Files.createTempDirectory("graft-kwarr").toString
+    val corpus = CorpusGen.generate(spark, 120, seed = 41, partitions = 4).toDF()
+      .withColumn("tags", array(col("lang"), substring(col("commit"), 1, 1)))
+    val kcfg = IndexConfig(buildPartitions = 8, docsPerShard = 64L, blockSize = 16,
+      buildBuckets = 2, fields = FieldConfig(keyword = Seq("lang", "repo", "tags")))
+    new IndexBuilder(spark, kcfg).build(corpus, s"$dir/idx", resume = false)
+    val sr = new Searcher(spark, s"$dir/idx")
+    val got = sr.scan("def tags:scala")
+      .select("repo", "path", "commit").collect().map(_.toSeq).toSet
+    val want = corpus
+      .filter(array_contains(col("tags"), "scala") &&
+        array_contains(graft.analysis.Analyzer.analyze(col("content")), "def"))
+      .select("repo", "path", "commit").collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    // scores with the filter are identical to the unfiltered scores
+    // (keyword filters never touch statistics)
+    val scoresAll = sr.search("def", 500).map(h => h.docId -> h.score).toMap
+    sr.search("def tags:scala", 500).foreach { h =>
+      assert(scoresAll(h.docId) == h.score)
+    }
+    // schema-derived field plan treats array<string> as keyword
+    val derived = FieldConfig.derive(corpus.schema)
+    assert(derived.keyword.contains("tags"))
+    // updateDocFields refuses to patch an indexed (keyword) column
+    intercept[IllegalArgumentException] {
+      graft.index.IndexMaintenance.updateDocFields(spark, s"$dir/idx",
+        corpus.limit(1).select(col("repo"), col("path"), col("commit"),
+          lit("x").as("lang")))
+    }
+  }
+
   test("content pattern expansion never leaks into the field: namespace") {
     val dir = Files.createTempDirectory("graft-mm").toString
     val corpus = corpusWithTitle(100, seed = 35)
