@@ -2153,6 +2153,27 @@ object SparkEntry {
         .select(col("docId"), col("path").cast("bigint").as("doc_id"))
         .join(broadcast(hits), Seq("docId"))
         .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `terms` aggregation on an ARRAY field: each matching document
+    // counts once per DISTINCT element of its list (the ES array-bucketing
+    // rule), buckets ordered (count desc, value asc). Shares fts64's
+    // cached array-keyword index.
+    "fts65_facets_array" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), array(col("lang"), col("source")).as("tags"),
+        col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts64-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang", "repo", "tags")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).facets("merge", "tags", 10).toSeq.toDF("value", "cnt")
     })
   )
 
@@ -3386,7 +3407,13 @@ object SparkEntry {
            |WHERE list_contains([tf.lang, tf.source], 'src3')
            |GROUP BY doc_id)
            |SELECT doc_id, round(r, 4) AS score FROM raw
-           |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin
+           |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin,
+      "fts65_facets_array" ->
+        s"""WITH dt AS (SELECT doc_id, lang, source, $tokExpr AS tk FROM documents),
+           |m AS (SELECT doc_id, lang, source FROM dt WHERE list_contains(tk, 'merge')),
+           |v AS (SELECT doc_id, unnest(list_distinct([lang, source])) AS value FROM m)
+           |SELECT value, count(*) AS cnt FROM v GROUP BY 1
+           |ORDER BY cnt DESC, value ASC LIMIT 10""".stripMargin
     )
   }
 }

@@ -702,12 +702,21 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     * partial-aggregated count → TakeOrdered(topN). */
   def facets(query: String, field: String, topN: Int): Array[(String, Long)] = {
     val docsSchema = io.read(spark, s"${segs.head._1}/docs").schema
-    require(docsSchema.fieldNames.contains(field),
-      s"facet field '$field' is not a stored docs column (have: ${docsSchema.fieldNames.mkString(", ")})")
-    matchedSegDoc(query)
+    val f = docsSchema.fields.find(_.name == field).getOrElse(
+      throw new IllegalArgumentException(
+        s"facet field '$field' is not a stored docs column (have: ${docsSchema.fieldNames.mkString(", ")})"))
+    val matched = matchedSegDoc(query)
       .join(taggedUnion("docs", Seq("docId", field)), Seq("seg", "docId"))
       .filter(col(field).isNotNull)
-      .groupBy(col(field).cast("string").as("value"))
+    // array fields bucket per DISTINCT element, as in [[Searcher.facets]]
+    val bucketed = f.dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, _) =>
+        matched.select(explode(array_distinct(col(field))).as("value"))
+          .select(col("value").cast("string").as("value"))
+      case _ => matched.select(col(field).cast("string").as("value"))
+    }
+    bucketed
+      .groupBy("value")
       .agg(sqlCount(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("value"))
       .limit(topN)

@@ -663,12 +663,22 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * docs relation on docId → partial-aggregated groupBy(field) →
     * TakeOrdered(topN). */
   def facets(query: String, field: String, topN: Int): Array[(String, Long)] = {
-    require(docsDf.columns.contains(field),
-      s"facet field '$field' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})")
+    val f = docsDf.schema.fields.find(_.name == field).getOrElse(
+      throw new IllegalArgumentException(
+        s"facet field '$field' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})"))
     val pq = Searcher.parseFull(query, meta.keywords.toSet)
-    docsDf.join(matchIdsDs(pq).toDF("docId"), Seq("docId"))
+    val matched = docsDf.join(matchIdsDs(pq).toDF("docId"), Seq("docId"))
       .filter(col(field).isNotNull)
-      .groupBy(col(field).cast("string").as("value"))
+    // an array field buckets per DISTINCT element (the ES terms-agg rule
+    // for array fields: a doc counts once per distinct value it carries)
+    val bucketed = f.dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, _) =>
+        matched.select(explode(array_distinct(col(field))).as("value"))
+          .select(col("value").cast("string").as("value"))
+      case _ => matched.select(col(field).cast("string").as("value"))
+    }
+    bucketed
+      .groupBy("value")
       .agg(sqlCount(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("value"))
       .limit(topN)
