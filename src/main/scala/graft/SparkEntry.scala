@@ -2174,6 +2174,70 @@ object SparkEntry {
         new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
       }
       new Searcher(s, idxDir).facets("merge", "tags", 10).toSeq.toDF("value", "cnt")
+    }),
+
+    // ES `nested` field (the reference's tarray(tstruct)→nested mapping,
+    // `elasticsearch_utils.py:55-59`): an array<struct> column where a
+    // nested query's clauses must hit the SAME element (Lucene block-join
+    // semantics) — here symbols = [(first token, lang), (third token,
+    // source)], so clauses (name=the, kind=en) match only docs whose
+    // FIRST token is 'the' AND lang='en' together, never cross-element.
+    // Two-phase engine plan: `symbols.sub:value` candidate postings →
+    // same-element verify on the stored column → scored WAND over the
+    // verified accept set. Own cached index.
+    "fts66_nested" -> ((s, d) => {
+      import s.implicits._
+      val tk = filter(split(lower(col("text")), "[^a-z0-9]+"), x => length(x) > 0)
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"),
+        array(
+          struct(try_element_at(tk, lit(1)).as("name"), col("lang").as("kind")),
+          struct(try_element_at(tk, lit(3)).as("name"), col("source").as("kind")))
+          .as("symbols"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts66-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang", "repo"),
+          nested = Seq("symbols")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir)
+        .searchNested("merge", "symbols", Seq("name" -> "the", "kind" -> "en"), 20)
+        .toSeq.toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES `nested` terms aggregation: the bucket unit is the nested ELEMENT
+    // (Lucene's hidden child doc) — every element of every query-matching
+    // parent counts once, null sub-values skipped. Shares fts66's cached
+    // nested index.
+    "fts67_nested_agg" -> ((s, d) => {
+      import s.implicits._
+      val tk = filter(split(lower(col("text")), "[^a-z0-9]+"), x => length(x) > 0)
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"),
+        array(
+          struct(try_element_at(tk, lit(1)).as("name"), col("lang").as("kind")),
+          struct(try_element_at(tk, lit(3)).as("name"), col("source").as("kind")))
+          .as("symbols"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts66-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang", "repo"),
+          nested = Seq("symbols")))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      new Searcher(s, idxDir).nestedFacets("merge", "symbols", "name", 10)
+        .toSeq.toDF("value", "cnt")
     })
   )
 
@@ -3413,6 +3477,34 @@ object SparkEntry {
            |m AS (SELECT doc_id, lang, source FROM dt WHERE list_contains(tk, 'merge')),
            |v AS (SELECT doc_id, unnest(list_distinct([lang, source])) AS value FROM m)
            |SELECT value, count(*) AS cnt FROM v GROUP BY 1
+           |ORDER BY cnt DESC, value ASC LIMIT 10""".stripMargin,
+      // ES nested query: same-element clause conjunction over the
+      // synthesized 2-element array [(tk[1], lang), (tk[3], source)] — the
+      // filter gates candidates only, statistics stay index-wide
+      "fts66_nested" ->
+        s"""WITH dt AS (SELECT doc_id, lang, source, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) AS bigint) AS dl, tk,
+           |        ((tk[1] = 'the' AND lang = 'en') OR (tk[3] = 'the' AND source = 'en'))
+           |          AS nest_ok FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, nest_ok, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, nest_ok, unnest(tk) AS term FROM doc)
+           |       WHERE term = 'merge' GROUP BY 1,2,3,4),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |raw AS (SELECT doc_id, sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))) AS r
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |WHERE tf.nest_ok GROUP BY doc_id)
+           |SELECT doc_id, round(r, 4) AS score FROM raw
+           |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin,
+      // ES nested terms aggregation: bucket unit = nested element (each
+      // element of each matching parent counts once; null names skipped)
+      "fts67_nested_agg" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |m AS (SELECT doc_id, tk FROM dt WHERE list_contains(tk, 'merge')),
+           |v AS (SELECT unnest([tk[1], tk[3]]) AS value FROM m)
+           |SELECT value, count(*) AS cnt FROM v WHERE value IS NOT NULL GROUP BY 1
            |ORDER BY cnt DESC, value ASC LIMIT 10""".stripMargin
     )
   }

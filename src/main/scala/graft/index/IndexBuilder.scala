@@ -128,8 +128,9 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     // per-field full-text postings (the ES multi-field mapping) and are
     // stored too. All sets may extend past the standard five columns.
     val baseCols = Seq("repo", "path", "commit", "lang", "content")
-    val extraCols = (cfg.fields.keyword ++ cfg.fields.storedOnly ++ cfg.fields.analyzed)
-      .distinct.filterNot(baseCols.contains)
+    val extraCols =
+      (cfg.fields.keyword ++ cfg.fields.storedOnly ++ cfg.fields.analyzed ++ cfg.fields.nested)
+        .distinct.filterNot(baseCols.contains)
     val selCols = baseCols ++ extraCols
 
     // ---- stage 0: single tokenize pass over content → columnar doc/tf rows
@@ -141,8 +142,19 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     val doctfDir = s"$staging/_doctf"
     val doctfManifest: StageManifest = loadIfDone(doctfDir, inputFp).getOrElse(stage("doctf") {
       import org.apache.spark.sql.types._
-      for (c <- cfg.fields.keyword ++ cfg.fields.storedOnly ++ cfg.fields.analyzed)
+      for (c <- cfg.fields.keyword ++ cfg.fields.storedOnly ++ cfg.fields.analyzed ++
+        cfg.fields.nested)
         require(corpus.columns.contains(c), s"field-config column '$c' not in corpus schema")
+      for (c <- cfg.fields.nested) {
+        val dt = corpus.schema(c).dataType
+        require(dt.isInstanceOf[ArrayType] &&
+          dt.asInstanceOf[ArrayType].elementType.isInstanceOf[StructType],
+          s"nested field '$c' must be an array<struct> column " +
+            s"(tarray(tstruct)→nested rule); got ${dt.simpleString}")
+        require(!cfg.fields.keyword.contains(c) && !cfg.fields.storedOnly.contains(c) &&
+          !cfg.fields.analyzed.contains(c),
+          s"field '$c' cannot be both nested and keyword/storedOnly/analyzed")
+      }
       for (c <- cfg.fields.keyword)
         require(corpus.schema(c).dataType == StringType ||
           corpus.schema(c).dataType.isInstanceOf[ArrayType] &&
@@ -162,6 +174,22 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         cfg.fields.keyword.map(k => k -> inSchema.fieldIndex(k)).toArray
       val analyzedIdx: Array[(String, Int)] =
         cfg.fields.analyzed.map(k => k -> inSchema.fieldIndex(k)).toArray
+      // nested plan: (column name, column index, [(subField name, subField
+      // ordinal)]) — term-emitting sub-fields only (string / integral /
+      // boolean; float leaves stay stored-and-verifiable but emit no terms,
+      // ES-style numeric filters on them belong to range queries)
+      val nestedIdx: Array[(String, Int, Array[(String, Int)])] =
+        cfg.fields.nested.map { c =>
+          val i = inSchema.fieldIndex(c)
+          val st = inSchema(i).dataType.asInstanceOf[ArrayType]
+            .elementType.asInstanceOf[StructType]
+          val subs = st.fields.zipWithIndex.collect {
+            case (f, j) if f.dataType == StringType || f.dataType == BooleanType ||
+              f.dataType == IntegerType || f.dataType == LongType ||
+              f.dataType == ShortType || f.dataType == ByteType => (f.name, j)
+          }
+          (c, i, subs)
+        }.toArray
       val storedExtra: Array[(String, Int)] =
         extraCols.map(c => c -> inSchema.fieldIndex(c)).toArray
       val contentIdx = inSchema.fieldIndex("content")
@@ -245,6 +273,25 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
                 }
               case other => throw new IllegalStateException(
                 s"keyword field '$name' has unsupported value type ${other.getClass}")
+            }
+          }
+          // nested-field candidate terms (the ES `nested` mapping analogue,
+          // reference `elasticsearch_utils.py:55-59`): one `field.sub:value`
+          // filter term per DISTINCT (sub-field, value) across the array's
+          // elements. These prune candidates only — same-element
+          // co-occurrence is verified at query time against the STORED
+          // column (the block-join result as a two-phase plan).
+          nestedIdx.foreach { case (name, idx, subs) =>
+            if (!r.isNullAt(idx)) {
+              val seen = new java.util.HashSet[String]()
+              r.getSeq[org.apache.spark.sql.Row](idx).foreach { e =>
+                if (e != null) subs.foreach { case (sub, j) =>
+                  if (!e.isNullAt(j)) {
+                    val term = s"$name.$sub:${String.valueOf(e.get(j))}"
+                    if (seen.add(term)) termsBuf += org.apache.spark.sql.Row(term, 1L, kwPos, 1L)
+                  }
+                }
+              }
             }
           }
           // extra analyzed fields (ES multi-field mapping): the field's
@@ -599,7 +646,8 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     val meta = IndexMeta(numDocs, sumDl, numTerms, numPostings, numBlocks,
       Analyzer.Version, cfg.k1, cfg.b, cfg.blockSize, cfg.docsPerShard, lineage, cfg.configHash,
       keywordFields = cfg.fields.keyword, hasPositions = cfg.storePositions,
-      analyzedExtra = cfg.fields.analyzed, userMeta = cfg.userMeta)
+      analyzedExtra = cfg.fields.analyzed, nestedFields = cfg.fields.nested,
+      userMeta = cfg.userMeta)
     Json.write(s"$staging/meta.json", meta)
     cfg.io.dropTree(spark, doctfDir)
     cfg.io.dropTree(spark, tfDir)

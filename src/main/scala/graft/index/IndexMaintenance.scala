@@ -35,7 +35,7 @@ object IndexMaintenance {
     // a keyword/analyzed column's stored value must stay in sync with its
     // postings — patching one would silently desync filters/scores
     val meta = Json.read(s"$indexDir/meta.json", classOf[IndexMeta])
-    val protectedCols = Structural ++ meta.keywords ++ meta.analyzed
+    val protectedCols = Structural ++ meta.keywords ++ meta.analyzed ++ meta.nested
     val bad = updCols.filter(protectedCols.contains)
     require(bad.isEmpty,
       s"structural/indexed columns cannot be patched (rebuild instead): ${bad.mkString(",")}")

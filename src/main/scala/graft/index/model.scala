@@ -41,13 +41,23 @@ package graft.index
 final case class FieldConfig(
     keyword: Seq[String] = Seq("lang", "repo"),
     storedOnly: Seq[String] = Nil,
-    analyzed: Seq[String] = Nil)
+    analyzed: Seq[String] = Nil,
+    /** `nested` columns are array<struct> (the reference's
+      * tarray(tstruct)→ES `nested` mapping, `elasticsearch_utils.py:55-59`):
+      * each element's atomic sub-fields emit `field.sub:value` filter terms
+      * (per DISTINCT (sub, value) per doc — candidate pruning), and the
+      * whole column is stored so the query path can verify that all clauses
+      * of a nested query hit the SAME element (Lucene's block-join result,
+      * achieved as a two-phase candidates→verify plan). */
+    nested: Seq[String] = Nil)
 
 object FieldConfig {
   /** Derive from the corpus schema: every string column — and every
     * array<string> column, the reference's tarray(tstr)→keyword-array
     * rule (per-sample/tag lists) — except the analyzed `content` and the
-    * `storedOnly` overrides becomes a keyword field. */
+    * `storedOnly` overrides becomes a keyword field; every array<struct>
+    * column becomes a `nested` field (the tarray(tstruct)→nested rule,
+    * `elasticsearch_utils.py:55-59`). */
   def derive(
       schema: org.apache.spark.sql.types.StructType,
       storedOnly: Set[String] = Set.empty): FieldConfig = {
@@ -59,7 +69,12 @@ object FieldConfig {
             f.dataType.asInstanceOf[ArrayType].elementType == StringType)) &&
           f.name != "content" && !storedOnly.contains(f.name) => f.name
       }.toSeq,
-      storedOnly = storedOnly.toSeq.sorted)
+      storedOnly = storedOnly.toSeq.sorted,
+      nested = schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] &&
+          f.dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[StructType] &&
+          !storedOnly.contains(f.name) => f.name
+      }.toSeq)
   }
 }
 
@@ -102,7 +117,8 @@ final case class IndexConfig(
     val s = s"${graft.analysis.Analyzer.Version}|$docsPerShard|$blockSize|$k1|$b" +
       s"|k=${fields.keyword.mkString(",")}|s=${fields.storedOnly.mkString(",")}" +
       s"|p=$storePositions" +
-      (if (fields.analyzed.isEmpty) "" else s"|a=${fields.analyzed.mkString(",")}")
+      (if (fields.analyzed.isEmpty) "" else s"|a=${fields.analyzed.mkString(",")}") +
+      (if (fields.nested.isEmpty) "" else s"|nf=${fields.nested.mkString(",")}")
     java.lang.Long.toHexString(
       s.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
   }
@@ -202,6 +218,10 @@ final case class IndexMeta(
       * with per-field dl; per-field stats live on the `field:` marker's
       * dictionary row (null-safe default for older metas) */
     analyzedExtra: Seq[String] = Nil,
+    /** nested (array<struct>) columns — per-element `field.sub:value`
+      * candidate terms + stored column for same-element verification
+      * (null-safe default for metas written before this field existed) */
+    nestedFields: Seq[String] = Nil,
     /** caller-supplied metadata stamped into the published index — the
       * reference's `_meta` globals export (dataset provenance, genome
       * version, seed: `hail_elasticsearch_client.py:90,177-181`). Purely
@@ -212,6 +232,7 @@ final case class IndexMeta(
   def keywords: Seq[String] =
     if (keywordFields == null) Seq("lang", "repo") else keywordFields
   def analyzed: Seq[String] = if (analyzedExtra == null) Nil else analyzedExtra
+  def nested: Seq[String] = if (nestedFields == null) Nil else nestedFields
   def meta: Map[String, String] = if (userMeta == null) Map.empty else userMeta
 }
 

@@ -265,13 +265,18 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     val (plans, gAvgdl) = planQueries(queries)
     if (plans.isEmpty) return queries.map(_ => Array.empty[ScoredHit])
     val kByIdx: Map[Int, Int] = plans.map(pl => pl.qIdx -> pl.k).toMap
+    resolveHits(kernelTopK(plans, gAvgdl, p), queries.length, kByIdx)
+  }
 
-    val perSeg = kernelTopK(plans, gAvgdl, p)
-    if (perSeg.isEmpty) return queries.map(_ => Array.empty[ScoredHit])
-
-    // ---- action 2 (tiny): identities for the ≤ Σk·S collected candidates —
-    // a predicate scan of the PINNED docs relation, no broadcast exchange,
-    // no recompute of the kernel plan
+  /** Identity resolution + driver-side final merge shared by the scored
+    * entry points: one tiny predicate scan of the PINNED docs relation for
+    * the ≤ Σk·S collected candidates (no broadcast exchange, no recompute
+    * of the kernel plan), then per-query merge where the cross-segment
+    * tie-break is document identity — which in a fresh single build IS the
+    * docId order, so rankings are rank-identical to a fresh build. */
+  private def resolveHits(perSeg: Array[(Int, Int, Long, Double)], nQueries: Int,
+      kByIdx: Map[Int, Int]): Seq[Array[ScoredHit]] = {
+    if (perSeg.isEmpty) return Seq.fill(nQueries)(Array.empty[ScoredHit])
     val bySegIds: Map[Int, Array[Long]] =
       perSeg.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).distinct }
     val idPred = bySegIds.map { case (s, ids) =>
@@ -282,10 +287,8 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
         .map(r => (r.getInt(0), r.getLong(1)) ->
           ((r.getString(2), r.getString(3), r.getString(4)))).toMap
 
-    // driver-side final merge: cross-segment tie-break is document identity,
-    // which in a fresh single build IS the docId order — rank-identical
     val byQuery = perSeg.groupBy(_._1)
-    queries.indices.map { qi =>
+    (0 until nQueries).map { qi =>
       byQuery.getOrElse(qi, Array.empty)
         .map { case (_, s, d, score) =>
           val (repo, path, commit) = idents((s, d))
@@ -317,12 +320,82 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     }
   }
 
+  /** ES `nested` query over the segmented index — [[Searcher.searchNested]]
+    * semantics, exact across segments: top-k BM25 over `query` (global
+    * statistics) restricted to documents where ONE element of the nested
+    * `path` column satisfies ALL `clauses` (same-element verification
+    * against each segment's stored column). An empty/filter-only `query` is
+    * pure filter context: constant score 0, identity order. Two-phase plan
+    * per the single-segment contract: per-segment candidate conjunction over
+    * the `path.sub:value` candidate terms' postings, same-element verify on
+    * the column-pruned (seg, docId, path) docs scan, then the verified set
+    * rides the kernels' accept path (statistics untouched). */
+  def searchNested(query: String, path: String, clauses: Seq[(String, String)], k: Int,
+      minShouldMatch: Int = 1): Array[ScoredHit] = {
+    require(segs.head._2.nested.contains(path),
+      s"'$path' is not a nested field of this index (have: ${segs.head._2.nested.mkString(", ")})")
+    require(clauses.nonEmpty, "nested query needs at least one (subField, value) clause")
+    val ct = clauses.map { case (sub, v) => s"$path.$sub:$v" }.distinct
+    val dicts = lookup(ct)
+    val candPlans: Seq[MultiSearcher.SegPlan] = segs.indices.flatMap { s =>
+      val ids = ct.flatMap(dicts(s).get).map(_._1)
+      if (ids.length < ct.length) Nil // a missing candidate term matches nothing in this segment
+      else Seq(MultiSearcher.SegPlan(0, s, Map.empty, ids.toSet, k, Nil, Map.empty,
+        exactBounds = true))
+    }
+    if (candPlans.isEmpty) return Array.empty
+    val samePred = exists(col(path), e =>
+      clauses.map { case (sub, v) => e.getField(sub).cast("string") === lit(v) }
+        .reduce(_ && _))
+    val verified: Dataset[(Int, Int, Long)] =
+      taggedUnion("docs", Seq("docId", path))
+        .join(runMatchKernels(candPlans, avgdl).toDF("seg", "docId"), Seq("seg", "docId"))
+        .filter(samePred)
+        .select(lit(0).cast("int").as("q"), col("seg"), col("docId"))
+        .as[(Int, Int, Long)]
+
+    val kw = segs.head._2.keywords.toSet
+    val pq = Searcher.parseFull(query, kw)
+    if (!pq.hasScoringClauses && pq.phrases.isEmpty) {
+      // pure filter context (match_all / keyword filters / ranges only):
+      // every verified match at constant score 0, identity order
+      val m = matchedSegDoc(query, minShouldMatch)
+      val rows = m.join(verified.toDF("q", "seg", "docId").drop("q"), Seq("seg", "docId"),
+          "left_semi")
+        .join(docsAll, Seq("seg", "docId"))
+        .select("repo", "path", "commit")
+        .orderBy("repo", "path", "commit").limit(k).collect()
+      return rows.map(r => ScoredHit(r.getString(0), r.getString(1), r.getString(2), 0.0))
+    }
+
+    val (plans0, gAvgdl) = planQueries(Seq(query -> k))
+    if (plans0.isEmpty) return Array.empty
+    // a query-level range filter must INTERSECT the verified set (the
+    // accept channel is one set per query) — pre-intersect here, then strip
+    // ranges from the plans so acceptsKV doesn't re-add them disjunctively
+    val preIntersected: Dataset[(Int, Int, Long)] =
+      if (pq.ranges.isEmpty) verified
+      else {
+        val fields = pq.ranges.map(_.field).distinct.toSeq
+        val passing = taggedUnion("docs", Seq("docId") ++ fields)
+          .filter(pq.ranges.map(_.pred).reduce(_ && _))
+          .select("seg", "docId")
+        verified.toDF("q", "seg", "docId")
+          .join(passing, Seq("seg", "docId"), "left_semi")
+          .as[(Int, Int, Long)]
+      }
+    val plans = plans0.map(_.copy(ranges = Nil, needsAccept = true))
+    val kByIdx: Map[Int, Int] = plans.map(pl => pl.qIdx -> pl.k).toMap
+    resolveHits(kernelTopK(plans, gAvgdl, p, Some(preIntersected)), 1, kByIdx).head
+  }
+
   /** One action: blocks filter → per-(seg, shard) kernels → per-(query,
     * segment) top-k (docId tie-break — identical to identity order inside a
     * segment) → collect. Output is ≤ k per (query, segment): driver-bounded
     * by Σk·S, independent of shard count. */
   private def kernelTopK(plans: Seq[MultiSearcher.SegPlan], gAvgdl: Double,
-      params: Bm25Params): Array[(Int, Int, Long, Double)] = {
+      params: Bm25Params,
+      extraAccept: Option[Dataset[(Int, Int, Long)]] = None): Array[(Int, Int, Long, Double)] = {
     val plansBySeg: Map[Int, Seq[MultiSearcher.SegPlan]] = plans.groupBy(_.seg)
     val kByIdx: Map[Int, Int] = plans.map(pl => pl.qIdx -> pl.k).toMap
 
@@ -332,7 +405,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       plansBySeg(s).iterator.flatMap { pl =>
         val subset = arr.iterator.filter(b => pl.wantsBlock(b.termId))
         val accept =
-          if (pl.ranges.isEmpty) null
+          if (!pl.usesAccept) null
           else acceptByQ.getOrElse(pl.qIdx, Array.empty[Long])
         val hits =
           if (pl.phraseIdSeqs.nonEmpty)
@@ -346,7 +419,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     }
 
     val grouped = segBlocks(plansBySeg)
-    val perSeg = acceptsKV(plans) match {
+    val perSeg = acceptsKV(plans, extraAccept) match {
       case None =>
         grouped.flatMapGroups { (key, it) => run(key._1, it.map(_._2), Map.empty) }
       case Some(acc) =>
@@ -381,11 +454,15 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     * (segment, shard) for the kernel cogroup — ONE unioned scan of the
     * segments' docs relations with the range predicates pushed down. None
     * when no query carries a range filter. */
-  private def acceptsKV(plans: Seq[MultiSearcher.SegPlan])
+  private def acceptsKV(plans: Seq[MultiSearcher.SegPlan],
+      extra: Option[Dataset[(Int, Int, Long)]] = None)
       : Option[org.apache.spark.sql.KeyValueGroupedDataset[(Int, Long), (Int, Int, Long)]] = {
     val byQuery: Map[Int, Seq[Searcher.RangeFilter]] = plans
       .filter(_.ranges.nonEmpty).groupBy(_.qIdx).map { case (q, pls) => q -> pls.head.ranges }
-    if (byQuery.isEmpty) return None
+    if (byQuery.isEmpty) {
+      val dpsBySegE: Array[Long] = segs.map(_._2.docsPerShard).toArray
+      return extra.map(_.groupByKey(t => (t._2, t._3 / dpsBySegE(t._2))))
+    }
     val fields = byQuery.values.flatten.map(_.field).toSeq.distinct
     val docsSchema = io.read(spark, s"${segs.head._1}/docs").schema
     byQuery.values.flatten.foreach { r =>
@@ -400,11 +477,12 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     }
     val docsForRanges = taggedUnion("docs", Seq("docId") ++ fields)
     val dpsBySeg: Array[Long] = segs.map(_._2.docsPerShard).toArray
-    val accepts = byQuery.toSeq.map { case (q, rs) =>
+    val fromRanges = byQuery.toSeq.map { case (q, rs) =>
       docsForRanges.filter(rs.map(_.pred).reduce(_ && _))
         .select(lit(q).cast("int").as("q"), col("seg"), col("docId"))
         .as[(Int, Int, Long)]
     }.reduce(_ union _)
+    val accepts = extra.map(fromRanges.union).getOrElse(fromRanges)
     Some(accepts.groupByKey(t => (t._2, t._3 / dpsBySeg(t._2))))
   }
 
@@ -426,7 +504,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       plansBySeg(s).iterator.flatMap { pl =>
         val subset = arr.iterator.filter(b => pl.wantsBlock(b.termId))
         val accept =
-          if (pl.ranges.isEmpty) null
+          if (!pl.usesAccept) null
           else acceptByQ.getOrElse(pl.qIdx, Array.empty[Long])
         val ids =
           if (pl.phraseIdSeqs.nonEmpty)
@@ -469,7 +547,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       plansBySeg(s).iterator.flatMap { pl =>
         val subset = arr.iterator.filter(b => pl.wantsBlock(b.termId))
         val accept =
-          if (pl.ranges.isEmpty) null
+          if (!pl.usesAccept) null
           else acceptByQ.getOrElse(pl.qIdx, Array.empty[Long])
         if (pl.idfById.nonEmpty)
           Wand.scoreAll(subset, pl.idfById, pl.filterIds, gAvgdl, params,
@@ -968,7 +1046,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
         acceptByQ: Map[Int, Array[Long]]): Iterator[(Int, Long, Double)] = {
       val pl = plansBySeg(s).head
       val accept =
-        if (pl.ranges.isEmpty) null else acceptByQ.getOrElse(0, Array.empty[Long])
+        if (!pl.usesAccept) null else acceptByQ.getOrElse(0, Array.empty[Long])
       Wand.topKFields(blocks.filter(b => pl.wantsBlock(b.termId)), infoBySeg(s),
         nG, nT, pl.filterIds, gAvgdl, params, tb, md, kk, pl.excludeIds, accept, msm)
         .map(sd => (s, sd.docId, sd.score))
@@ -1242,11 +1320,16 @@ object MultiSearcher {
       excludeIds: Set[Long] = Set.empty,
       ranges: Seq[Searcher.RangeFilter] = Nil,
       /** per-phrase slop, parallel to [[phraseIdSeqs]] (empty = all 0) */
-      phraseSlops: Seq[Int] = Nil) {
+      phraseSlops: Seq[Int] = Nil,
+      /** restrict to an externally-supplied accept set (e.g. the verified
+        * docIds of a nested filter) even when `ranges` is empty */
+      needsAccept: Boolean = false) {
     def allTermIds: Iterable[Long] =
       idfById.keys ++ phraseIdfById.keys ++ filterIds ++ excludeIds
     def wantsBlock(termId: Long): Boolean =
       idfById.contains(termId) || phraseIdfById.contains(termId) ||
         filterIds.contains(termId) || excludeIds.contains(termId)
+    /** kernel must consult the cogrouped accept set for this plan */
+    def usesAccept: Boolean = ranges.nonEmpty || needsAccept
   }
 }

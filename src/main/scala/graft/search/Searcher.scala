@@ -293,7 +293,11 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * constant score 0, docId order. */
   def search(query: String, k: Int, from: Int = 0, minShouldMatch: Int = 1,
       after: ScoredDoc = null,
-      withinIds: Seq[(String, String, String)] = null): Array[ScoredDoc] = {
+      withinIds: Seq[(String, String, String)] = null): Array[ScoredDoc] =
+    searchImpl(query, k, from, minShouldMatch, after, acceptIdsOf(withinIds))
+
+  private def searchImpl(query: String, k: Int, from: Int, minShouldMatch: Int,
+      after: ScoredDoc, acceptIdsDs: Dataset[Long]): Array[ScoredDoc] = {
     require(from >= 0, s"from must be >= 0 (got $from)")
     require(from == 0 || after == null, "search_after cannot be combined with from (ES rule)")
     require(minShouldMatch >= 1, s"minShouldMatch must be >= 1 (got $minShouldMatch)")
@@ -304,7 +308,6 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     // terms like any other) reject candidates, never affect stats; a term
     // absent from the dictionary excludes nothing
     val excludeIds: Set[Long] = lookupTerms(pq.allExcluded.toSeq).map(_._1).toSet
-    val acceptIdsDs: Dataset[Long] = acceptIdsOf(withinIds)
     if (pq.phrases.nonEmpty)
       return searchPhrases(pq.phrases, pq.slops, (pq.terms ++ expanded).distinct, pq.filters,
         kEff, excludeIds, pq.boostOf, pq.ranges, after, acceptIdsDs).drop(from)
@@ -573,6 +576,106 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     docsDf.join(broadcast(hits), Seq("docId"))
       .select("docId", "repo", "path", "commit", "score")
       .orderBy(desc("score"), asc("docId"))
+  }
+
+  /** Validate a nested path + clause set against the index config and the
+    * stored docs schema; returns the element StructType. */
+  private def validateNested(
+      path: String, clauses: Seq[(String, String)]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    require(meta.nested.contains(path),
+      s"'$path' is not a nested field of this index (have: ${meta.nested.mkString(", ")})")
+    require(clauses.nonEmpty, "nested query needs at least one (subField, value) clause")
+    val st = docsDf.schema(path).dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    clauses.foreach { case (sub, _) =>
+      val f = st.fields.find(_.name == sub).getOrElse(throw new IllegalArgumentException(
+        s"'$sub' is not a sub-field of nested '$path' (have: ${st.fieldNames.mkString(", ")})"))
+      require(f.dataType == StringType || f.dataType == BooleanType ||
+        f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == ShortType || f.dataType == ByteType,
+        s"nested term clause on '$path.$sub' needs a string/integral/boolean " +
+          s"sub-field (got ${f.dataType.simpleString}); use range filters for floats")
+    }
+    st
+  }
+
+  /** Same-element Column predicate for a nested clause set — TRUE iff some
+    * element of `path` satisfies every clause (values compared through
+    * `cast(string)`, the same canonical form the index's `field.sub:value`
+    * candidate terms use). */
+  private def nestedPred(path: String, clauses: Seq[(String, String)]): Column =
+    exists(col(path), e =>
+      clauses.map { case (sub, v) => e.getField(sub).cast("string") === lit(v) }
+        .reduce(_ && _))
+
+  /** Verified docId accept set of an ES `nested` filter: documents with at
+    * least one element of `path` matching ALL clauses — the semantics
+    * Lucene's block-join gives `nested { bool { must: [term...] } } }`.
+    *
+    * Two-phase plan (candidates → verify), never a full docs scan:
+    *  1. candidate docIds from the conjunction of the per-element
+    *     `path.sub:value` candidate terms' postings (docs where every clause
+    *     matches in SOME element — a superset of the answer);
+    *  2. same-element verification against the STORED array<struct> column,
+    *     restricted to the candidates by an inner join (the docs-relation
+    *     scan reads only (docId, path) — column-pruned).
+    * None = some clause's candidate term is absent from the dictionary, so
+    * no element anywhere matches that clause → empty result. */
+  private def nestedAcceptIds(
+      path: String, clauses: Seq[(String, String)]): Option[Dataset[Long]] = {
+    validateNested(path, clauses)
+    val ct = clauses.map { case (sub, v) => s"$path.$sub:$v" }.distinct
+    val stats = lookupTerms(ct)
+    if (stats.length < ct.length) return None
+    val filterIds = stats.map(_._1).toSet
+    val avgdl = meta.avgdl
+    val params = p
+    val cand = blocksDf
+      .filter(col("termId").isin(filterIds.toSeq.map(Long.box): _*))
+      .as[PostingBlock]
+      .groupByKey(_.shard)
+      .flatMapGroups((_, b) => Wand.matchingConjunctive(b, filterIds, avgdl, params))
+    Some(docsDf
+      .join(cand.toDF("docId"), Seq("docId"))
+      .filter(nestedPred(path, clauses))
+      .select(col("docId")).as[Long])
+  }
+
+  /** ES `nested` query in bool filter context: top-k BM25 over `query`
+    * (full bool semantics — terms, keyword filters, negations, even
+    * phrases) restricted to documents where ONE element of the
+    * nested `path` column satisfies ALL `clauses` (same-element semantics —
+    * what distinguishes `nested` from a flat object mapping). An empty
+    * `query` is pure filter context: every nested-matching doc at constant
+    * score 0, docId order (ES bool-filter-only scoring). Statistics are
+    * untouched by the filter, as in ES. */
+  def searchNested(query: String, path: String, clauses: Seq[(String, String)], k: Int,
+      minShouldMatch: Int = 1): Array[ScoredDoc] =
+    nestedAcceptIds(path, clauses) match {
+      case None => Array.empty
+      case Some(ids) => searchImpl(query, k, 0, minShouldMatch, null, ids)
+    }
+
+  /** ES `nested` terms aggregation: buckets over `path.subField` where the
+    * UNIT is the nested element (Lucene's hidden child doc) — each element
+    * of each query-matching parent counts once, null sub-values skipped.
+    * Returns ≤ topN (value, count) ordered (count desc, value asc). */
+  def nestedFacets(query: String, path: String, subField: String, topN: Int)
+      : Array[(String, Long)] = {
+    validateNested(path, Seq(subField -> ""))
+    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    docsDf.join(matchIdsDs(pq).toDF("docId"), Seq("docId"))
+      .filter(col(path).isNotNull)
+      .select(explode(col(path)).as("e"))
+      .select(col("e").getField(subField).cast("string").as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy("value")
+      .agg(sqlCount(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("value"))
+      .limit(topN)
+      .as[(String, Long)]
+      .collect()
   }
 
   /** The query's FULL match set as a Dataset[docId] — the ES QUERY-CONTEXT
