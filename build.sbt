@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// suites are independent (per-test temp dirs, one shared SparkSession that
+// schedules concurrent jobs FIFO over local[8]) — running them in parallel
+// inside the forked JVM cuts the suite wall-clock ~3x on a 32-core host
+Test / testForkedParallel := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

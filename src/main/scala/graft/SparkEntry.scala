@@ -2238,6 +2238,59 @@ object SparkEntry {
       }
       new Searcher(s, idxDir).nestedFacets("merge", "symbols", "name", 10)
         .toSeq.toDF("value", "cnt")
+    }),
+
+    // Lucene/ES `span_near(inOrder=false)`: both terms within a window of
+    // ≤3 extra positions in EITHER order (the ordered variant is exactly
+    // the slop-phrase, fts34) — verified on decoded positions by the same
+    // conjunctive kernel, scored as the distinct-term BM25 sum. Shares the
+    // fts5 positions index.
+    "fts68_span_near" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts5-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12,
+        buildBuckets = 2, storePositions = true)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir)
+        .searchSpanNear(Seq("data", "merge"), 3, inOrder = false, 50).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // Lucene/ES `span_first`: the term must occur within the FIRST 20
+    // positions of the token stream ("matches near the start of the
+    // field"); scoring is the term's ordinary BM25 (full tf — the span
+    // only gates the match). Shares the fts5 positions index.
+    "fts69_span_first" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts5-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12,
+        buildBuckets = 2, storePositions = true)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir)
+        .searchSpanFirst(Seq("data"), 20, 50).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
     })
   )
 
@@ -3505,7 +3558,46 @@ object SparkEntry {
            |m AS (SELECT doc_id, tk FROM dt WHERE list_contains(tk, 'merge')),
            |v AS (SELECT unnest([tk[1], tk[3]]) AS value FROM m)
            |SELECT value, count(*) AS cnt FROM v WHERE value IS NOT NULL GROUP BY 1
-           |ORDER BY cnt DESC, value ASC LIMIT 10""".stripMargin
+           |ORDER BY cnt DESC, value ASC LIMIT 10""".stripMargin,
+      // span_near(inOrder=false): |p_a - p_b| - 1 <= 3 at distinct positions
+      "fts68_span_near" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |ppos AS (SELECT doc_id, unnest(tk) AS term, generate_subscripts(tk, 1) AS p FROM dt),
+           |pmatch AS (SELECT DISTINCT a.doc_id FROM ppos a JOIN ppos b
+           |           ON a.doc_id = b.doc_id AND a.term = 'data' AND b.term = 'merge'
+           |           AND a.p <> b.p AND abs(a.p - b.p) - 1 <= 3),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term IN ('data','merge') GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |WHERE doc_id IN (SELECT doc_id FROM pmatch)
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // span_first: an occurrence within the first 20 positions
+      // (generate_subscripts is 1-based; engine positions 0-based → p <= 20)
+      "fts69_span_first" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |ppos AS (SELECT doc_id, unnest(tk) AS term, generate_subscripts(tk, 1) AS p FROM dt),
+           |pmatch AS (SELECT DISTINCT doc_id FROM ppos WHERE term = 'data' AND p <= 20),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term = 'data' GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, round(sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))), 4) AS score
+           |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
+           |WHERE doc_id IN (SELECT doc_id FROM pmatch)
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin
     )
   }
 }

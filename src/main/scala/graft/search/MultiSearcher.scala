@@ -389,6 +389,53 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     resolveHits(kernelTopK(plans, gAvgdl, p, Some(preIntersected)), 1, kByIdx).head
   }
 
+  /** Lucene/ES `span_near` over the segmented index —
+    * [[Searcher.searchSpanNear]] semantics with exact global statistics.
+    * Conjunctive: a segment missing any term contributes nothing; a term
+    * with no postings anywhere → empty. */
+  def searchSpanNear(terms: Seq[String], slop: Int, inOrder: Boolean,
+      k: Int): Array[ScoredHit] = {
+    require(slop >= 0, s"slop must be >= 0 (got $slop)")
+    spanSearch(terms, slop, inOrder, -1, k)
+  }
+
+  /** Lucene/ES `span_first` over the segmented index —
+    * [[Searcher.searchSpanFirst]] semantics with exact global statistics. */
+  def searchSpanFirst(terms: Seq[String], end: Int, k: Int,
+      slop: Int = 0): Array[ScoredHit] = {
+    require(end > 0, s"end must be > 0 (got $end)")
+    spanSearch(terms, slop, inOrder = true, end, k)
+  }
+
+  private def spanSearch(terms: Seq[String], slop: Int, inOrder: Boolean,
+      end: Int, k: Int): Array[ScoredHit] = {
+    require(terms.nonEmpty, "span query needs at least one term")
+    if (!allPositions) throw new IllegalStateException(
+      "span query but a segment was built without positions (storePositions=false)")
+    val toks = terms.flatMap(t => graft.analysis.Analyzer.tokenize(t))
+    require(toks.nonEmpty, "span query terms analyze to nothing")
+    val dicts = lookup(toks.distinct)
+    // exact global df (disjoint segment identities); conjunctive globally
+    val globalDf: Map[String, Long] =
+      toks.distinct.map(t => t -> dicts.map(_.get(t).map(_._2).getOrElse(0L)).sum).toMap
+    if (globalDf.valuesIterator.exists(_ == 0L)) return Array.empty
+    val gAvgdl = avgdl
+    val plans = segs.indices.flatMap { s =>
+      val dict = dicts(s)
+      if (toks.exists(t => !dict.contains(t))) Nil // conjunctive in this segment
+      else {
+        val idf: Map[Long, Double] =
+          toks.distinct.map(t => dict(t)._1 -> BM25.idf(numDocs, globalDf(t))).toMap
+        Seq(MultiSearcher.SegPlan(0, s, Map.empty, Set.empty, k,
+          Seq(toks.map(t => dict(t)._1)), idf,
+          exactBounds = segs(s)._2.avgdl == gAvgdl,
+          phraseSlops = Seq(slop), phraseOrdered = Seq(inOrder), phraseEnds = Seq(end)))
+      }
+    }
+    if (plans.isEmpty) return Array.empty
+    resolveHits(kernelTopK(plans, gAvgdl, p), 1, Map(0 -> k)).head
+  }
+
   /** One action: blocks filter → per-(seg, shard) kernels → per-(query,
     * segment) top-k (docId tie-break — identical to identity order inside a
     * segment) → collect. Output is ≤ k per (query, segment): driver-bounded
@@ -411,7 +458,9 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
           if (pl.phraseIdSeqs.nonEmpty)
             Phrase.topK(subset, pl.phraseIdSeqs.map(_.toArray).toArray, pl.phraseSlops.toArray,
               pl.phraseIdfById, pl.idfById, pl.filterIds, gAvgdl, params, pl.k,
-              pl.excludeIds, accept)
+              pl.excludeIds, accept,
+              phraseOrdered = if (pl.phraseOrdered.isEmpty) null else pl.phraseOrdered.toArray,
+              phraseEnds = if (pl.phraseEnds.isEmpty) null else pl.phraseEnds.toArray)
           else Wand.topK(subset, pl.idfById, pl.filterIds, gAvgdl, params, pl.k,
             pl.exactBounds, pl.excludeIds, accept)
         hits.map(sd => (pl.qIdx, s, sd.docId, sd.score))
@@ -510,7 +559,9 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
           if (pl.phraseIdSeqs.nonEmpty)
             Phrase.matching(subset, pl.phraseIdSeqs.map(_.toArray).toArray,
               pl.phraseSlops.toArray, pl.phraseIdfById.keySet, pl.filterIds, gAvgdl,
-              params, pl.excludeIds, accept)
+              params, pl.excludeIds, accept,
+              phraseOrdered = if (pl.phraseOrdered.isEmpty) null else pl.phraseOrdered.toArray,
+              phraseEnds = if (pl.phraseEnds.isEmpty) null else pl.phraseEnds.toArray)
           else if (pl.idfById.nonEmpty)
             Wand.matching(subset, pl.idfById.keySet, pl.filterIds, gAvgdl, params,
               pl.excludeIds, accept, msm)
@@ -1323,7 +1374,12 @@ object MultiSearcher {
       phraseSlops: Seq[Int] = Nil,
       /** restrict to an externally-supplied accept set (e.g. the verified
         * docIds of a nested filter) even when `ranges` is empty */
-      needsAccept: Boolean = false) {
+      needsAccept: Boolean = false,
+      /** per-phrase in-order flag (empty = all ordered); false = Lucene
+        * span_near(inOrder=false) window semantics */
+      phraseOrdered: Seq[Boolean] = Nil,
+      /** per-phrase span_first end bound (empty = unbounded) */
+      phraseEnds: Seq[Int] = Nil) {
     def allTermIds: Iterable[Long] =
       idfById.keys ++ phraseIdfById.keys ++ filterIds ++ excludeIds
     def wantsBlock(termId: Long): Boolean =

@@ -393,7 +393,9 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       boostOf: String => Double = _ => 1.0,
       ranges: Array[Searcher.RangeFilter] = Array.empty,
       after: ScoredDoc = null,
-      acceptIdsDs: Dataset[Long] = null): Array[ScoredDoc] = {
+      acceptIdsDs: Dataset[Long] = null,
+      phraseOrdered: Array[Boolean] = null,
+      phraseEnds: Array[Int] = null): Array[ScoredDoc] = {
     if (!meta.hasPositions)
       throw new IllegalStateException(
         "phrase query on an index built without positions (IndexConfig.storePositions=false)")
@@ -428,18 +430,22 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .groupByKey(_.shard)
     val aft = after
     val slops = phraseSlops
+    val pOrd = phraseOrdered
+    val pEnd = phraseEnds
     val perShard =
       if (ranges.isEmpty && acceptIdsDs == null)
         blocksKV.flatMapGroups { (_, blocks) =>
           Phrase.topK(blocks, phraseIdSeqs, slops, idfById, optIdfById, filterIds, avgdl,
-            params, k, excludeTermIds = excludeIds, after = aft)
+            params, k, excludeTermIds = excludeIds, after = aft,
+            phraseOrdered = pOrd, phraseEnds = pEnd)
         }
       else
         blocksKV.cogroup(acceptsByShard(ranges, acceptIdsDs)) { (_, blocks, acc) =>
           val a = acc.toArray
           java.util.Arrays.sort(a)
           Phrase.topK(blocks, phraseIdSeqs, slops, idfById, optIdfById, filterIds, avgdl,
-            params, k, excludeTermIds = excludeIds, accept = a, after = aft)
+            params, k, excludeTermIds = excludeIds, accept = a, after = aft,
+            phraseOrdered = pOrd, phraseEnds = pEnd)
         }
 
     perShard
@@ -576,6 +582,37 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     docsDf.join(broadcast(hits), Seq("docId"))
       .select("docId", "repo", "path", "commit", "score")
       .orderBy(desc("score"), asc("docId"))
+  }
+
+  /** Lucene/ES `span_near`: all `terms` within a window of span ≤
+    * `slop` extra positions — `inOrder = true` is exactly a slop-phrase
+    * (`"a b"~N`); `inOrder = false` relaxes the order (Lucene
+    * SpanNearQuery(inOrder=false): any window holding one occurrence of
+    * every term at distinct positions). Scored like phrases: the
+    * distinct-term BM25 sum (the engine's documented phrase-scoring
+    * departure, mirrored by the oracle). Requires positions. */
+  def searchSpanNear(terms: Seq[String], slop: Int, inOrder: Boolean,
+      k: Int): Array[ScoredDoc] = {
+    require(terms.nonEmpty, "span_near needs at least one term")
+    require(slop >= 0, s"slop must be >= 0 (got $slop)")
+    val toks = terms.flatMap(t => Analyzer.tokenize(t)).toArray
+    require(toks.nonEmpty, "span_near terms analyze to nothing")
+    searchPhrases(Array(toks), Array(slop), Array.empty[String], Array.empty[String], k,
+      phraseOrdered = Array(inOrder), phraseEnds = Array(-1))
+  }
+
+  /** Lucene/ES `span_first`: the wrapped span (an in-order chain of
+    * `terms` with span ≤ `slop`) must END before position `end` of the
+    * document's token stream — "matches near the start of the field".
+    * A single term with `end = n` is "term within the first n tokens". */
+  def searchSpanFirst(terms: Seq[String], end: Int, k: Int,
+      slop: Int = 0): Array[ScoredDoc] = {
+    require(terms.nonEmpty, "span_first needs at least one term")
+    require(end > 0, s"end must be > 0 (got $end)")
+    val toks = terms.flatMap(t => Analyzer.tokenize(t)).toArray
+    require(toks.nonEmpty, "span_first terms analyze to nothing")
+    searchPhrases(Array(toks), Array(slop), Array.empty[String], Array.empty[String], k,
+      phraseOrdered = Array(true), phraseEnds = Array(end))
   }
 
   /** Validate a nested path + clause set against the index config and the
@@ -2307,27 +2344,88 @@ object Phrase {
     * minimizes i_m, so it decides that start exactly; a start whose chain
     * dies (some slot has no position after the previous pick) kills all
     * larger starts too (the greedy chain is monotone in its start). */
-  private[search] def orderedNear(slots: Array[Array[Long]], slop: Int): Boolean = {
+  private[search] def orderedNear(slots: Array[Array[Long]], slop: Int): Boolean =
+    spanMatch(slots, slop, ordered = true, endBound = -1)
+
+  /** Span match predicate over per-slot sorted position arrays — the shared
+    * verifier of phrase, `span_near` and `span_first` queries.
+    *
+    * ordered = true: a strictly increasing chain i₁<…<i_m with span
+    * `(i_m - i₁) - (m-1) ≤ slop` (slop 0 = exact adjacency — the phrase
+    * predicate). Greedy: for each start i₁ ascending, the minimal-next
+    * chain minimizes i_m, so it decides that start exactly; a start whose
+    * chain dies kills all larger starts too.
+    *
+    * ordered = false (Lucene `SpanNearQuery(inOrder=false)`): any window
+    * holding one position of EVERY slot at DISTINCT positions with the same
+    * span bound `(max - min) - (m-1) ≤ slop`. Minimal-window sweep: advance
+    * the minimum head; every candidate window with distinct heads is
+    * checked, so the minimal window containing each possible max is seen.
+    *
+    * endBound ≥ 0 (Lucene `SpanFirstQuery`): the matching span must also END
+    * before position `endBound` (last position < endBound). In the ordered
+    * sweep i_m is monotone in the start, so the first start with
+    * i_m ≥ endBound ends the search; unordered windows stop once min ≥
+    * endBound. */
+  private[search] def spanMatch(
+      slots: Array[Array[Long]], slop: Int, ordered: Boolean, endBound: Int): Boolean = {
     val m = slots.length
-    val first = slots(0)
-    if (m == 1) return first.length > 0
-    var f = 0
-    while (f < first.length) {
-      val p0 = first(f)
-      var prev = p0
-      var j = 1
-      while (j < m) {
-        val arr = slots(j)
-        var ins = java.util.Arrays.binarySearch(arr, prev + 1)
-        if (ins < 0) ins = -ins - 1
-        if (ins >= arr.length) return false // no larger start can do better
-        prev = arr(ins)
-        j += 1
-      }
-      if ((prev - p0) - (m - 1) <= slop) return true
-      f += 1
+    if (m == 1) {
+      val arr = slots(0)
+      return arr.length > 0 && (endBound < 0 || arr(0) < endBound)
     }
-    false
+    if (ordered) {
+      val first = slots(0)
+      var f = 0
+      while (f < first.length) {
+        val p0 = first(f)
+        var prev = p0
+        var j = 1
+        while (j < m) {
+          val arr = slots(j)
+          var ins = java.util.Arrays.binarySearch(arr, prev + 1)
+          if (ins < 0) ins = -ins - 1
+          if (ins >= arr.length) return false // no larger start can do better
+          prev = arr(ins)
+          j += 1
+        }
+        if (endBound >= 0 && prev >= endBound) return false // i_m monotone in start
+        if ((prev - p0) - (m - 1) <= slop) return true
+        f += 1
+      }
+      false
+    } else {
+      // pointer sweep over the m sorted lists: each iteration inspects the
+      // current head window, then advances the minimum head
+      val idx = new Array[Int](m)
+      while (true) {
+        var mn = Long.MaxValue; var mx = Long.MinValue; var mnSlot = -1
+        var distinct = true
+        var j = 0
+        while (j < m) {
+          if (idx(j) >= slots(j).length) return false
+          val v = slots(j)(idx(j))
+          if (v < mn) { mn = v; mnSlot = j }
+          if (v > mx) mx = v
+          j += 1
+        }
+        // distinct-position check (one token occupies one position)
+        j = 0
+        while (j < m && distinct) {
+          var h = j + 1
+          while (h < m && distinct) {
+            if (slots(j)(idx(j)) == slots(h)(idx(h))) distinct = false
+            h += 1
+          }
+          j += 1
+        }
+        if (endBound >= 0 && mn >= endBound) return false // windows only move right
+        if (distinct && (mx - mn) - (m - 1) <= slop && (endBound < 0 || mx < endBound))
+          return true
+        idx(mnSlot) += 1
+      }
+      false
+    }
   }
 
   def topK(
@@ -2345,7 +2443,12 @@ object Phrase {
         * (null = no range filter); see [[Wand.topK]] */
       accept: Array[Long] = null,
       /** ES `search_after` cursor; see [[Wand.topK]] */
-      after: ScoredDoc = null): Iterator[ScoredDoc] = {
+      after: ScoredDoc = null,
+      /** per-phrase in-order flag (null = all ordered — plain phrases);
+        * false = Lucene span_near(inOrder=false) window semantics */
+      phraseOrdered: Array[Boolean] = null,
+      /** per-phrase span_first end bound (null / -1 = unbounded) */
+      phraseEnds: Array[Int] = null): Iterator[ScoredDoc] = {
 
     if (accept != null && accept.isEmpty) return Iterator.empty
     val byTerm = blocks.toArray.groupBy(_.termId)
@@ -2407,7 +2510,10 @@ object Phrase {
       while (j < req.length) { posByTid.put(req(j).termId, req(j).positions); j += 1 }
       var pi = 0
       while (pi < phraseIdSeqs.length) {
-        if (!orderedNear(phraseIdSeqs(pi).map(posByTid.get), phraseSlops(pi))) return false
+        val ord = phraseOrdered == null || phraseOrdered(pi)
+        val end = if (phraseEnds == null) -1 else phraseEnds(pi)
+        if (!spanMatch(phraseIdSeqs(pi).map(posByTid.get), phraseSlops(pi), ord, end))
+          return false
         pi += 1
       }
       true
@@ -2481,7 +2587,9 @@ object Phrase {
       avgdl: Double,
       p: Bm25Params,
       excludeTermIds: Set[Long] = Set.empty,
-      accept: Array[Long] = null): Iterator[Long] = {
+      accept: Array[Long] = null,
+      phraseOrdered: Array[Boolean] = null,
+      phraseEnds: Array[Int] = null): Iterator[Long] = {
     if (accept != null && accept.isEmpty) return Iterator.empty
     val byTerm = blocks.toArray.groupBy(_.termId)
     val reqIds = requiredTermIds.toArray.sorted
@@ -2528,7 +2636,10 @@ object Phrase {
       while (j < req.length) { posByTid.put(req(j).termId, req(j).positions); j += 1 }
       var pi = 0
       while (pi < phraseIdSeqs.length) {
-        if (!orderedNear(phraseIdSeqs(pi).map(posByTid.get), phraseSlops(pi))) return false
+        val ord = phraseOrdered == null || phraseOrdered(pi)
+        val end = if (phraseEnds == null) -1 else phraseEnds(pi)
+        if (!spanMatch(phraseIdSeqs(pi).map(posByTid.get), phraseSlops(pi), ord, end))
+          return false
         pi += 1
       }
       true
