@@ -2291,6 +2291,72 @@ object SparkEntry {
         .select(col("docId"), col("path").cast("bigint").as("doc_id"))
         .join(broadcast(hits), Seq("docId"))
         .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES 8 `knn` with pre-filter: exact cosine top-k over the stored
+    // dense_vector column, restricted to `lang:en` BEFORE ranking (the k
+    // nearest among filter-passing docs — never an underfilled k). The
+    // index stores the vectors + a 8-cell IVF quantizer (exercised by
+    // fts71). Own cached index over documents⋈embeddings.
+    "fts70_knn" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = t(s, d, "documents")
+        .join(emb, col("doc_id") === col("vec_id"))
+        .select(
+          lit("docs").as("repo"),
+          lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+          md5(col("text")).as("commit"),
+          col("lang"), col("text").as("content"), col("embedding"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts70-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang", "repo"),
+          denseVector = Seq("embedding")),
+        ivfCells = 8)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val q: Array[Float] = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").as[Array[Float]].head()
+      val hits = new Searcher(s, idxDir).knn("embedding", q, 20, filter = "lang:en")
+        .toSeq.toDF("docId", "cos_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("cos_raw"), 3).as("cos"))
+    }),
+
+    // IVF pruning path end-to-end (cell assignment → probed-cell isin
+    // pushdown → exact re-rank): probing ALL cells is provably exact, so
+    // the DuckDB oracle is the plain exact top-k — the equivalence the
+    // KnnSpec nprobe tests rely on, verified here against a second engine.
+    // Shares fts70's cached index.
+    "fts71_knn_ivf" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = t(s, d, "documents")
+        .join(emb, col("doc_id") === col("vec_id"))
+        .select(
+          lit("docs").as("repo"),
+          lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+          md5(col("text")).as("commit"),
+          col("lang"), col("text").as("content"), col("embedding"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts70-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang", "repo"),
+          denseVector = Seq("embedding")),
+        ivfCells = 8)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val q: Array[Float] = t(s, d, "embeddings").filter(col("vec_id") === 7)
+        .select("embedding").as[Array[Float]].head()
+      val hits = new Searcher(s, idxDir).knn("embedding", q, 15, nprobe = 8)
+        .toSeq.toDF("docId", "cos_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("cos_raw"), 3).as("cos"))
     })
   )
 
@@ -3597,7 +3663,24 @@ object SparkEntry {
            |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
            |WHERE doc_id IN (SELECT doc_id FROM pmatch)
            |GROUP BY doc_id
-           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // ES 8 knn with lang:en pre-filter — exact cosine top-k
+      "fts70_knn" ->
+        """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+          |SELECT d.doc_id, round(list_cosine_similarity(e.v, q.qv), 3) AS cos
+          |FROM documents d JOIN e ON d.doc_id = e.vec_id CROSS JOIN q
+          |WHERE d.lang = 'en'
+          |ORDER BY list_cosine_similarity(e.v, q.qv) DESC, d.doc_id ASC
+          |LIMIT 20""".stripMargin,
+      // IVF with all cells probed ≡ exact top-k (the pruning-path gate)
+      "fts71_knn_ivf" ->
+        """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+          |SELECT d.doc_id, round(list_cosine_similarity(e.v, q.qv), 3) AS cos
+          |FROM documents d JOIN e ON d.doc_id = e.vec_id CROSS JOIN q
+          |ORDER BY list_cosine_similarity(e.v, q.qv) DESC, d.doc_id ASC
+          |LIMIT 15""".stripMargin
     )
   }
 }

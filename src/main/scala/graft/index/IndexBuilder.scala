@@ -129,9 +129,14 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     // stored too. All sets may extend past the standard five columns.
     val baseCols = Seq("repo", "path", "commit", "lang", "content")
     val extraCols =
-      (cfg.fields.keyword ++ cfg.fields.storedOnly ++ cfg.fields.analyzed ++ cfg.fields.nested)
+      (cfg.fields.keyword ++ cfg.fields.storedOnly ++ cfg.fields.analyzed ++
+        cfg.fields.nested ++ cfg.fields.denseVector)
         .distinct.filterNot(baseCols.contains)
     val selCols = baseCols ++ extraCols
+    // IVF cell columns (stored next to their dense_vector fields when a
+    // quantizer is configured) — part of the docs schema from stage 0 on
+    val ivfCols: Seq[String] =
+      if (cfg.ivfCells > 0) cfg.fields.denseVector.map(f => s"_ivf_$f") else Nil
 
     // ---- stage 0: single tokenize pass over content → columnar doc/tf rows
     // with dense docIds assigned in the same shuffle. Downstream stages are
@@ -155,6 +160,18 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
           !cfg.fields.analyzed.contains(c),
           s"field '$c' cannot be both nested and keyword/storedOnly/analyzed")
       }
+      for (c <- cfg.fields.denseVector) {
+        val dt = corpus.schema(c).dataType
+        val ok = dt.isInstanceOf[ArrayType] && {
+          val et = dt.asInstanceOf[ArrayType].elementType
+          et == FloatType || et == DoubleType
+        }
+        require(ok, s"dense_vector field '$c' must be array<float>/array<double>; " +
+          s"got ${dt.simpleString}")
+        require(!cfg.fields.keyword.contains(c) && !cfg.fields.analyzed.contains(c) &&
+          !cfg.fields.nested.contains(c),
+          s"field '$c' cannot be both dense_vector and keyword/analyzed/nested")
+      }
       for (c <- cfg.fields.keyword)
         require(corpus.schema(c).dataType == StringType ||
           corpus.schema(c).dataType.isInstanceOf[ArrayType] &&
@@ -168,6 +185,28 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         require(!cfg.fields.keyword.contains(c) && !cfg.fields.storedOnly.contains(c),
           s"field '$c' cannot be both analyzed and keyword/storedOnly")
       }
+      // ---- IVF coarse quantizer (ES 8 dense_vector + index-time ANN
+      // structure; Lucene builds its vector structures per segment the same
+      // way): deterministic seeded k-means per field over the column-pruned
+      // vector projection, centroids published as a tiny relation, per-doc
+      // cell assigned in the same tokenize pass below (one extra broadcast,
+      // no extra content-scale pass).
+      val ivfCents: Array[(String, Array[Array[Float]])] =
+        if (cfg.ivfCells <= 0) Array.empty
+        else cfg.fields.denseVector.map { f =>
+          import spark.implicits._
+          val vecs = corpus
+            .select(xxhash64(col("repo"), col("path"), col("commit")).as("id"),
+              col(f).cast("array<float>").as("v"))
+            .filter(col("v").isNotNull)
+            .as[(Long, Array[Float])]
+            .map { case (id, v) => graft.search.Ann.Vec(id, v) }
+          val cents = graft.search.Ann.kmeans(vecs, cfg.ivfCells, iters = 3, seed = 42L)
+          cfg.io.write(
+            cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid"),
+            s"$staging/ivf_$f")
+          (f, cents)
+        }.toArray
       val inDf = corpus.select(selCols.map(col): _*)
       val inSchema = inDf.schema
       val keywordIdx: Array[(String, Int)] =
@@ -193,6 +232,8 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       val storedExtra: Array[(String, Int)] =
         extraCols.map(c => c -> inSchema.fieldIndex(c)).toArray
       val contentIdx = inSchema.fieldIndex("content")
+      val ivfAssign: Array[(Int, Array[Array[Float]])] =
+        ivfCents.map { case (f, cents) => (inSchema.fieldIndex(f), cents) }
       val outSchema = StructType(
         Seq(
           StructField("repo", StringType), StructField("path", StringType),
@@ -206,7 +247,8 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
             // terms: 1; `field:token` tagged terms and `field:` markers:
             // that field's length)
             StructField("fdl", LongType, nullable = false)))))) ++
-        storedExtra.map { case (c, i) => StructField(c, inSchema(i).dataType) })
+        storedExtra.map { case (c, i) => StructField(c, inSchema(i).dataType) } ++
+        ivfCols.map(c => StructField(c, IntegerType)))
       val withPositions = cfg.storePositions
       // dense-docId range plan from the CHEAP identity projection (a
       // column-pruned scan that never touches `content`): boundaries, exact
@@ -344,10 +386,45 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
             h += 1
           }
           keyBuf(0) = r.getString(0); keyBuf(1) = r.getString(1); keyBuf(2) = r.getString(2)
+          // IVF cell per dense_vector field: argmax-cosine against the
+          // broadcast centroids (null vector → null cell)
+          val ivfVals: Seq[Any] = ivfAssign.toSeq.map { case (idx, cents) =>
+            if (r.isNullAt(idx)) null
+            else {
+              val raw = r.getSeq[Any](idx)
+              val v = new Array[Double](raw.length)
+              var vi = 0
+              while (vi < raw.length) {
+                v(vi) = raw(vi) match {
+                  case f: java.lang.Float => f.toDouble
+                  case d: java.lang.Double => d.doubleValue()
+                  case other => throw new IllegalStateException(
+                    s"dense_vector element of type ${other.getClass}")
+                }
+                vi += 1
+              }
+              var best = 0; var bestCos = Double.NegativeInfinity
+              var c = 0
+              while (c < cents.length) {
+                val cv = cents(c)
+                var dot = 0.0; var na = 0.0; var nb = 0.0
+                var j = 0
+                while (j < v.length) {
+                  dot += v(j) * cv(j); na += v(j) * v(j); nb += cv(j).toDouble * cv(j)
+                  j += 1
+                }
+                val cos = dot / math.sqrt(na * nb)
+                if (cos > bestCos) { bestCos = cos; best = c }
+                c += 1
+              }
+              Int.box(best)
+            }
+          }
           org.apache.spark.sql.Row.fromSeq(
             Seq(r.getString(0), r.getString(1), r.getString(2), r.getString(3),
               new String(shaChars), toks.length.toLong, terms.toSeq) ++
-            storedExtra.map { case (_, idx) => r.get(idx) } :+ plan.rangeOf(keyBuf))
+            storedExtra.map { case (_, idx) => r.get(idx) } ++ ivfVals :+
+            plan.rangeOf(keyBuf))
         }
       }(org.apache.spark.sql.Encoders.row(outSchemaPid))
       // one wide op: partition by the plan's range id, sort each range by
@@ -377,7 +454,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       val obs = org.apache.spark.sql.Observation()
       assigned
         .select((Seq("docId", "repo", "path", "commit", "lang", "sha256", "dl", "terms") ++
-          storedExtra.map(_._1)).map(col): _*)
+          storedExtra.map(_._1) ++ ivfCols).map(col): _*)
         .observe(obs, count(lit(1)).as("n"), sum("dl").as("sumDl"),
           expr("bit_xor(xxhash64(sha256))").as("lineage"))
         .pipe(df => cfg.io.write(df, doctfDir))
@@ -410,7 +487,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       val obs = org.apache.spark.sql.Observation()
       cfg.io.read(spark, doctfDir)
         .select((Seq("docId", "repo", "path", "commit", "lang", "sha256", "dl") ++
-          extraCols).map(col): _*)
+          extraCols ++ ivfCols).map(col): _*)
         .observe(obs, count(lit(1)).as("n"), sum("dl").as("sumDl"),
           expr("bit_xor(xxhash64(sha256))").as("lineage"))
         .pipe(df => cfg.io.write(df, docsDir))
@@ -647,6 +724,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       Analyzer.Version, cfg.k1, cfg.b, cfg.blockSize, cfg.docsPerShard, lineage, cfg.configHash,
       keywordFields = cfg.fields.keyword, hasPositions = cfg.storePositions,
       analyzedExtra = cfg.fields.analyzed, nestedFields = cfg.fields.nested,
+      denseVectorFields = cfg.fields.denseVector, ivfQuantCells = cfg.ivfCells,
       userMeta = cfg.userMeta)
     Json.write(s"$staging/meta.json", meta)
     cfg.io.dropTree(spark, doctfDir)

@@ -35,7 +35,8 @@ object IndexMaintenance {
     // a keyword/analyzed column's stored value must stay in sync with its
     // postings — patching one would silently desync filters/scores
     val meta = Json.read(s"$indexDir/meta.json", classOf[IndexMeta])
-    val protectedCols = Structural ++ meta.keywords ++ meta.analyzed ++ meta.nested
+    val protectedCols = Structural ++ meta.keywords ++ meta.analyzed ++ meta.nested ++
+      meta.denseVectors ++ meta.denseVectors.map(f => s"_ivf_$f")
     val bad = updCols.filter(protectedCols.contains)
     require(bad.isEmpty,
       s"structural/indexed columns cannot be patched (rebuild instead): ${bad.mkString(",")}")

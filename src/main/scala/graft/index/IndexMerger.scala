@@ -79,10 +79,43 @@ object IndexMerger {
       .withColumnRenamed("docId", "oldDocId")
     val ided = DenseIds.assign(keep, KeyCols, "docId", cfg.buildPartitions)
     val docsDir = s"$staging/docs"
+    // IVF quantizer: retrained on the MERGED vector set and every doc's
+    // cell reassigned (Lucene rebuilds its per-segment vector structures on
+    // merge the same way) — the sides' stale `_ivf_*` columns and centroid
+    // relations are replaced wholesale. All exact query surfaces stay
+    // bit-identical to a fresh build; the approximate IVF pruning is
+    // defined by THIS index's own centroids, as on any segment.
+    val docsReady =
+      if (cfg.ivfCells <= 0 || cfg.fields.denseVector.isEmpty) ided.df
+      else cfg.fields.denseVector.foldLeft(ided.df) { (df, f) =>
+        val vecs = df
+          .select(xxhash64(col("repo"), col("path"), col("commit")).as("id"),
+            col(f).cast("array<float>").as("v"))
+          .filter(col("v").isNotNull)
+          .as[(Long, Array[Float])]
+          .map { case (id, v) => graft.search.Ann.Vec(id, v) }
+        val cents = graft.search.Ann.kmeans(vecs, cfg.ivfCells, iters = 3, seed = 42L)
+        cfg.io.write(
+          cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid"),
+          s"$staging/ivf_$f")
+        val assign = udf((v: Seq[Float]) =>
+          if (v == null) null
+          else {
+            var best = 0; var bestCos = Double.NegativeInfinity
+            var c = 0
+            while (c < cents.length) {
+              val s = graft.search.Ann.cosine(v.toArray, cents(c))
+              if (s > bestCos) { bestCos = s; best = c }
+              c += 1
+            }
+            Int.box(best)
+          }: Integer)
+        df.withColumn(s"_ivf_$f", assign(col(f).cast("array<float>")))
+      }
     // manifest stats ride the write as observed metrics — no read-back job
     val docsObs = org.apache.spark.sql.Observation()
     cfg.io.write(
-      ided.df
+      docsReady
         .select(docCols.map(col): _*)
         .observe(docsObs, count(lit(1)).as("n"), sum("dl").as("sumDl"),
           expr("bit_xor(xxhash64(sha256))").as("lineage")),
@@ -196,6 +229,12 @@ object IndexMerger {
       docsDir)
     cfg.io.write(ided.df.select("oldDocId", "docId"), s"$staging/_idmap")
     ided.release()
+    // carry the IVF centroid relations through: a delete moves no centroid,
+    // so surviving docs' stored cells stay valid (Lucene likewise keeps its
+    // vector structures through deletes and rebuilds only on merge)
+    if (cfg.ivfCells > 0) cfg.fields.denseVector.foreach { f =>
+      cfg.io.write(cfg.io.read(spark, s"$dir/ivf_$f"), s"$staging/ivf_$f")
+    }
     val row = docsObs.get
     val lineage = row("lineage").asInstanceOf[Long]
     Json.write(s"$docsDir/_manifest.json",

@@ -49,7 +49,15 @@ final case class FieldConfig(
       * whole column is stored so the query path can verify that all clauses
       * of a nested query hit the SAME element (Lucene's block-join result,
       * achieved as a two-phase candidates→verify plan). */
-    nested: Seq[String] = Nil)
+    nested: Seq[String] = Nil,
+    /** `denseVector` columns are array<float> / array<double> (the ES 8
+      * `dense_vector` mapping): stored in the docs relation for kNN search,
+      * no postings. With [[IndexConfig.ivfCells]] > 0 a seeded k-means
+      * coarse quantizer is trained per field at build time and every doc's
+      * cell id is stored as `_ivf_<field>` — a plain int column whose
+      * `isin(probedCells)` filter pushes into the columnar scan, the IVF
+      * pruning path of [[graft.search.Searcher.knn]]. */
+    denseVector: Seq[String] = Nil)
 
 object FieldConfig {
   /** Derive from the corpus schema: every string column — and every
@@ -106,6 +114,12 @@ final case class IndexConfig(
       * dictionaries) the join falls back to sort-merge. Execution strategy,
       * not index bytes → excluded from configHash. */
     broadcastDictMaxTerms: Long = 5_000_000L,
+    /** IVF coarse-quantizer cells per denseVector field (0 = no quantizer:
+      * kNN is exact-only). Trained at build with a deterministic seeded
+      * k-means ([[graft.search.Ann.kmeans]]); centroids are published as a
+      * tiny `ivf_<field>` relation next to the index. Affects the stored
+      * `_ivf_<field>` column → part of configHash. */
+    ivfCells: Int = 0,
     /** caller metadata stamped into the published IndexMeta (the `_meta`
       * globals export of the reference, `hail_elasticsearch_client.py:90`).
       * Informational only — excluded from configHash. */
@@ -118,7 +132,9 @@ final case class IndexConfig(
       s"|k=${fields.keyword.mkString(",")}|s=${fields.storedOnly.mkString(",")}" +
       s"|p=$storePositions" +
       (if (fields.analyzed.isEmpty) "" else s"|a=${fields.analyzed.mkString(",")}") +
-      (if (fields.nested.isEmpty) "" else s"|nf=${fields.nested.mkString(",")}")
+      (if (fields.nested.isEmpty) "" else s"|nf=${fields.nested.mkString(",")}") +
+      (if (fields.denseVector.isEmpty) ""
+       else s"|dv=${fields.denseVector.mkString(",")}|ivf=$ivfCells")
     java.lang.Long.toHexString(
       s.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
   }
@@ -222,6 +238,11 @@ final case class IndexMeta(
       * candidate terms + stored column for same-element verification
       * (null-safe default for metas written before this field existed) */
     nestedFields: Seq[String] = Nil,
+    /** dense_vector (kNN) columns; with `ivfQuantCells` > 0 each carries a
+      * stored `_ivf_<field>` cell column and a published `ivf_<field>`
+      * centroid relation (null-safe defaults for older metas) */
+    denseVectorFields: Seq[String] = Nil,
+    ivfQuantCells: Int = 0,
     /** caller-supplied metadata stamped into the published index — the
       * reference's `_meta` globals export (dataset provenance, genome
       * version, seed: `hail_elasticsearch_client.py:90,177-181`). Purely
@@ -233,6 +254,7 @@ final case class IndexMeta(
     if (keywordFields == null) Seq("lang", "repo") else keywordFields
   def analyzed: Seq[String] = if (analyzedExtra == null) Nil else analyzedExtra
   def nested: Seq[String] = if (nestedFields == null) Nil else nestedFields
+  def denseVectors: Seq[String] = if (denseVectorFields == null) Nil else denseVectorFields
   def meta: Map[String, String] = if (userMeta == null) Map.empty else userMeta
 }
 

@@ -20,7 +20,7 @@ object Ann {
   final case class Vec(id: Long, v: Array[Float])
   final case class Scored(id: Long, cos: Double)
 
-  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < a.length) {

@@ -436,6 +436,50 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     resolveHits(kernelTopK(plans, gAvgdl, p), 1, Map(0 -> k)).head
   }
 
+  /** ES 8 `knn` over the segmented index — [[Searcher.knn]] semantics.
+    * Cosine needs no corpus statistics, so scores are identical to a fresh
+    * single-index build; with `nprobe > 0` each segment probes its OWN
+    * quantizer's nearest cells (Lucene builds per-segment vector
+    * structures the same way), so the candidate set is the union of
+    * per-segment probes and the exact re-rank stays global. */
+  def knn(field: String, queryVec: Array[Float], k: Int, filter: String = "",
+      nprobe: Int = 0): Array[ScoredHit] = {
+    require(k > 0, "k must be > 0")
+    require(segs.head._2.denseVectors.contains(field),
+      s"'$field' is not a dense_vector field of this index " +
+        s"(have: ${segs.head._2.denseVectors.mkString(", ")})")
+    val ivfCol = s"_ivf_$field"
+    var base = taggedUnion("docs",
+      Seq("docId", field) ++ (if (nprobe > 0) Seq(ivfCol) else Nil))
+    if (filter.nonEmpty)
+      base = base.join(matchedSegDoc(filter), Seq("seg", "docId"), "left_semi")
+    if (nprobe > 0) {
+      require(segs.forall(_._2.ivfQuantCells > 0),
+        "nprobe > 0 but a segment was built without an IVF quantizer (ivfCells = 0)")
+      val pred = segs.indices.map { s =>
+        val cents = io.read(spark, s"${segs(s)._1}/ivf_$field")
+          .select("cell", "centroid").as[(Int, Array[Float])]
+          .collect().sortBy(_._1).map(_._2)
+        val cells = cents.indices
+          .sortBy(c => (-Ann.cosine(queryVec, cents(c)), c)).take(nprobe)
+        col("seg") === s && col(ivfCol).isin(cells.map(Int.box): _*)
+      }.reduce(_ || _)
+      base = base.filter(pred)
+    }
+    val bq = spark.sparkContext.broadcast(queryVec)
+    val top = base
+      .select(col("seg"), col("docId"), col(field).cast("array<float>").as("v"))
+      .filter(col("v").isNotNull)
+      .as[(Int, Long, Array[Float])]
+      .map { case (s, id, v) => (s, id, Ann.cosine(v, bq.value)) }
+      .toDF("seg", "docId", "score")
+      .orderBy(desc("score"), asc("seg"), asc("docId"))
+      .limit(k)
+      .as[(Int, Long, Double)]
+      .collect()
+    resolveHits(top.map(t => (0, t._1, t._2, t._3)), 1, Map(0 -> k)).head
+  }
+
   /** One action: blocks filter → per-(seg, shard) kernels → per-(query,
     * segment) top-k (docId tie-break — identical to identity order inside a
     * segment) → collect. Output is ≤ k per (query, segment): driver-bounded

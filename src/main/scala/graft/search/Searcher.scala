@@ -615,6 +615,63 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       phraseOrdered = Array(true), phraseEnds = Array(end))
   }
 
+  /** ES 8 `knn` search over a stored dense_vector column: the k nearest
+    * documents by cosine similarity to `queryVec`, optionally restricted to
+    * the match set of `filter` (ES knn pre-filter semantics: the result is
+    * the k nearest AMONG filter-passing docs, never fewer because of
+    * post-filtering).
+    *
+    * `nprobe = 0` is the exact path: ONE column-pruned scan of
+    * (docId, vector) with a TakeOrdered top-k — the ES `exact: true` /
+    * script_score shape, and the correctness oracle for the pruned path.
+    *
+    * `nprobe > 0` uses the index-time IVF coarse quantizer
+    * ([[graft.index.IndexConfig.ivfCells]]): the query's `nprobe` nearest
+    * centroids are probed and the scan keeps only docs whose STORED
+    * `_ivf_<field>` cell is probed — a plain int `isin` predicate that
+    * pushes into the columnar scan (row-group pruning), then exact cosine
+    * re-rank inside the probed cells. Approximate with recall governed by
+    * nprobe/cells, like ES's HNSW num_candidates. */
+  def knn(field: String, queryVec: Array[Float], k: Int, filter: String = "",
+      nprobe: Int = 0): Array[ScoredDoc] = {
+    require(k > 0, "k must be > 0")
+    require(meta.denseVectors.contains(field),
+      s"'$field' is not a dense_vector field of this index " +
+        s"(have: ${meta.denseVectors.mkString(", ")})")
+    var base = docsDf
+    if (filter.nonEmpty) {
+      val pq = Searcher.parseFull(filter, meta.keywords.toSet)
+      base = base.join(matchIdsDs(pq).toDF("docId"), Seq("docId"), "left_semi")
+    }
+    if (nprobe > 0) {
+      require(meta.ivfQuantCells > 0,
+        "nprobe > 0 but the index was built without an IVF quantizer (ivfCells = 0)")
+      val cents = readCentroids(field)
+      val cells = cents.indices
+        .sortBy(c => (-Ann.cosine(queryVec, cents(c)), c)).take(nprobe)
+      base = base.filter(col(s"_ivf_$field").isin(cells.map(Int.box): _*))
+    }
+    val bq = spark.sparkContext.broadcast(queryVec)
+    base
+      .select(col("docId"), col(field).cast("array<float>").as("v"))
+      .filter(col("v").isNotNull)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => ScoredDoc(id, Ann.cosine(v, bq.value)) }
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+      .collect()
+  }
+
+  /** The published IVF centroids of a dense_vector field (tiny relation,
+    * collected once per call — [[warm]]-style caching left to the caller). */
+  private def readCentroids(field: String): Array[Array[Float]] =
+    io.read(spark, s"$indexDir/ivf_$field")
+      .select("cell", "centroid")
+      .as[(Int, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+
   /** Validate a nested path + clause set against the index config and the
     * stored docs schema; returns the element StructType. */
   private def validateNested(

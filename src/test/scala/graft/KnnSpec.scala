@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+import graft.index.{FieldConfig, IndexBuilder, IndexConfig, IndexMerger, SegmentedIndex}
+import graft.search.{Ann, MultiSearcher, Searcher}
+
+/** ES 8 `knn` over stored dense_vector columns: exact cosine top-k with
+  * pre-filter semantics, and the IVF-quantized pruning path (cells trained
+  * at build, `_ivf_*` stored column, probed-cell isin pushdown) — single,
+  * merged and segmented. */
+class KnnSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val cfg = IndexConfig(
+    buildPartitions = 4, docsPerShard = 64L, blockSize = 16, buildBuckets = 2,
+    fields = FieldConfig(keyword = Seq("lang", "repo"), denseVector = Seq("emb")),
+    ivfCells = 4)
+
+  // deterministic clustered vectors: a scaled one-hot on the lang index
+  // plus small hash noise — nprobe=1 should recover a lang's cluster
+  private val embUdf = udf((lang: String, path: String) => {
+    val li = CorpusGen.Langs.indexOf(lang) % 4
+    Array.tabulate(8) { i =>
+      val noise = (((path.hashCode * (i + 31)) & 0xffff) / 65536.0f - 0.5f) * 0.2f
+      (if (i == li) 10.0f else 0.0f) + noise
+    }
+  })
+
+  private def corpus(n: Int, seed: Long): DataFrame =
+    CorpusGen.generate(spark, n, seed = seed, partitions = 4).toDF()
+      .withColumn("emb", embUdf(col("lang"), col("path")))
+
+  private def exactExpected(c: DataFrame, q: Array[Float], k: Int,
+      langFilter: Option[String] = None): Seq[((String, String, String), Double)] = {
+    val rows = c.select("repo", "path", "commit", "lang", "emb")
+      .as[(String, String, String, String, Array[Float])].collect()
+    rows.toSeq
+      .filter(r => langFilter.forall(_ == r._4))
+      .map(r => ((r._1, r._2, r._3), Ann.cosine(r._5, q)))
+      .sortBy { case (id, cos) => (-cos, id) }
+      .take(k)
+  }
+
+  private def qvec(li: Int): Array[Float] =
+    Array.tabulate(8)(i => if (i == li) 1.0f else 0.0f)
+
+  test("exact knn == brute force; pre-filter restricts candidates not k") {
+    val c = corpus(150, 61)
+    val dir = Files.createTempDirectory("graft-knn").toString
+    new IndexBuilder(spark, cfg).build(c, s"$dir/index", resume = false)
+    val se = new Searcher(spark, s"$dir/index")
+    val docs = spark.read.parquet(s"$dir/index/docs")
+      .select("docId", "repo", "path", "commit").as[(Long, String, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val q = qvec(1)
+
+    val got = se.knn("emb", q, 12).map(h => (docs(h.docId), h.score)).toSeq
+    assert(got == exactExpected(c, q, 12))
+
+    // ES pre-filter: the k nearest AMONG matching docs
+    val gotF = se.knn("emb", q, 12, filter = "lang:scala")
+      .map(h => (docs(h.docId), h.score)).toSeq
+    assert(gotF == exactExpected(c, q, 12, langFilter = Some("scala")))
+    assert(gotF.size == 12, "pre-filter must not underfill k")
+  }
+
+  test("IVF: probing all cells is exact; nprobe=1 recovers the cluster") {
+    val c = corpus(150, 67)
+    val dir = Files.createTempDirectory("graft-knn-ivf").toString
+    new IndexBuilder(spark, cfg).build(c, s"$dir/index", resume = false)
+    val se = new Searcher(spark, s"$dir/index")
+    // stored cell column + centroid relation exist
+    assert(spark.read.parquet(s"$dir/index/docs").columns.contains("_ivf_emb"))
+    assert(spark.read.parquet(s"$dir/index/ivf_emb").count() == 4)
+
+    val q = qvec(2)
+    val exact = se.knn("emb", q, 10).toSeq
+    assert(se.knn("emb", q, 10, nprobe = 4).toSeq == exact,
+      "probing every cell must equal the exact path")
+    // one probed cell: every hit's score is its true cosine, and the
+    // clustered geometry makes recall high
+    val pruned = se.knn("emb", q, 10, nprobe = 1).toSeq
+    val exactScores = exact.map(h => h.docId -> h.score).toMap
+    val allScores = se.knn("emb", q, 200).map(h => h.docId -> h.score).toMap
+    pruned.foreach(h => assert(h.score == allScores(h.docId),
+      "pruned hits must carry exact cosines"))
+    val recall = pruned.count(h => exactScores.contains(h.docId)).toDouble /
+      math.max(1, exact.size)
+    assert(recall >= 0.5, s"nprobe=1 recall too low on clustered data: $recall")
+  }
+
+  test("merge retrains the quantizer; all-cell probe stays exact") {
+    val cA = corpus(90, 71)
+    val cB = corpus(70, 73)
+    val dir = Files.createTempDirectory("graft-knn-merge").toString
+    new IndexBuilder(spark, cfg).build(cA, s"$dir/a", resume = false)
+    new IndexBuilder(spark, cfg).build(cB, s"$dir/b", resume = false)
+    IndexMerger.merge(spark, s"$dir/a", s"$dir/b", s"$dir/merged", cfg)
+    val se = new Searcher(spark, s"$dir/merged")
+    assert(spark.read.parquet(s"$dir/merged/ivf_emb").count() == 4)
+    val q = qvec(0)
+    val union = cB.unionByName(
+      cA.join(cB.select("repo", "path", "commit"), Seq("repo", "path", "commit"), "left_anti"))
+    val docs = spark.read.parquet(s"$dir/merged/docs")
+      .select("docId", "repo", "path", "commit").as[(Long, String, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val got = se.knn("emb", q, 10, nprobe = 4).map(h => (docs(h.docId), h.score)).toSeq
+    assert(got == exactExpected(union, q, 10))
+  }
+
+  test("segmented knn == single-index knn (exact and all-cell probe)") {
+    val c = corpus(120, 79)
+    val dir = Files.createTempDirectory("graft-knn-seg").toString
+    val seg = new SegmentedIndex(spark, s"$dir/seg", cfg, maxSegments = 4)
+    seg.ingest(c.filter(xxhash64(col("repo"), col("path")) % 2 === 0))
+    seg.ingest(c.filter(xxhash64(col("repo"), col("path")) % 2 =!= 0))
+    assert(seg.manifest.get.segments.length == 2)
+    new IndexBuilder(spark, cfg).build(c, s"$dir/single", resume = false)
+    val se = new Searcher(spark, s"$dir/single")
+    val docs = spark.read.parquet(s"$dir/single/docs")
+      .select("docId", "repo", "path", "commit").as[(Long, String, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val ms = new MultiSearcher(spark, s"$dir/seg")
+    val q = qvec(3)
+    for ((filter, nprobe) <- Seq(("", 0), ("lang:scala", 0), ("", 4))) {
+      val got = ms.knn("emb", q, 10, filter, nprobe)
+        .map(h => (h.repo, h.path, h.commit, h.score)).toSeq
+      val want = se.knn("emb", q, 10, filter, nprobe)
+        .map(h => { val (r, p, cm) = docs(h.docId); (r, p, cm, h.score) }).toSeq
+      assert(got == want, s"segmented/single knn mismatch (filter='$filter', nprobe=$nprobe)")
+      assert(got.nonEmpty)
+    }
+  }
+}
