@@ -2357,6 +2357,25 @@ object SparkEntry {
         .select(col("docId"), col("path").cast("bigint").as("doc_id"))
         .join(broadcast(hits), Seq("docId"))
         .select(col("doc_id"), round(col("cos_raw"), 3).as("cos"))
+    }),
+
+    // ES `percolate` (reverse search / saved-search alerting): registered
+    // queries are broadcast and every document is matched in ONE narrow
+    // pass — no index, no shuffle. Query semantics are the engine's bool
+    // query context (should terms, must phrase, keyword filter, must_not),
+    // with patterns expanded against the document's own token set.
+    "fts72_percolate" -> ((s, d) => {
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val perc = new graft.search.Percolator(Seq(
+        "q_merge_data" -> "\"data merge\"",
+        "q_batch" -> "batch lang:en",
+        "q_noindex" -> "query -index"))
+      perc.percolate(corpus)
+        .select(col("path").cast("bigint").as("doc_id"), col("query_id"))
     })
   )
 
@@ -3680,7 +3699,21 @@ object SparkEntry {
           |SELECT d.doc_id, round(list_cosine_similarity(e.v, q.qv), 3) AS cos
           |FROM documents d JOIN e ON d.doc_id = e.vec_id CROSS JOIN q
           |ORDER BY list_cosine_similarity(e.v, q.qv) DESC, d.doc_id ASC
-          |LIMIT 15""".stripMargin
+          |LIMIT 15""".stripMargin,
+      // percolate: per registered query, its bool-context match set
+      "fts72_percolate" ->
+        s"""WITH dt AS (SELECT doc_id, lang, $tokExpr AS tk FROM documents),
+           |ppos AS (SELECT doc_id, unnest(tk) AS term, generate_subscripts(tk, 1) AS p FROM dt),
+           |m1 AS (SELECT DISTINCT a.doc_id, 'q_merge_data' AS query_id
+           |       FROM ppos a JOIN ppos b ON a.doc_id = b.doc_id
+           |       AND a.term = 'data' AND b.term = 'merge' AND b.p = a.p + 1),
+           |m2 AS (SELECT doc_id, 'q_batch' AS query_id FROM dt
+           |       WHERE lang = 'en' AND list_contains(tk, 'batch')),
+           |m3 AS (SELECT doc_id, 'q_noindex' AS query_id FROM dt
+           |       WHERE list_contains(tk, 'query') AND NOT list_contains(tk, 'index'))
+           |SELECT doc_id, query_id FROM m1
+           |UNION ALL SELECT doc_id, query_id FROM m2
+           |UNION ALL SELECT doc_id, query_id FROM m3""".stripMargin
     )
   }
 }

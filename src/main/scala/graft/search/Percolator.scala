@@ -1,0 +1,152 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.analysis.Analyzer
+
+/** ES `percolate` query — the REVERSE search: queries are registered up
+  * front, then a stream of documents is matched against ALL of them in one
+  * distributed pass ("which saved searches / alerts does this doc hit?").
+  * ES implements this by indexing the query set and running each percolated
+  * document through a one-doc in-memory index; the Spark-native shape is a
+  * broadcast of the parsed query set and a narrow `mapPartitions` over the
+  * incoming documents — per-doc work is O(queries) with no shuffle, so
+  * percolating a 100 TB backfill is one linear pass, and a streaming
+  * micro-batch composes with [[graft.streaming.StreamingIndexer]]'s
+  * foreachBatch as the alerting side-channel.
+  *
+  * Query semantics are the engine's ES bool query context, evaluated
+  * against the document itself exactly as a one-doc index would:
+  *  - scored terms are SHOULD clauses (≥ minShouldMatch present);
+  *  - pattern clauses (prefix / wildcard / regexp / fuzzy) expand against
+  *    THE DOCUMENT'S OWN token set (ES percolator: the doc IS the index);
+  *  - `"quoted phrases"` (with slop) verify against the analyzer's
+  *    position stream — the same [[Phrase.spanMatch]] predicate the index
+  *    kernels use;
+  *  - `field:value` keyword filters match the document's column value
+  *    (array columns = list containment), negations are must_not.
+  * Numeric range filters are not supported here (they need typed doc
+  * values; register them as a post-filter on the percolate output). */
+class Percolator(
+    registered: Seq[(String, String)],
+    keywordFields: Set[String] = Set("lang", "repo")) extends Serializable {
+
+  require(registered.nonEmpty, "no registered queries")
+  require(registered.map(_._1).distinct.length == registered.length,
+    "registered query ids must be distinct")
+
+  private val parsed: Seq[(String, Searcher.ParsedQuery)] =
+    registered.map { case (id, q) =>
+      val pq = Searcher.parseFull(q, keywordFields)
+      require(pq.ranges.isEmpty,
+        s"percolator query '$id' uses a numeric range filter — not supported " +
+          "(apply it as a post-filter on the percolate output)")
+      (id, pq)
+    }
+  private val needPositions: Boolean = parsed.exists(_._2.phrases.nonEmpty)
+
+  /** Match a batch of documents (corpus rows) against every registered
+    * query: one narrow pass, output (repo, path, commit, query_id) — one
+    * row per (doc, matching query). */
+  def percolate(docs: DataFrame, minShouldMatch: Int = 1): DataFrame = {
+    require(minShouldMatch >= 1, s"minShouldMatch must be >= 1 (got $minShouldMatch)")
+    val kwCols: Seq[String] = keywordFields.toSeq.sorted.filter(docs.columns.contains)
+    val sel = docs.select((Seq("repo", "path", "commit", "content") ++ kwCols).map(col): _*)
+    val outSchema = StructType(Seq(
+      StructField("repo", StringType), StructField("path", StringType),
+      StructField("commit", StringType), StructField("query_id", StringType)))
+    val ps = parsed
+    val needPos = needPositions
+    val msm = minShouldMatch
+    val nKw = kwCols.length
+    val kwNames = kwCols.toArray
+    sel.mapPartitions { it =>
+      it.flatMap { r =>
+        val toks = Analyzer.tokenize(r.getString(3))
+        val tokSet = new java.util.HashSet[String]()
+        var i = 0
+        while (i < toks.length) { tokSet.add(toks(i)); i += 1 }
+        // positions per token, only when some registered query has phrases
+        val posOf: java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]] =
+          if (!needPos) null
+          else {
+            val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
+            var j = 0
+            while (j < toks.length) {
+              var buf = m.get(toks(j))
+              if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Long](4); m.put(toks(j), buf) }
+              buf += j.toLong
+              j += 1
+            }
+            m
+          }
+        // keyword column values (string → singleton, array → element set)
+        val kw = new java.util.HashMap[String, Set[String]]()
+        var c = 0
+        while (c < nKw) {
+          val v = r.get(4 + c)
+          val set: Set[String] = v match {
+            case null => Set.empty
+            case s: String => Set(s)
+            case xs: scala.collection.Seq[_] =>
+              xs.iterator.collect { case e: String => e }.toSet
+            case other => Set(String.valueOf(other))
+          }
+          kw.put(kwNames(c), set)
+          c += 1
+        }
+
+        def kwMatch(filterTerm: String): Boolean = {
+          val cut = filterTerm.indexOf(':')
+          if (cut <= 0) return false
+          val f = filterTerm.substring(0, cut)
+          val v = filterTerm.substring(cut + 1)
+          val set = kw.get(f)
+          set != null && set.contains(v)
+        }
+
+        def matches(pq: Searcher.ParsedQuery): Boolean = {
+          // filter context: every keyword filter must hold, no must_not may
+          if (!pq.filters.forall(kwMatch)) return false
+          if (pq.excludedFilters.exists(kwMatch)) return false
+          if (pq.excluded.exists(tokSet.contains)) return false
+          // must phrases: all tokens present + span verified in order
+          var pi = 0
+          while (pi < pq.phrases.length) {
+            val ph = pq.phrases(pi)
+            if (!ph.forall(tokSet.contains)) return false
+            val slots = ph.map(t => posOf.get(t).toArray.sorted)
+            if (!Phrase.spanMatch(slots, pq.slopOf(pi), ordered = true, endBound = -1))
+              return false
+            pi += 1
+          }
+          // should clauses: each literal term / pattern clause counts once
+          // if the document satisfies it (patterns expand against the doc's
+          // own token set — the one-doc-index semantics of ES percolator)
+          if (!pq.hasScoringClauses) return true
+          var hits = 0
+          hits += pq.terms.distinct.count(tokSet.contains)
+          hits += pq.prefixes.count(pf => toks.exists(_.startsWith(pf)))
+          hits += pq.fuzzies.count { case (st, b) =>
+            toks.exists(t => Searcher.editWithin(st, t, b)) }
+          hits += pq.wildcards.count { g =>
+            val p = java.util.regex.Pattern.compile(s"^(?:${Searcher.globToRegex(g)})$$")
+            toks.exists(t => p.matcher(t).matches())
+          }
+          hits += pq.regexps.count { rx =>
+            val p = java.util.regex.Pattern.compile(s"^(?:$rx)$$")
+            toks.exists(t => p.matcher(t).matches())
+          }
+          hits >= msm
+        }
+
+        val repo = r.getString(0); val path = r.getString(1); val commit = r.getString(2)
+        ps.iterator.collect { case (id, pq) if matches(pq) =>
+          org.apache.spark.sql.Row(repo, path, commit, id)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+}
