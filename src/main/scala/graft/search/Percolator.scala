@@ -46,6 +46,14 @@ class Percolator(
       (id, pq)
     }
   private val needPositions: Boolean = parsed.exists(_._2.phrases.nonEmpty)
+  /** wildcard/regexp patterns compiled ONCE per registered query
+    * (java.util.regex.Pattern is serializable), not per document */
+  private val compiledPatterns: Map[String, Array[java.util.regex.Pattern]] =
+    parsed.map { case (id, pq) =>
+      id -> (pq.wildcards.map(g =>
+          java.util.regex.Pattern.compile(s"^(?:${Searcher.globToRegex(g)})$$")) ++
+        pq.regexps.map(rx => java.util.regex.Pattern.compile(s"^(?:$rx)$$")))
+    }.toMap
 
   /** Match a batch of documents (corpus rows) against every registered
     * query: one narrow pass, output (repo, path, commit, query_id) — one
@@ -58,6 +66,7 @@ class Percolator(
       StructField("repo", StringType), StructField("path", StringType),
       StructField("commit", StringType), StructField("query_id", StringType)))
     val ps = parsed
+    val pats = compiledPatterns
     val needPos = needPositions
     val msm = minShouldMatch
     val nKw = kwCols.length
@@ -107,7 +116,7 @@ class Percolator(
           set != null && set.contains(v)
         }
 
-        def matches(pq: Searcher.ParsedQuery): Boolean = {
+        def matches(id: String, pq: Searcher.ParsedQuery): Boolean = {
           // filter context: every keyword filter must hold, no must_not may
           if (!pq.filters.forall(kwMatch)) return false
           if (pq.excludedFilters.exists(kwMatch)) return false
@@ -131,19 +140,12 @@ class Percolator(
           hits += pq.prefixes.count(pf => toks.exists(_.startsWith(pf)))
           hits += pq.fuzzies.count { case (st, b) =>
             toks.exists(t => Searcher.editWithin(st, t, b)) }
-          hits += pq.wildcards.count { g =>
-            val p = java.util.regex.Pattern.compile(s"^(?:${Searcher.globToRegex(g)})$$")
-            toks.exists(t => p.matcher(t).matches())
-          }
-          hits += pq.regexps.count { rx =>
-            val p = java.util.regex.Pattern.compile(s"^(?:$rx)$$")
-            toks.exists(t => p.matcher(t).matches())
-          }
+          hits += pats(id).count(p => toks.exists(t => p.matcher(t).matches()))
           hits >= msm
         }
 
         val repo = r.getString(0); val path = r.getString(1); val commit = r.getString(2)
-        ps.iterator.collect { case (id, pq) if matches(pq) =>
+        ps.iterator.collect { case (id, pq) if matches(id, pq) =>
           org.apache.spark.sql.Row(repo, path, commit, id)
         }
       }

@@ -1988,6 +1988,37 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .orderBy(asc("shard"))
   }
 
+  /** ES `_field_caps`: one row per queryable field with its mapped type
+    * and capabilities — what Kibana-style clients introspect before
+    * building queries. Derived from the index meta + the stored docs
+    * schema (no data scan): `text` fields are searchable (scored),
+    * `keyword` searchable + aggregatable, `nested` searchable (nested
+    * query path), `dense_vector` knn-searchable, numeric stored columns
+    * aggregatable (range filters / stats aggs), other stored columns
+    * retrievable only. Internal columns (docId, sha256, dl, `_ivf_*`) are
+    * not exposed. */
+  def fieldCaps(): DataFrame = {
+    import org.apache.spark.sql.types._
+    val internal = Set("docId", "sha256", "dl") ++ meta.denseVectors.map(f => s"_ivf_$f")
+    val rows = docsDf.schema.fields.toSeq
+      .filterNot(f => internal.contains(f.name))
+      .map { f =>
+        val (tpe, searchable, aggregatable) =
+          if (f.name == "content") ("text", true, false)
+          else if (meta.analyzed.contains(f.name)) ("text", true, false)
+          else if (meta.keywords.contains(f.name)) ("keyword", true, true)
+          else if (meta.nested.contains(f.name)) ("nested", true, true)
+          else if (meta.denseVectors.contains(f.name)) ("dense_vector", true, false)
+          else f.dataType match {
+            case _: NumericType => (f.dataType.simpleString, false, true)
+            case _ => (f.dataType.simpleString, false, false)
+          }
+        (f.name, tpe, searchable, aggregatable)
+      } :+ (("content", "text", true, false))
+    rows.distinct.sortBy(_._1)
+      .toDF("field", "type", "searchable", "aggregatable")
+  }
+
   def indexStats(): DataFrame = {
     val d = docsDf.agg(sqlCount(lit(1)).as("n"), sum("dl").as("s")).head()
     val (nDocs, sumDl) = (d.getLong(0), d.getLong(1))

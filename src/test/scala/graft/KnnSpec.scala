@@ -116,6 +116,19 @@ class KnnSpec extends AnyFunSuite {
     assert(got == exactExpected(union, q, 10))
   }
 
+  test("_field_caps exposes mapped types, hides internal columns") {
+    val c = corpus(60, 97)
+    val dir = Files.createTempDirectory("graft-caps").toString
+    new IndexBuilder(spark, cfg).build(c, s"$dir/index", resume = false)
+    val caps = new Searcher(spark, s"$dir/index").fieldCaps()
+      .as[(String, String, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(caps("content") == (("text", true, false)))
+    assert(caps("lang") == (("keyword", true, true)))
+    assert(caps("emb") == (("dense_vector", true, false)))
+    assert(!caps.contains("_ivf_emb") && !caps.contains("sha256") && !caps.contains("docId"))
+  }
+
   test("segmented knn == single-index knn (exact and all-cell probe)") {
     val c = corpus(120, 79)
     val dir = Files.createTempDirectory("graft-knn-seg").toString
