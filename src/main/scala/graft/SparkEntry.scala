@@ -2376,6 +2376,40 @@ object SparkEntry {
         "q_noindex" -> "query -index"))
       perc.percolate(corpus)
         .select(col("path").cast("bigint").as("doc_id"), col("query_id"))
+    }),
+
+    // ES hybrid search — the 8.8 `rrf` retriever: BM25 ranking ∪ kNN
+    // ranking fused by RECIPROCAL RANK, score(d) = Σ 1/(60 + rank_d) over
+    // the top-`window` of each branch — no score calibration across the
+    // incomparable scales. The oracle reproduces both rankings (identical
+    // tie-breaks) and the fusion arithmetic. Shares fts70's cached index.
+    "fts73_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = t(s, d, "documents")
+        .join(emb, col("doc_id") === col("vec_id"))
+        .select(
+          lit("docs").as("repo"),
+          lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+          md5(col("text")).as("commit"),
+          col("lang"), col("text").as("content"), col("embedding"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts70-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang", "repo"),
+          denseVector = Seq("embedding")),
+        ivfCells = 8)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val q: Array[Float] = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").as[Array[Float]].head()
+      val hits = new Searcher(s, idxDir)
+        .hybridRrf("merge", "embedding", q, 15, windowSize = 50)
+        .toSeq.toDF("docId", "rrf_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("rrf_raw"), 6).as("rrf"))
     })
   )
 
@@ -3713,7 +3747,39 @@ object SparkEntry {
            |       WHERE list_contains(tk, 'query') AND NOT list_contains(tk, 'index'))
            |SELECT doc_id, query_id FROM m1
            |UNION ALL SELECT doc_id, query_id FROM m2
-           |UNION ALL SELECT doc_id, query_id FROM m3""".stripMargin
+           |UNION ALL SELECT doc_id, query_id FROM m3""".stripMargin,
+      // hybrid RRF: both branch rankings with the engine's exact tie-break
+      // (score desc, doc_id asc), fused 1/(60+rank) over top-50 windows
+      "fts73_hybrid_rrf" ->
+        s"""WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |base AS (SELECT d.doc_id, d.text, e.v FROM documents d
+           |         JOIN e ON d.doc_id = e.vec_id),
+           |dt AS (SELECT doc_id, v,
+           |  list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> length(x)>0)
+           |    AS tk FROM base),
+           |doc AS (SELECT doc_id, v, cast(len(tk) AS bigint) AS dl, tk FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM doc)
+           |       WHERE term = 'merge' GROUP BY 1,2,3),
+           |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |scored AS (SELECT doc_id, sum(
+           |  ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+           |  (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))) AS s
+           |  FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats GROUP BY doc_id),
+           |trank AS (SELECT doc_id, r FROM (
+           |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+           |  FROM scored) WHERE r <= 50),
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |vrank AS (SELECT doc_id, r FROM (
+           |  SELECT doc_id, row_number() OVER (
+           |    ORDER BY list_cosine_similarity(v, qv) DESC, doc_id ASC) AS r
+           |  FROM doc CROSS JOIN q) WHERE r <= 50),
+           |fused AS (SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
+           |  coalesce(1.0/(60 + t.r), 0) + coalesce(1.0/(60 + u.r), 0) AS rrf
+           |  FROM trank t FULL OUTER JOIN vrank u ON t.doc_id = u.doc_id)
+           |SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+           |ORDER BY rrf DESC, doc_id ASC LIMIT 15""".stripMargin
     )
   }
 }

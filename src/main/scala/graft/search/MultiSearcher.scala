@@ -480,6 +480,36 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     resolveHits(top.map(t => (0, t._1, t._2, t._3)), 1, Map(0 -> k)).head
   }
 
+  /** ES hybrid search (RRF retriever) over the segmented index —
+    * [[Searcher.hybridRrf]] semantics, fused on DOCUMENT IDENTITY (the
+    * only cross-segment-stable key). Both branches are already exact
+    * w.r.t. a fresh single build, so the fused ranking is too. */
+  def hybridRrf(query: String, field: String, queryVec: Array[Float], k: Int,
+      windowSize: Int = 100, rankConstant: Int = 60,
+      filter: String = ""): Array[ScoredHit] = {
+    require(k > 0 && windowSize >= k,
+      s"need windowSize >= k > 0 (got k=$k, windowSize=$windowSize)")
+    require(rankConstant >= 1, s"rankConstant must be >= 1 (got $rankConstant)")
+    val textQ = if (filter.isEmpty) query else s"$query $filter"
+    val textRank = search(textQ, windowSize)
+    val knnRank = knn(field, queryVec, windowSize, filter)
+    val fused = new java.util.HashMap[(String, String, String), Double]()
+    def add(ranking: Array[ScoredHit]): Unit = {
+      var i = 0
+      while (i < ranking.length) {
+        val h = ranking(i)
+        fused.merge((h.repo, h.path, h.commit), 1.0 / (rankConstant + i + 1), (a, b) => a + b)
+        i += 1
+      }
+    }
+    add(textRank); add(knnRank)
+    import scala.jdk.CollectionConverters._
+    fused.entrySet().asScala.toArray
+      .map(e => ScoredHit(e.getKey._1, e.getKey._2, e.getKey._3, e.getValue))
+      .sortBy(h => (-h.score, h.repo, h.path, h.commit))
+      .take(k)
+  }
+
   /** One action: blocks filter → per-(seg, shard) kernels → per-(query,
     * segment) top-k (docId tie-break — identical to identity order inside a
     * segment) → collect. Output is ≤ k per (query, segment): driver-bounded

@@ -662,6 +662,41 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .collect()
   }
 
+  /** ES hybrid search with RECIPROCAL RANK FUSION (the ES 8.8+ `rrf`
+    * retriever): the text query's BM25 ranking and the dense_vector kNN
+    * ranking are fused by rank, not score —
+    * `score(d) = Σ_rankings 1/(rankConstant + rank_d)` over the rankings
+    * that contain `d` in their top `windowSize` — so the two branches'
+    * incomparable score scales never need calibration. Both branches see
+    * the same optional `filter` (pre-filter, as in the ES retriever tree);
+    * ties order (fused score desc, docId asc). Runs the two k-bounded
+    * branch queries and fuses the ≤ 2·windowSize candidates driver-side —
+    * the same shape ES uses (per-shard top windows, coordinator fusion). */
+  def hybridRrf(query: String, field: String, queryVec: Array[Float], k: Int,
+      windowSize: Int = 100, rankConstant: Int = 60,
+      filter: String = ""): Array[ScoredDoc] = {
+    require(k > 0 && windowSize >= k,
+      s"need windowSize >= k > 0 (got k=$k, windowSize=$windowSize)")
+    require(rankConstant >= 1, s"rankConstant must be >= 1 (got $rankConstant)")
+    val textQ = if (filter.isEmpty) query else s"$query $filter"
+    val textRank: Array[ScoredDoc] = search(textQ, windowSize)
+    val knnRank: Array[ScoredDoc] = knn(field, queryVec, windowSize, filter)
+    val fused = new java.util.HashMap[Long, Double]()
+    def add(ranking: Array[ScoredDoc]): Unit = {
+      var i = 0
+      while (i < ranking.length) {
+        fused.merge(ranking(i).docId, 1.0 / (rankConstant + i + 1), (a, b) => a + b)
+        i += 1
+      }
+    }
+    add(textRank); add(knnRank)
+    import scala.jdk.CollectionConverters._
+    fused.entrySet().asScala.toArray
+      .map(e => ScoredDoc(e.getKey, e.getValue))
+      .sortBy(sd => (-sd.score, sd.docId))
+      .take(k)
+  }
+
   /** The published IVF centroids of a dense_vector field (tiny relation,
     * collected once per call — [[warm]]-style caching left to the caller). */
   private def readCentroids(field: String): Array[Array[Float]] =

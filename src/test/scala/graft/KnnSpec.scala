@@ -116,6 +116,41 @@ class KnnSpec extends AnyFunSuite {
     assert(got == exactExpected(union, q, 10))
   }
 
+  test("hybrid RRF fuses the two branch rankings by rank; segmented == single") {
+    val c = corpus(120, 101)
+    val dir = Files.createTempDirectory("graft-hybrid").toString
+    new IndexBuilder(spark, cfg).build(c, s"$dir/single", resume = false)
+    val seg = new SegmentedIndex(spark, s"$dir/seg", cfg, maxSegments = 4)
+    seg.ingest(c.filter(xxhash64(col("repo"), col("path")) % 2 === 0))
+    seg.ingest(c.filter(xxhash64(col("repo"), col("path")) % 2 =!= 0))
+    val se = new Searcher(spark, s"$dir/single")
+    val docs = spark.read.parquet(s"$dir/single/docs")
+      .select("docId", "repo", "path", "commit").as[(Long, String, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val q = qvec(1)
+
+    // fusion arithmetic vs an independent driver-side recomputation
+    val got = se.hybridRrf("merge index", "emb", q, 10, windowSize = 30).toSeq
+    val tr = se.search("merge index", 30).map(_.docId).zipWithIndex.toMap
+    val vr = se.knn("emb", q, 30).map(_.docId).zipWithIndex.toMap
+    val want = (tr.keySet ++ vr.keySet).toSeq
+      .map { id =>
+        val s = tr.get(id).map(r => 1.0 / (60 + r + 1)).getOrElse(0.0) +
+          vr.get(id).map(r => 1.0 / (60 + r + 1)).getOrElse(0.0)
+        graft.search.ScoredDoc(id, s)
+      }
+      .sortBy(sd => (-sd.score, sd.docId)).take(10)
+    assert(got == want)
+    assert(got.nonEmpty)
+
+    // segmented fusion is identity-keyed and matches the single index
+    val ms = new MultiSearcher(spark, s"$dir/seg")
+    val gotSeg = ms.hybridRrf("merge index", "emb", q, 10, windowSize = 30)
+      .map(h => (h.repo, h.path, h.commit, h.score)).toSeq
+    val wantSeg = got.map(sd => { val (r, p, cm) = docs(sd.docId); (r, p, cm, sd.score) })
+    assert(gotSeg == wantSeg)
+  }
+
   test("_field_caps exposes mapped types, hides internal columns") {
     val c = corpus(60, 97)
     val dir = Files.createTempDirectory("graft-caps").toString
