@@ -110,28 +110,33 @@ object IndexSnapshot {
     val staging = targetDir + ".restore-staging"
     Json.deleteRecursively(staging)
     copyTree(src.resolve("data"), Paths.get(staging))
-    // verify the restored bytes, not the repository's word for them
-    val (seg, cfgHash, numDocs, lineage) = identity(staging)
-    require(seg == info.segmented && cfgHash == info.configHash,
-      s"restored metadata differs from snapshot manifest ($name)")
-    val docDirs =
-      if (seg) Json.read(s"$staging/segments.json", classOf[SegmentsManifest])
-        .segments.map(e => s"$staging/${e.name}/docs")
-      else Seq(s"$staging/docs")
-    val (gotDocs, gotLineage) = docDirs.map { d =>
-      val r = spark.read.parquet(d)
-        .agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(sha256))"), lit(0L)))
-        .head()
-      (r.getLong(0), r.getLong(1))
-    }.foldLeft((0L, 0L)) { case ((n, l), (n2, l2)) => (n + n2, l ^ l2) }
-    if (gotDocs != info.numDocs || gotLineage != info.lineage) {
-      Json.deleteRecursively(staging)
-      throw new IllegalStateException(
-        s"snapshot '$name' failed verification: docs $gotDocs/${info.numDocs}, " +
-          s"lineage ${gotLineage.toHexString}/${info.lineage.toHexString}")
+    // verify the restored bytes, not the repository's word for them; ANY
+    // verification failure (metadata mismatch, lineage mismatch, unreadable
+    // parquet) removes the staging tree before rethrowing — a failed restore
+    // leaves neither the live target touched nor an orphaned staging dir
+    try {
+      val (seg, cfgHash, numDocs, lineage) = identity(staging)
+      require(seg == info.segmented && cfgHash == info.configHash,
+        s"restored metadata differs from snapshot manifest ($name)")
+      val docDirs =
+        if (seg) Json.read(s"$staging/segments.json", classOf[SegmentsManifest])
+          .segments.map(e => s"$staging/${e.name}/docs")
+        else Seq(s"$staging/docs")
+      val (gotDocs, gotLineage) = docDirs.map { d =>
+        val r = spark.read.parquet(d)
+          .agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(sha256))"), lit(0L)))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }.foldLeft((0L, 0L)) { case ((n, l), (n2, l2)) => (n + n2, l ^ l2) }
+      if (gotDocs != info.numDocs || gotLineage != info.lineage)
+        throw new IllegalStateException(
+          s"snapshot '$name' failed verification: docs $gotDocs/${info.numDocs}, " +
+            s"lineage ${gotLineage.toHexString}/${info.lineage.toHexString}")
+      require(numDocs == info.numDocs && lineage == info.lineage,
+        s"snapshot '$name' manifest/meta mismatch")
+    } catch {
+      case e: Throwable => Json.deleteRecursively(staging); throw e
     }
-    require(numDocs == info.numDocs && lineage == info.lineage,
-      s"snapshot '$name' manifest/meta mismatch")
     Json.atomicMove(staging, targetDir)
     info
   }

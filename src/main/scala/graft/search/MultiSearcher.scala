@@ -384,7 +384,8 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
           .join(passing, Seq("seg", "docId"), "left_semi")
           .as[(Int, Int, Long)]
       }
-    val plans = plans0.map(_.copy(ranges = Nil, needsAccept = true))
+    val plans = plans0.map(_.copy(ranges = Nil, needsAccept = true,
+      minShouldMatch = minShouldMatch))
     val kByIdx: Map[Int, Int] = plans.map(pl => pl.qIdx -> pl.k).toMap
     resolveHits(kernelTopK(plans, gAvgdl, p, Some(preIntersected)), 1, kByIdx).head
   }
@@ -490,8 +491,39 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     require(k > 0 && windowSize >= k,
       s"need windowSize >= k > 0 (got k=$k, windowSize=$windowSize)")
     require(rankConstant >= 1, s"rankConstant must be >= 1 (got $rankConstant)")
-    val textQ = if (filter.isEmpty) query else s"$query $filter"
-    val textRank = search(textQ, windowSize)
+    // filter is FILTER CONTEXT (score-neutral, ES retriever-tree semantics):
+    // its (seg, docId) match set rides the scored kernels' accept channel —
+    // candidates restricted, global statistics and BM25 scores untouched.
+    // The knn branch resolves the same match set via its own semi-join.
+    val textRank =
+      if (filter.isEmpty) search(query, windowSize)
+      else {
+        val (plans0, gAvgdl) = planQueries(Seq(query -> windowSize))
+        if (plans0.isEmpty) Array.empty[ScoredHit]
+        else {
+          val acc0 = matchedSegDoc(filter)
+            .select(lit(0).cast("int").as("q"), col("seg"), col("docId"))
+            .as[(Int, Int, Long)]
+          // a range filter inside the TEXT query must INTERSECT the accept
+          // set (the channel is one set per query) — pre-intersect and strip,
+          // as searchNested does
+          val pqT = Searcher.parseFull(query, segs.head._2.keywords.toSet)
+          val acc =
+            if (pqT.ranges.isEmpty) acc0
+            else {
+              val fields = pqT.ranges.map(_.field).distinct.toSeq
+              val passing = taggedUnion("docs", Seq("docId") ++ fields)
+                .filter(pqT.ranges.map(_.pred).reduce(_ && _))
+                .select("seg", "docId")
+              acc0.toDF("q", "seg", "docId")
+                .join(passing, Seq("seg", "docId"), "left_semi")
+                .as[(Int, Int, Long)]
+            }
+          val plans = plans0.map(_.copy(ranges = Nil, needsAccept = true))
+          resolveHits(kernelTopK(plans, gAvgdl, p, Some(acc)), 1,
+            Map(0 -> windowSize)).head
+        }
+      }
     val knnRank = knn(field, queryVec, windowSize, filter)
     val fused = new java.util.HashMap[(String, String, String), Double]()
     def add(ranking: Array[ScoredHit]): Unit = {
@@ -536,7 +568,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
               phraseOrdered = if (pl.phraseOrdered.isEmpty) null else pl.phraseOrdered.toArray,
               phraseEnds = if (pl.phraseEnds.isEmpty) null else pl.phraseEnds.toArray)
           else Wand.topK(subset, pl.idfById, pl.filterIds, gAvgdl, params, pl.k,
-            pl.exactBounds, pl.excludeIds, accept)
+            pl.exactBounds, pl.excludeIds, accept, minShouldMatch = pl.minShouldMatch)
         hits.map(sd => (pl.qIdx, s, sd.docId, sd.score))
       }
     }
@@ -1453,7 +1485,11 @@ object MultiSearcher {
         * span_near(inOrder=false) window semantics */
       phraseOrdered: Seq[Boolean] = Nil,
       /** per-phrase span_first end bound (empty = unbounded) */
-      phraseEnds: Seq[Int] = Nil) {
+      phraseEnds: Seq[Int] = Nil,
+      /** ES minimum_should_match on the scored (should) clauses — threaded
+        * into the scored kernel exactly as the single-segment path does;
+        * phrase plans are must clauses and unaffected */
+      minShouldMatch: Int = 1) {
     def allTermIds: Iterable[Long] =
       idfById.keys ++ phraseIdfById.keys ++ filterIds ++ excludeIds
     def wantsBlock(termId: Long): Boolean =

@@ -131,16 +131,23 @@ class Percolator(
               return false
             pi += 1
           }
-          // should clauses: each literal term / pattern clause counts once
-          // if the document satisfies it (patterns expand against the doc's
-          // own token set — the one-doc-index semantics of ES percolator)
+          // should clauses, counted EXACTLY like the index side: under the
+          // scoring_boolean rewrite every dictionary expansion is its own
+          // should clause, and the index kernel counts the DISTINCT matched
+          // terms of (literal ∪ expansions) — so here each distinct document
+          // token satisfying ANY clause (literal term, prefix, fuzzy,
+          // wildcard/regexp) counts once, and a token matched by several
+          // clauses still counts once (it is one dictionary term index-side)
           if (!pq.hasScoringClauses) return true
           var hits = 0
-          hits += pq.terms.distinct.count(tokSet.contains)
-          hits += pq.prefixes.count(pf => toks.exists(_.startsWith(pf)))
-          hits += pq.fuzzies.count { case (st, b) =>
-            toks.exists(t => Searcher.editWithin(st, t, b)) }
-          hits += pats(id).count(p => toks.exists(t => p.matcher(t).matches()))
+          val tIt = tokSet.iterator()
+          while (hits < msm && tIt.hasNext) {
+            val t = tIt.next()
+            if (pq.terms.contains(t) ||
+              pq.prefixes.exists(t.startsWith) ||
+              pq.fuzzies.exists { case (st, b) => Searcher.editWithin(st, t, b) } ||
+              pats(id).exists(p => p.matcher(t).matches())) hits += 1
+          }
           hits >= msm
         }
 

@@ -678,8 +678,17 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(k > 0 && windowSize >= k,
       s"need windowSize >= k > 0 (got k=$k, windowSize=$windowSize)")
     require(rankConstant >= 1, s"rankConstant must be >= 1 (got $rankConstant)")
-    val textQ = if (filter.isEmpty) query else s"$query $filter"
-    val textRank: Array[ScoredDoc] = search(textQ, windowSize)
+    // The pre-filter is FILTER CONTEXT (score-neutral), exactly as in the ES
+    // retriever tree: its match set rides the text branch's accept channel
+    // (candidates restricted, BM25 statistics and scores untouched) — never
+    // spliced into the scored query, where a bare term would become an extra
+    // should clause and shift the BM25 ranking. The knn branch resolves the
+    // SAME match set through its own semi-join, so both branches see one
+    // filter semantics.
+    val textRank: Array[ScoredDoc] =
+      if (filter.isEmpty) search(query, windowSize)
+      else searchImpl(query, windowSize, 0, 1, null,
+        matchIdsDs(Searcher.parseFull(filter, meta.keywords.toSet)))
     val knnRank: Array[ScoredDoc] = knn(field, queryVec, windowSize, filter)
     val fused = new java.util.HashMap[Long, Double]()
     def add(ranking: Array[ScoredDoc]): Unit = {
@@ -2481,15 +2490,21 @@ object Phrase {
     *
     * ordered = false (Lucene `SpanNearQuery(inOrder=false)`): any window
     * holding one position of EVERY slot at DISTINCT positions with the same
-    * span bound `(max - min) - (m-1) ≤ slop`. Minimal-window sweep: advance
-    * the minimum head; every candidate window with distinct heads is
-    * checked, so the minimal window containing each possible max is seen.
+    * span bound `(max - min) - (m-1) ≤ slop`. Duplicate slots (the same term
+    * filling c ≥ 2 slots shares one position array) need c DISTINCT
+    * positions from that array, so the check groups slots by their position
+    * array and counts: a window [s, s + slop + (m-1)] matches iff every
+    * group has ≥ its multiplicity positions inside it. Candidate starts are
+    * exactly the positions themselves (any match's minimum position is one),
+    * so sweeping s over the sorted union is exact — and distinct groups'
+    * arrays are disjoint (one token occupies one position), so counting per
+    * group never double-books a position across groups.
     *
     * endBound ≥ 0 (Lucene `SpanFirstQuery`): the matching span must also END
     * before position `endBound` (last position < endBound). In the ordered
     * sweep i_m is monotone in the start, so the first start with
-    * i_m ≥ endBound ends the search; unordered windows stop once min ≥
-    * endBound. */
+    * i_m ≥ endBound ends the search; unordered windows cap their right edge
+    * at `endBound - 1`. */
   private[search] def spanMatch(
       slots: Array[Array[Long]], slop: Int, ordered: Boolean, endBound: Int): Boolean = {
     val m = slots.length
@@ -2518,34 +2533,78 @@ object Phrase {
       }
       false
     } else {
-      // pointer sweep over the m sorted lists: each iteration inspects the
-      // current head window, then advances the minimum head
-      val idx = new Array[Int](m)
-      while (true) {
-        var mn = Long.MaxValue; var mx = Long.MinValue; var mnSlot = -1
-        var distinct = true
-        var j = 0
-        while (j < m) {
-          if (idx(j) >= slots(j).length) return false
-          val v = slots(j)(idx(j))
-          if (v < mn) { mn = v; mnSlot = j }
-          if (v > mx) mx = v
-          j += 1
-        }
-        // distinct-position check (one token occupies one position)
-        j = 0
-        while (j < m && distinct) {
-          var h = j + 1
-          while (h < m && distinct) {
-            if (slots(j)(idx(j)) == slots(h)(idx(h))) distinct = false
-            h += 1
+      // group slots sharing one position array (duplicate query terms):
+      // reference identity is enough — duplicate slots are built by mapping
+      // the same termId to the same decoded array
+      val groups = new java.util.IdentityHashMap[Array[Long], Int]()
+      var j = 0
+      while (j < m) {
+        if (slots(j).isEmpty) return false
+        groups.merge(slots(j), 1, (a, b) => a + b)
+        j += 1
+      }
+      var arrs = new Array[Array[Long]](groups.size)
+      var mult = new Array[Int](groups.size)
+      var g = 0
+      val git = groups.entrySet().iterator()
+      while (git.hasNext) {
+        val e = git.next(); arrs(g) = e.getKey; mult(g) = e.getValue; g += 1
+      }
+      // merge content-equal groups that arrived as distinct instances (a
+      // caller that rebuilt per-slot arrays) — ≤ m groups, cheap pairwise
+      if (arrs.length > 1) {
+        var i2 = 0
+        while (i2 < arrs.length) {
+          var j2 = i2 + 1
+          while (j2 < arrs.length) {
+            if (mult(j2) > 0 && mult(i2) > 0 && java.util.Arrays.equals(arrs(i2), arrs(j2))) {
+              mult(i2) += mult(j2); mult(j2) = 0
+            }
+            j2 += 1
           }
-          j += 1
+          i2 += 1
         }
-        if (endBound >= 0 && mn >= endBound) return false // windows only move right
-        if (distinct && (mx - mn) - (m - 1) <= slop && (endBound < 0 || mx < endBound))
-          return true
-        idx(mnSlot) += 1
+        val keep = mult.indices.filter(mult(_) > 0)
+        if (keep.length < arrs.length) {
+          arrs = keep.map(arrs).toArray
+          mult = keep.map(mult).toArray
+        }
+      }
+      val win = slop.toLong + (m - 1) // window length: (mx - mn) - (m-1) <= slop
+      // sweep candidate starts = every position of every group, ascending;
+      // per group a cursor to its first uninspected start (monotone in s)
+      val cur = new Array[Int](arrs.length)
+      while (true) {
+        // s = smallest uninspected candidate start across groups
+        var s = Long.MaxValue
+        var gi = 0
+        while (gi < arrs.length) {
+          if (cur(gi) < arrs(gi).length && arrs(gi)(cur(gi)) < s) s = arrs(gi)(cur(gi))
+          gi += 1
+        }
+        if (s == Long.MaxValue) return false
+        if (endBound >= 0 && s >= endBound) return false // later windows only move right
+        var hi = s + win
+        if (endBound >= 0 && endBound.toLong - 1L < hi) hi = endBound.toLong - 1L
+        // every group must contribute `mult` distinct positions in [s, hi]
+        var ok = true
+        gi = 0
+        while (ok && gi < arrs.length) {
+          val a = arrs(gi)
+          // first index >= s (advance this group's cursor if it IS the min)
+          var lo = java.util.Arrays.binarySearch(a, s)
+          if (lo < 0) lo = -lo - 1
+          val need = lo + mult(gi) - 1
+          ok = need < a.length && a(need) <= hi
+          gi += 1
+        }
+        if (ok) return true
+        // advance every cursor sitting on s (inspect each start once)
+        gi = 0
+        while (gi < arrs.length) {
+          if (cur(gi) < arrs(gi).length && arrs(gi)(cur(gi)) == s) cur(gi) += 1
+          gi += 1
+        }
       }
       false
     }

@@ -151,6 +151,56 @@ class KnnSpec extends AnyFunSuite {
     assert(gotSeg == wantSeg)
   }
 
+  test("hybrid RRF pre-filter is FILTER CONTEXT: score-neutral on the text branch") {
+    val c = corpus(120, 103)
+    val dir = Files.createTempDirectory("graft-hybrid-f").toString
+    new IndexBuilder(spark, cfg).build(c, s"$dir/single", resume = false)
+    val se = new Searcher(spark, s"$dir/single")
+    val docs = spark.read.parquet(s"$dir/single/docs")
+      .select("docId", "repo", "path", "commit").as[(Long, String, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val q = qvec(2)
+    // the filter carries a BARE TERM ('merge') — under filter-context
+    // semantics it restricts candidates but must NOT become a scored clause
+    val filter = "lang:scala merge"
+    // accept set computed independently: lang=scala AND contains token merge
+    // (content is not a stored docs column — resolve docIds via identity)
+    val identToId: Map[(String, String, String), Long] =
+      docs.map { case (id, ident) => ident -> id }
+    val accept: Set[Long] = c.select("repo", "path", "commit", "lang", "content")
+      .as[(String, String, String, String, String)].collect()
+      .filter { case (_, _, _, lang, content) =>
+        lang == "scala" && graft.analysis.Analyzer.tokenize(content).contains("merge") }
+      .map(t => identToId((t._1, t._2, t._3))).toSet
+    assert(accept.nonEmpty, "degenerate: filter matches nothing")
+    // expected text branch: the UNFILTERED full ranking (scores untouched by
+    // the filter) restricted to the accept set — exact because k=500 covers
+    // every match in this 120-doc corpus
+    val textExpected = se.search("merge index", 500)
+      .filter(sd => accept.contains(sd.docId)).take(30)
+    val knnRank = se.knn("emb", q, 30, filter)
+    val fused = new scala.collection.mutable.HashMap[Long, Double]()
+    textExpected.zipWithIndex.foreach { case (sd, r) =>
+      fused(sd.docId) = fused.getOrElse(sd.docId, 0.0) + 1.0 / (60 + r + 1) }
+    knnRank.zipWithIndex.foreach { case (sd, r) =>
+      fused(sd.docId) = fused.getOrElse(sd.docId, 0.0) + 1.0 / (60 + r + 1) }
+    val want = fused.toSeq.map { case (id, s) => graft.search.ScoredDoc(id, s) }
+      .sortBy(sd => (-sd.score, sd.docId)).take(10)
+    val got = se.hybridRrf("merge index", "emb", q, 10, windowSize = 30, filter = filter).toSeq
+    assert(got == want)
+    got.foreach(sd => assert(accept.contains(sd.docId), "filter must gate both branches"))
+
+    // segmented == single under the same filtered fusion
+    val seg = new SegmentedIndex(spark, s"$dir/seg", cfg, maxSegments = 4)
+    seg.ingest(c.filter(xxhash64(col("repo"), col("path")) % 2 === 0))
+    seg.ingest(c.filter(xxhash64(col("repo"), col("path")) % 2 =!= 0))
+    val ms = new MultiSearcher(spark, s"$dir/seg")
+    val gotSeg = ms.hybridRrf("merge index", "emb", q, 10, windowSize = 30, filter = filter)
+      .map(h => (h.repo, h.path, h.commit, h.score)).toSeq
+    val wantSeg = got.map(sd => { val (r, p, cm) = docs(sd.docId); (r, p, cm, sd.score) })
+    assert(gotSeg == wantSeg)
+  }
+
   test("_field_caps exposes mapped types, hides internal columns") {
     val c = corpus(60, 97)
     val dir = Files.createTempDirectory("graft-caps").toString

@@ -186,6 +186,19 @@ class NestedSpec extends AnyFunSuite {
         .map(h => { val (r, p, c) = docs(h.docId); (r, p, c, h.score) }).toSeq
       assert(got == want, s"segmented/single nested mismatch for '$q'")
     }
+    // minimum_should_match threads into the SCORED segmented path too: a
+    // doc matching only one should clause must drop at msm=2 (regression —
+    // the segmented kernel used to ignore msm on scored nested queries)
+    for (msm <- Seq(1, 2)) {
+      val gotM = ms.searchNested("merge index", "symbols", clauses, 10, minShouldMatch = msm)
+        .map(h => (h.repo, h.path, h.commit, h.score)).toSeq
+      val wantM = se.searchNested("merge index", "symbols", clauses, 10, minShouldMatch = msm)
+        .map(h => { val (r, p, c) = docs(h.docId); (r, p, c, h.score) }).toSeq
+      assert(gotM == wantM, s"segmented/single nested mismatch at msm=$msm")
+    }
+    assert(
+      ms.searchNested("merge index", "symbols", clauses, 10, minShouldMatch = 2).length <=
+        ms.searchNested("merge index", "symbols", clauses, 10).length)
     // at least one of the queries must have hits for the test to mean much
     assert(ms.searchNested("", "symbols", clauses, 10).nonEmpty)
   }

@@ -65,4 +65,28 @@ class PercolatorSpec extends AnyFunSuite {
     }
     assert(got.values.exists(_.nonEmpty), "degenerate: no query matched anything")
   }
+
+  test("minShouldMatch counts pattern expansions per matching doc token (index rule)") {
+    // doc tokens {index, indexing} satisfy msm=2 for 'ind* score' INDEX-side
+    // (two dictionary expansions = two should clauses) — percolate must agree
+    val docs = Seq(
+      ("r/a", "g1", "c1", "scala", "index indexing"),
+      ("r/a", "g2", "c2", "scala", "index score"),
+      ("r/a", "g3", "c3", "scala", "index only here"),
+      ("r/a", "g4", "c4", "scala", "score alone")
+    ).toDF("repo", "path", "commit", "lang", "content")
+    val perc = new Percolator(Seq("pq" -> "ind* score"))
+    val got = perc.percolate(docs, minShouldMatch = 2)
+      .select("path").as[String].collect().toSet
+    assert(got == Set("g1", "g2"))
+    // and on a generated corpus the msm=2 match set equals the index-side
+    // oracle's (distinct contributing terms >= 2)
+    val corpus = CorpusGen.generate(spark, 120, seed = 89, partitions = 4).toDF()
+    val got2 = new Percolator(Seq("pq" -> "ind* score")).percolate(corpus, minShouldMatch = 2)
+      .select("repo", "path", "commit").as[(String, String, String)].collect().toSet
+    val want2 = Oracle.bm25(corpus, "ind* score", 100000, minShouldMatch = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got2 == want2)
+    assert(got2.nonEmpty, "degenerate: msm=2 matched nothing")
+  }
 }

@@ -63,5 +63,27 @@ class SnapshotSpec extends AnyFunSuite {
     }
     assert(new MultiSearcher(spark, s"$dir/seg2").search("merge index", 10).toSeq == before,
       s"live index must survive a failed restore (error was: ${e.getMessage})")
+    assert(!Files.exists(Paths.get(s"$dir/seg2.restore-staging")),
+      "failed restore must not leave an orphaned staging tree")
+  }
+
+  test("metadata-mismatch restore refuses AND removes its staging tree") {
+    val dir = Files.createTempDirectory("graft-snap-meta").toString
+    val corpus = CorpusGen.generate(spark, 60, seed = 47, partitions = 2).toDF()
+    new IndexBuilder(spark, cfg).build(corpus, s"$dir/index", resume = false)
+    IndexSnapshot.snapshot(s"$dir/index", s"$dir/repo", "m-snap")
+    // tamper the SNAPSHOT MANIFEST's configHash: identity(staging) then
+    // disagrees with the manifest — the metadata `require` path, which used
+    // to leave '<target>.restore-staging' behind
+    val manifest = Paths.get(s"$dir/repo/m-snap/snapshot.json")
+    val doctored = new String(Files.readAllBytes(manifest), "UTF-8")
+      .replaceFirst("\"configHash\"\\s*:\\s*\"[^\"]*\"", "\"configHash\":\"deadbeef\"")
+    Files.write(manifest, doctored.getBytes("UTF-8"))
+    intercept[Exception] {
+      IndexSnapshot.restore(spark, s"$dir/repo", "m-snap", s"$dir/restored")
+    }
+    assert(!Files.exists(Paths.get(s"$dir/restored")), "no partial restore may publish")
+    assert(!Files.exists(Paths.get(s"$dir/restored.restore-staging")),
+      "metadata-mismatch restore must remove its staging tree")
   }
 }

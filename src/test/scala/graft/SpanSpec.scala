@@ -26,7 +26,9 @@ class SpanSpec extends AnyFunSuite {
       ("r/a", "d1", "c1", "md", "alpha beta gamma"),
       ("r/a", "d2", "c2", "md", "beta alpha gamma"),
       ("r/a", "d3", "c3", "md", "alpha padx pady padz beta"),
-      ("r/a", "d4", "c4", "md", "gamma delta epsilon")
+      ("r/a", "d4", "c4", "md", "gamma delta epsilon"),
+      ("r/a", "d5", "c5", "md", "xray yankee xray zulu xray"),
+      ("r/a", "d6", "c6", "md", "xray xray beta")
     ).toDF("repo", "path", "commit", "lang", "content")
     new IndexBuilder(spark, cfg).build(corpus, s"$dir/index", resume = false)
     val se = new Searcher(spark, s"$dir/index")
@@ -55,13 +57,34 @@ class SpanSpec extends AnyFunSuite {
     assert(se.searchSpanNear(Seq("alpha", "nosuch"), 9, inOrder = false, 10).isEmpty)
   }
 
+  test("unordered span_near with duplicate terms needs DISTINCT positions") {
+    val (se, byId) = buildTiny()
+    def names(hits: Array[graft.search.ScoredDoc]): Set[String] =
+      hits.map(h => byId(h.docId)).toSet
+    // d5: xray at positions 0,2,4 — three distinct positions, window span
+    // (4-0)-(3-1)=2; d6 has only two xrays and must NOT fake a third from
+    // a duplicate slot
+    assert(names(se.searchSpanNear(Seq("xray", "xray", "xray"), 2, inOrder = false, 10)) ==
+      Set("d5"))
+    assert(se.searchSpanNear(Seq("xray", "xray", "xray"), 1, inOrder = false, 10).isEmpty)
+    // two adjacent xrays: only d6 (d5's closest pair spans 1)
+    assert(names(se.searchSpanNear(Seq("xray", "xray"), 0, inOrder = false, 10)) == Set("d6"))
+    assert(names(se.searchSpanNear(Seq("xray", "xray"), 1, inOrder = false, 10)) ==
+      Set("d5", "d6"))
+    // duplicates mixed with a distinct term: d6 = xray@0, xray@1, beta@2
+    assert(names(se.searchSpanNear(Seq("xray", "xray", "beta"), 0, inOrder = false, 10)) ==
+      Set("d6"))
+    // span_first bound applies to the whole duplicate window
+    assert(names(se.searchSpanFirst(Seq("xray", "xray"), 2, 10, slop = 0)) == Set("d6"))
+  }
+
   test("span_first: match must end before the bound") {
     val (se, byId) = buildTiny()
     def names(hits: Array[graft.search.ScoredDoc]): Set[String] =
       hits.map(h => byId(h.docId)).toSet
     assert(names(se.searchSpanFirst(Seq("beta"), 1, 10)) == Set("d2"))
     assert(names(se.searchSpanFirst(Seq("beta"), 2, 10)) == Set("d1", "d2"))
-    assert(names(se.searchSpanFirst(Seq("beta"), 5, 10)) == Set("d1", "d2", "d3"))
+    assert(names(se.searchSpanFirst(Seq("beta"), 5, 10)) == Set("d1", "d2", "d3", "d6"))
     // phrase span: "alpha beta" chain must END before position 2 → d1 only
     assert(names(se.searchSpanFirst(Seq("alpha", "beta"), 2, 10)) == Set("d1"))
     assert(names(se.searchSpanFirst(Seq("alpha", "beta"), 1, 10)).isEmpty)
