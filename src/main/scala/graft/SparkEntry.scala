@@ -2410,6 +2410,33 @@ object SparkEntry {
         .select(col("docId"), col("path").cast("bigint").as("doc_id"))
         .join(broadcast(hits), Seq("docId"))
         .select(col("doc_id"), round(col("rrf_raw"), 6).as("rrf"))
+    }),
+
+    // ES/Lucene match_phrase with PHRASE-FREQUENCY scoring: the phrase
+    // scores idfSum × tfNorm(phraseFreq, dl, avgdl) — occurrence count
+    // through the BM25 tf-norm, the real ES ranking for match_phrase
+    // (closes the engine's documented distinct-term departure behind the
+    // default of the dedicated matchPhrase API). Shares fts5's cached
+    // positions index. Oracle counts occurrences positionally in DuckDB.
+    "fts74_phrase_lucene" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts5-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12,
+        buildBuckets = 2, storePositions = true)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir).matchPhrase("data merge", 50).toSeq
+        .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
     })
   )
 
@@ -2744,6 +2771,26 @@ object SparkEntry {
            |FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN stats
            |WHERE pok
            |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+      // Lucene match_phrase scoring: phraseFreq = positional occurrence
+      // count; weight = idf('data') + idf('merge') with each term's own
+      // corpus-wide df; score = weight * tfNorm(phraseFreq, dl, avgdl)
+      "fts74_phrase_lucene" ->
+        s"""WITH dt AS (SELECT doc_id, $tokExpr AS tk FROM documents),
+           |doc AS (SELECT doc_id, cast(len(tk) as bigint) AS dl,
+           |        cast(len(list_filter(generate_series(1, len(tk)-1),
+           |            i -> tk[i] = 'data' AND tk[i+1] = 'merge')) as bigint) AS pf,
+           |        list_contains(tk, 'data') AS h1, list_contains(tk, 'merge') AS h2
+           |        FROM dt),
+           |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doc),
+           |dfc AS (SELECT sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS df1,
+           |               sum(CASE WHEN h2 THEN 1 ELSE 0 END) AS df2 FROM doc)
+           |SELECT doc_id, round(
+           |  (ln(1.0 + (stats.n - dfc.df1 + 0.5) / (dfc.df1 + 0.5)) +
+           |   ln(1.0 + (stats.n - dfc.df2 + 0.5) / (dfc.df2 + 0.5))) *
+           |  (pf / (pf + 1.2 * (0.25 + 0.75 * doc.dl / stats.avgdl))), 4) AS score
+           |FROM doc CROSS JOIN stats CROSS JOIN dfc
+           |WHERE pf > 0
            |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
       // phrase requirement gates candidates; 'spark' is an optional scored
       // extra — it appears in the per-term sum wherever present on a

@@ -390,6 +390,41 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     resolveHits(kernelTopK(plans, gAvgdl, p, Some(preIntersected)), 1, kByIdx).head
   }
 
+  /** ES `match_phrase` with Lucene phrase-frequency scoring over the
+    * segmented index — [[Searcher.matchPhrase]] semantics with EXACT global
+    * statistics (idfSum from global df, tf-norm against the global avgdl),
+    * so results equal a fresh single build. Conjunctive: a segment missing
+    * any phrase token contributes nothing; a token with no postings
+    * anywhere → empty. */
+  def matchPhrase(phrase: String, k: Int,
+      luceneScoring: Boolean = true): Array[ScoredHit] = {
+    if (!allPositions) throw new IllegalStateException(
+      "phrase query but a segment was built without positions (storePositions=false)")
+    val toks = graft.analysis.Analyzer.tokenize(phrase)
+    require(toks.nonEmpty, "match_phrase analyzes to nothing")
+    val dicts = lookup(toks.distinct)
+    val globalDf: Map[String, Long] =
+      toks.distinct.map(t => t -> dicts.map(_.get(t).map(_._2).getOrElse(0L)).sum).toMap
+    if (globalDf.valuesIterator.exists(_ == 0L)) return Array.empty
+    val gAvgdl = avgdl
+    // Lucene PhraseQuery weight: idf summed over token OCCURRENCES
+    val idfSum = toks.map(t => BM25.idf(numDocs, globalDf(t))).sum
+    val plans = segs.indices.flatMap { s =>
+      val dict = dicts(s)
+      if (toks.exists(t => !dict.contains(t))) Nil
+      else {
+        val idf: Map[Long, Double] =
+          toks.distinct.map(t => dict(t)._1 -> BM25.idf(numDocs, globalDf(t))).toMap
+        Seq(MultiSearcher.SegPlan(0, s, Map.empty, Set.empty, k,
+          Seq(toks.map(t => dict(t)._1)), idf,
+          exactBounds = segs(s)._2.avgdl == gAvgdl, phraseSlops = Seq(0),
+          phraseFreqIdf = if (luceneScoring) Seq(idfSum) else Nil))
+      }
+    }
+    if (plans.isEmpty) return Array.empty
+    resolveHits(kernelTopK(plans, gAvgdl, p), 1, Map(0 -> k)).head
+  }
+
   /** Lucene/ES `span_near` over the segmented index —
     * [[Searcher.searchSpanNear]] semantics with exact global statistics.
     * Conjunctive: a segment missing any term contributes nothing; a term
@@ -566,7 +601,8 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
               pl.phraseIdfById, pl.idfById, pl.filterIds, gAvgdl, params, pl.k,
               pl.excludeIds, accept,
               phraseOrdered = if (pl.phraseOrdered.isEmpty) null else pl.phraseOrdered.toArray,
-              phraseEnds = if (pl.phraseEnds.isEmpty) null else pl.phraseEnds.toArray)
+              phraseEnds = if (pl.phraseEnds.isEmpty) null else pl.phraseEnds.toArray,
+              phraseFreqIdf = if (pl.phraseFreqIdf.isEmpty) null else pl.phraseFreqIdf.toArray)
           else Wand.topK(subset, pl.idfById, pl.filterIds, gAvgdl, params, pl.k,
             pl.exactBounds, pl.excludeIds, accept, minShouldMatch = pl.minShouldMatch)
         hits.map(sd => (pl.qIdx, s, sd.docId, sd.score))
@@ -1489,7 +1525,11 @@ object MultiSearcher {
       /** ES minimum_should_match on the scored (should) clauses — threaded
         * into the scored kernel exactly as the single-segment path does;
         * phrase plans are must clauses and unaffected */
-      minShouldMatch: Int = 1) {
+      minShouldMatch: Int = 1,
+      /** Lucene match_phrase mode: per-phrase summed GLOBAL idf — phrases
+        * score idfSum × tfNorm(phraseFreq, dl, global avgdl) instead of the
+        * distinct-term sum (empty = distinct-term mode) */
+      phraseFreqIdf: Seq[Double] = Nil) {
     def allTermIds: Iterable[Long] =
       idfById.keys ++ phraseIdfById.keys ++ filterIds ++ excludeIds
     def wantsBlock(termId: Long): Boolean =

@@ -395,7 +395,11 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       after: ScoredDoc = null,
       acceptIdsDs: Dataset[Long] = null,
       phraseOrdered: Array[Boolean] = null,
-      phraseEnds: Array[Int] = null): Array[ScoredDoc] = {
+      phraseEnds: Array[Int] = null,
+      /** Lucene/ES match_phrase scoring: score each phrase by its OCCURRENCE
+        * count through the BM25 tf-norm with the phrase's summed idf as the
+        * weight, instead of the distinct-term BM25 sum. Exact phrases only. */
+      luceneFreq: Boolean = false): Array[ScoredDoc] = {
     if (!meta.hasPositions)
       throw new IllegalStateException(
         "phrase query on an index built without positions (IndexConfig.storePositions=false)")
@@ -423,6 +427,12 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     val phraseIdSeqs: Array[Array[Long]] = phrases.map(_.map(t => stats(t)._1))
     val termIds = idfById.keys.toArray ++ optIdfById.keys ++ filterIds ++ excludeIds
     val params = p
+    // Lucene PhraseQuery weight: idf summed over the phrase's TOKEN
+    // OCCURRENCES (duplicates count per occurrence — idfExplain over the
+    // terms array), boost folded per token like every other clause
+    val freqIdf: Array[Double] =
+      if (!luceneFreq) null
+      else phrases.map(_.map(t => BM25.idf(n, stats(t)._2) * boostOf(t)).sum)
 
     val blocksKV = blocksDf
       .filter(col("termId").isin(termIds.map(Long.box): _*))
@@ -437,7 +447,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
         blocksKV.flatMapGroups { (_, blocks) =>
           Phrase.topK(blocks, phraseIdSeqs, slops, idfById, optIdfById, filterIds, avgdl,
             params, k, excludeTermIds = excludeIds, after = aft,
-            phraseOrdered = pOrd, phraseEnds = pEnd)
+            phraseOrdered = pOrd, phraseEnds = pEnd, phraseFreqIdf = freqIdf)
         }
       else
         blocksKV.cogroup(acceptsByShard(ranges, acceptIdsDs)) { (_, blocks, acc) =>
@@ -445,7 +455,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
           java.util.Arrays.sort(a)
           Phrase.topK(blocks, phraseIdSeqs, slops, idfById, optIdfById, filterIds, avgdl,
             params, k, excludeTermIds = excludeIds, accept = a, after = aft,
-            phraseOrdered = pOrd, phraseEnds = pEnd)
+            phraseOrdered = pOrd, phraseEnds = pEnd, phraseFreqIdf = freqIdf)
         }
 
     perShard
@@ -582,6 +592,27 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     docsDf.join(broadcast(hits), Seq("docId"))
       .select("docId", "repo", "path", "commit", "score")
       .orderBy(desc("score"), asc("docId"))
+  }
+
+  /** ES `match_phrase` with LUCENE PHRASE-FREQUENCY SCORING (the default —
+    * what a real ES cluster computes): the phrase matches where its tokens
+    * appear exactly adjacent in order, and scores
+    * `idfSum × tfNorm(phraseFreq, dl, avgdl)` where `phraseFreq` is the
+    * number of phrase OCCURRENCES in the doc and `idfSum` is the idf summed
+    * over the phrase's token occurrences (Lucene PhraseQuery's idfExplain).
+    * Documents with the same term set but more phrase repetitions rank
+    * higher — the semantic the engine's quoted-`search` syntax (distinct-
+    * term scoring, kept for its bit-identical oracles) deliberately departs
+    * from. `luceneScoring = false` falls back to that distinct-term mode.
+    * Exact phrases only (ES `match_phrase` without `slop`); requires a
+    * positions index. Replaces the delegated ES contract at
+    * `hail_scripts/elasticsearch/hail_elasticsearch_client.py:197-199`. */
+  def matchPhrase(phrase: String, k: Int,
+      luceneScoring: Boolean = true): Array[ScoredDoc] = {
+    val toks = Analyzer.tokenize(phrase)
+    require(toks.nonEmpty, "match_phrase analyzes to nothing")
+    searchPhrases(Array(toks), Array(0), Array.empty[String], Array.empty[String], k,
+      luceneFreq = luceneScoring)
   }
 
   /** Lucene/ES `span_near`: all `terms` within a window of span ≤
@@ -2462,6 +2493,9 @@ object Phrase {
 
     def score: Double = idf * BM25.tfNorm(tfs(pi), dls(pi), avgdl, p)
 
+    /** Length of the current posting's document (for phrase-freq tf-norm). */
+    def dl: Long = dls(pi)
+
     /** Positions of the current posting (block decoded lazily, once). */
     def positions: Array[Long] = {
       if (poss == null) poss = blocks(bi).positions
@@ -2610,6 +2644,29 @@ object Phrase {
     }
   }
 
+  /** Number of EXACT (slop 0, in-order) occurrences of the phrase whose
+    * per-slot sorted position arrays are `slots` — Lucene's phrase frequency
+    * for an exact match_phrase: starts p in slots(0) with p+j present in
+    * slots(j) for every later slot. Duplicate terms share one array and the
+    * strictly increasing offsets keep their picks distinct. */
+  private[search] def countExact(slots: Array[Array[Long]]): Long = {
+    val first = slots(0)
+    var n = 0L
+    var f = 0
+    while (f < first.length) {
+      val p0 = first(f)
+      var ok = true
+      var j = 1
+      while (ok && j < slots.length) {
+        ok = java.util.Arrays.binarySearch(slots(j), p0 + j) >= 0
+        j += 1
+      }
+      if (ok) n += 1
+      f += 1
+    }
+    n
+  }
+
   def topK(
       blocks: Iterator[PostingBlock],
       phraseIdSeqs: Array[Array[Long]],
@@ -2630,7 +2687,15 @@ object Phrase {
         * false = Lucene span_near(inOrder=false) window semantics */
       phraseOrdered: Array[Boolean] = null,
       /** per-phrase span_first end bound (null / -1 = unbounded) */
-      phraseEnds: Array[Int] = null): Iterator[ScoredDoc] = {
+      phraseEnds: Array[Int] = null,
+      /** LUCENE PHRASE-FREQUENCY SCORING (ES/Lucene match_phrase): when
+        * non-null, entry pi is the phrase's summed idf (Σ idf over its token
+        * occurrences, Lucene PhraseQuery's idfExplain) and the phrase scores
+        * `idfSum × tfNorm(phraseFreq, dl, avgdl)` with phraseFreq = exact
+        * occurrence count, REPLACING the distinct-term BM25 sum over the
+        * phrase's terms. Loose (optional) terms still contribute their own
+        * per-term BM25. Exact phrases only (slop 0, ordered, no end bound). */
+      phraseFreqIdf: Array[Double] = null): Iterator[ScoredDoc] = {
 
     if (accept != null && accept.isEmpty) return Iterator.empty
     val byTerm = blocks.toArray.groupBy(_.termId)
@@ -2685,17 +2750,32 @@ object Phrase {
       false
     }
 
+    if (phraseFreqIdf != null) {
+      require(phraseFreqIdf.length == phraseIdSeqs.length,
+        "phraseFreqIdf must be parallel to phraseIdSeqs")
+      require(phraseSlops.forall(_ == 0) && phraseOrdered == null && phraseEnds == null,
+        "phrase-frequency scoring supports exact phrases only (slop 0, ordered)")
+    }
     val posByTid = new java.util.HashMap[Long, Array[Long]]()
+    // per-phrase exact occurrence counts, filled on match in lucene mode
+    val freqs: Array[Long] =
+      if (phraseFreqIdf == null) null else new Array[Long](phraseIdSeqs.length)
     def phrasesMatch(): Boolean = {
       posByTid.clear()
       var j = 0
       while (j < req.length) { posByTid.put(req(j).termId, req(j).positions); j += 1 }
       var pi = 0
       while (pi < phraseIdSeqs.length) {
-        val ord = phraseOrdered == null || phraseOrdered(pi)
-        val end = if (phraseEnds == null) -1 else phraseEnds(pi)
-        if (!spanMatch(phraseIdSeqs(pi).map(posByTid.get), phraseSlops(pi), ord, end))
-          return false
+        if (freqs != null) {
+          val f = countExact(phraseIdSeqs(pi).map(posByTid.get))
+          if (f == 0L) return false
+          freqs(pi) = f
+        } else {
+          val ord = phraseOrdered == null || phraseOrdered(pi)
+          val end = if (phraseEnds == null) -1 else phraseEnds(pi)
+          if (!spanMatch(phraseIdSeqs(pi).map(posByTid.get), phraseSlops(pi), ord, end))
+            return false
+        }
         pi += 1
       }
       true
@@ -2726,18 +2806,40 @@ object Phrase {
         if (aligned) {
           if ((accept == null || java.util.Arrays.binarySearch(accept, cand) >= 0) &&
             passesFilters(cand) && !isExcluded(cand) && phrasesMatch()) {
-            // required + present-optional contributions, ascending termId —
-            // oracle-identical summation order
             var s = 0.0
-            j = 0
-            while (j < scoreCursors.length) {
-              val c = scoreCursors(j)
-              if (scoreRequired(j)) s += c.score
-              else {
-                if (c.curDoc < cand) c.advanceTo(cand)
-                if (c.curDoc == cand) s += c.score
+            if (freqs != null) {
+              // Lucene match_phrase scoring: per-phrase idfSum × tfNorm of
+              // the phrase OCCURRENCE count; the phrase's terms do not also
+              // score individually
+              val dl = req(0).dl
+              var pi2 = 0
+              while (pi2 < freqs.length) {
+                s += phraseFreqIdf(pi2) * BM25.tfNorm(freqs(pi2), dl, avgdl, p)
+                pi2 += 1
               }
-              j += 1
+              // optional loose terms still contribute their own BM25
+              j = 0
+              while (j < scoreCursors.length) {
+                val c = scoreCursors(j)
+                if (!scoreRequired(j)) {
+                  if (c.curDoc < cand) c.advanceTo(cand)
+                  if (c.curDoc == cand) s += c.score
+                }
+                j += 1
+              }
+            } else {
+              // required + present-optional contributions, ascending termId —
+              // oracle-identical summation order
+              j = 0
+              while (j < scoreCursors.length) {
+                val c = scoreCursors(j)
+                if (scoreRequired(j)) s += c.score
+                else {
+                  if (c.curDoc < cand) c.advanceTo(cand)
+                  if (c.curDoc == cand) s += c.score
+                }
+                j += 1
+              }
             }
             if (after == null || s < after.score ||
               (s == after.score && cand > after.docId)) {

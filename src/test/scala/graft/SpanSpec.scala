@@ -78,6 +78,46 @@ class SpanSpec extends AnyFunSuite {
     assert(names(se.searchSpanFirst(Seq("xray", "xray"), 2, 10, slop = 0)) == Set("d6"))
   }
 
+  test("match_phrase scores by PHRASE FREQUENCY (Lucene mode); distinct mode unchanged") {
+    val dir = Files.createTempDirectory("graft-mp").toString
+    val corpus = Seq(
+      ("r/a", "p1", "c1", "md", "data merge xa data merge yb data merge"), // pf=3, dl=8
+      ("r/a", "p2", "c2", "md", "data merge only once here zz"),           // pf=1, dl=6
+      ("r/a", "p3", "c3", "md", "merge data reversed data zz"),            // pf=0
+      ("r/a", "p4", "c4", "md", "unrelated words entirely")
+    ).toDF("repo", "path", "commit", "lang", "content")
+    new IndexBuilder(spark, cfg).build(corpus, s"$dir/index", resume = false)
+    val se = new Searcher(spark, s"$dir/index")
+    val byId = spark.read.parquet(s"$dir/index/docs")
+      .select("docId", "path").as[(Long, String)].collect().toMap
+    val got = se.matchPhrase("data merge", 10)
+    assert(got.map(h => byId(h.docId)).toSeq == Seq("p1", "p2"))
+    // arithmetic: idfSum × tfNorm(pf, dl, avgdl) with corpus-wide df
+    import graft.search.{BM25, Bm25Params}
+    val n = 4L
+    val avgdl = (8 + 6 + 5 + 3) / 4.0
+    val idfSum = BM25.idf(n, 3) + BM25.idf(n, 3) // data in 3 docs, merge in 3
+    val p = Bm25Params()
+    val wantScores = Map(
+      "p1" -> idfSum * BM25.tfNorm(3, 8, avgdl, p),
+      "p2" -> idfSum * BM25.tfNorm(1, 6, avgdl, p))
+    got.foreach(h => assert(h.score == wantScores(byId(h.docId)),
+      s"phrase-freq score mismatch for ${byId(h.docId)}"))
+    // distinct-term mode (the quoted-search contract) is unchanged
+    assert(se.matchPhrase("data merge", 10, luceneScoring = false).toSeq ==
+      se.search("\"data merge\"", 10).toSeq)
+    // segmented matchPhrase == single (global stats)
+    val seg = new SegmentedIndex(spark, s"$dir/seg", cfg, maxSegments = 4)
+    seg.ingest(corpus.filter(col("path").isin("p1", "p4")))
+    seg.ingest(corpus.filter(col("path").isin("p2", "p3")))
+    val ms = new MultiSearcher(spark, s"$dir/seg")
+    val gotSeg = ms.matchPhrase("data merge", 10).map(h => (h.path, h.score)).toSeq
+    assert(gotSeg == got.map(h => (byId(h.docId), h.score)).toSeq)
+    // duplicate-token phrase: "data data" occurs only where data is repeated
+    // adjacently — nowhere in this corpus
+    assert(se.matchPhrase("data data", 10).isEmpty)
+  }
+
   test("span_first: match must end before the bound") {
     val (se, byId) = buildTiny()
     def names(hits: Array[graft.search.ScoredDoc]): Set[String] =
