@@ -2324,7 +2324,7 @@ object SparkEntry {
       val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
         fields = graft.index.FieldConfig(keyword = Seq("lang", "repo"),
           denseVector = Seq("embedding")),
-        ivfCells = 8)
+        ivfCells = 8, hnswM = 8, hnswEfConstruction = 60)
       cachedIndex(corpus, idxDir, cfg) {
         new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
       }
@@ -2357,7 +2357,7 @@ object SparkEntry {
       val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
         fields = graft.index.FieldConfig(keyword = Seq("lang", "repo"),
           denseVector = Seq("embedding")),
-        ivfCells = 8)
+        ivfCells = 8, hnswM = 8, hnswEfConstruction = 60)
       cachedIndex(corpus, idxDir, cfg) {
         new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
       }
@@ -2409,7 +2409,7 @@ object SparkEntry {
       val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
         fields = graft.index.FieldConfig(keyword = Seq("lang", "repo"),
           denseVector = Seq("embedding")),
-        ivfCells = 8)
+        ivfCells = 8, hnswM = 8, hnswEfConstruction = 60)
       cachedIndex(corpus, idxDir, cfg) {
         new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
       }
@@ -2445,6 +2445,78 @@ object SparkEntry {
       }
       val hits = new Searcher(s, idxDir).matchPhrase("data merge", 50).toSeq
         .toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // ES 8 `knn` over the index-time PER-SHARD HNSW GRAPHS (the Lucene
+    // dense_vector structure; closes the round-3 "HNSW" gap): graph walk
+    // per shard with an EXHAUSTIVE beam (ef ≥ corpus — the graph is
+    // connected by construction, so the walk provably reaches every node
+    // and the result equals exact cosine top-k, which DuckDB verifies);
+    // bounded-ef behavior and recall are asserted engine-side in KnnSpec
+    // (recall@10 ≥ 0.95 on 100k vectors). Shares fts70's cached index.
+    "fts76_knn_hnsw" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = t(s, d, "documents")
+        .join(emb, col("doc_id") === col("vec_id"))
+        .select(
+          lit("docs").as("repo"),
+          lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+          md5(col("text")).as("commit"),
+          col("lang"), col("text").as("content"), col("embedding"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts70-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang", "repo"),
+          denseVector = Seq("embedding")),
+        ivfCells = 8, hnswM = 8, hnswEfConstruction = 60)
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val q: Array[Float] = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").as[Array[Float]].head()
+      val hits = new Searcher(s, idxDir)
+        .knnHnsw("embedding", q, 20, ef = 1 << 20, filter = "lang:en")
+        .toSeq.toDF("docId", "cos_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("cos_raw"), 3).as("cos"))
+    }),
+
+    // PER-FIELD ANALYZERS (the ES mapping's `analyzer` knob): an extra
+    // analyzed field `title` (first 6 content tokens) indexed with a
+    // DIFFERENT analyzer than content — lowercase kind + index-time
+    // stopword ('the', position gaps + dl discount) + index-time synonym
+    // (merge → combine, injected into the postings) — queried through
+    // multi_match most_fields over BOTH fields with a field boost. The
+    // query token 'combine' hits titles containing 'merge' via the
+    // index-time injection; the oracle replicates stop-filter + injection
+    // relationally.
+    "fts75_analyzers" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"),
+        array_join(slice(toks(col("text")), 1, 6), " ").as("title"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts75-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        fields = graft.index.FieldConfig(keyword = Seq("lang", "repo"),
+          analyzed = Seq("title"),
+          analyzers = Map("title" -> graft.analysis.AnalyzerSpec(
+            kind = "lowercase", stopwords = Seq("the"),
+            synonyms = Map("merge" -> Seq("combine"))))))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir)
+        .multiMatch("combine scan", Seq("content", "title^2"), 20, "most_fields")
+        .toSeq.toDF("docId", "score_raw")
       s.read.parquet(s"$idxDir/docs")
         .select(col("docId"), col("path").cast("bigint").as("doc_id"))
         .join(broadcast(hits), Seq("docId"))
@@ -3563,6 +3635,42 @@ object SparkEntry {
            |FROM allsc a JOIN documents d ON a.doc_id = d.doc_id
            |WHERE d.lang = 'es'
            |ORDER BY a.r DESC, a.doc_id ASC LIMIT 20""".stripMargin,
+      // per-field analyzer oracle: title = first 6 content tokens, analyzed
+      // lowercase with stopword 'the' removed (fdl = survivors) and synonym
+      // merge→combine INJECTED into the indexed token list; most_fields =
+      // content score + 2×title score (field boost), per-field statistics
+      "fts75_analyzers" ->
+        s"""WITH doc AS (SELECT doc_id, $tokExpr AS ck FROM documents),
+           |ft AS (SELECT doc_id, ck,
+           |         list_filter(list_slice(ck, 1, 6), t -> t <> 'the') AS st FROM doc),
+           |fd AS (SELECT doc_id, cast(len(st) AS bigint) AS fdl,
+           |         list_concat(st,
+           |           list_transform(list_filter(st, t -> t = 'merge'), t -> 'combine')) AS it
+           |       FROM ft WHERE len(st) > 0),
+           |cs AS (SELECT count(*) AS n, sum(len(ck)) * 1.0 / count(*) AS avgdl FROM doc),
+           |fs AS (SELECT count(*) AS n, sum(fdl) * 1.0 / count(*) AS avgdl FROM fd),
+           |ctf AS (SELECT doc_id, dl, term, count(*) AS tf
+           |        FROM (SELECT doc_id, cast(len(ck) AS bigint) AS dl, unnest(ck) AS term FROM doc)
+           |        WHERE term IN ('combine','scan') GROUP BY 1,2,3),
+           |cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
+           |csc AS (SELECT doc_id, sum(
+           |    ln(1.0 + (cs.n - cdf.df + 0.5)/(cdf.df + 0.5)) *
+           |    (ctf.tf/(ctf.tf + 1.2*(0.25 + 0.75*ctf.dl/cs.avgdl)))) AS sc
+           |  FROM ctf JOIN cdf USING (term) CROSS JOIN cs GROUP BY doc_id),
+           |ttf AS (SELECT doc_id, fdl, term, count(*) AS tf
+           |        FROM (SELECT doc_id, fdl, unnest(it) AS term FROM fd)
+           |        WHERE term IN ('combine','scan') GROUP BY 1,2,3),
+           |tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY 1),
+           |tsc AS (SELECT doc_id, sum(
+           |    2.0 * ln(1.0 + (fs.n - tdf.df + 0.5)/(tdf.df + 0.5)) *
+           |    (ttf.tf/(ttf.tf + 1.2*(0.25 + 0.75*ttf.fdl/fs.avgdl)))) AS sc
+           |  FROM ttf JOIN tdf USING (term) CROSS JOIN fs GROUP BY doc_id),
+           |allsc AS (SELECT coalesce(csc.doc_id, tsc.doc_id) AS doc_id,
+           |    coalesce(csc.sc, 0) + coalesce(tsc.sc, 0) AS r
+           |  FROM csc FULL OUTER JOIN tsc ON csc.doc_id = tsc.doc_id)
+           |SELECT doc_id, round(r, 4) AS score
+           |FROM allsc
+           |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin,
       // parallel unnest zips the token list with its 0-based positions —
       // the independent formulation of the analyzer's (position, token)
       // stream
@@ -3778,6 +3886,15 @@ object SparkEntry {
            |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
       // ES 8 knn with lang:en pre-filter — exact cosine top-k
       "fts70_knn" ->
+        """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+          |SELECT d.doc_id, round(list_cosine_similarity(e.v, q.qv), 3) AS cos
+          |FROM documents d JOIN e ON d.doc_id = e.vec_id CROSS JOIN q
+          |WHERE d.lang = 'en'
+          |ORDER BY list_cosine_similarity(e.v, q.qv) DESC, d.doc_id ASC
+          |LIMIT 20""".stripMargin,
+      // exhaustive-beam HNSW ≡ exact filtered top-k (the graph-path gate)
+      "fts76_knn_hnsw" ->
         """WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
           |SELECT d.doc_id, round(list_cosine_similarity(e.v, q.qv), 3) AS cos

@@ -185,6 +185,10 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         require(!cfg.fields.keyword.contains(c) && !cfg.fields.storedOnly.contains(c),
           s"field '$c' cannot be both analyzed and keyword/storedOnly")
       }
+      for (f <- cfg.fields.analyzers.keys)
+        require(cfg.fields.analyzed.contains(f),
+          s"analyzer override for '$f' but it is not an analyzed extra field " +
+            s"('content' always uses the code analyzer)")
       // ---- IVF coarse quantizer (ES 8 dense_vector + index-time ANN
       // structure; Lucene builds its vector structures per segment the same
       // way): deterministic seeded k-means per field over the column-pruned
@@ -211,8 +215,9 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       val inSchema = inDf.schema
       val keywordIdx: Array[(String, Int)] =
         cfg.fields.keyword.map(k => k -> inSchema.fieldIndex(k)).toArray
-      val analyzedIdx: Array[(String, Int)] =
-        cfg.fields.analyzed.map(k => k -> inSchema.fieldIndex(k)).toArray
+      val analyzedIdx: Array[(String, Int, graft.analysis.AnalyzerSpec)] =
+        cfg.fields.analyzed.map(k => (k, inSchema.fieldIndex(k), cfg.fields.analyzerOf(k)))
+          .toArray
       // nested plan: (column name, column index, [(subField name, subField
       // ordinal)]) — term-emitting sub-fields only (string / integral /
       // boolean; float leaves stay stored-and-verifiable but emit no terms,
@@ -232,6 +237,13 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       val storedExtra: Array[(String, Int)] =
         extraCols.map(c => c -> inSchema.fieldIndex(c)).toArray
       val contentIdx = inSchema.fieldIndex("content")
+      // quarantine plan: dense_vector column ordinals for the finite-value
+      // check (independent of the IVF quantizer), plus the size bound
+      val dvIdxQ: Array[(String, Int)] =
+        if (!cfg.quarantine) Array.empty
+        else cfg.fields.denseVector.map(f => f -> inSchema.fieldIndex(f)).toArray
+      val quarantineOn = cfg.quarantine
+      val maxChars = cfg.maxContentChars
       val ivfAssign: Array[(Int, Array[Array[Float]])] =
         ivfCents.map { case (f, cents) => (inSchema.fieldIndex(f), cents) }
       val outSchema = StructType(
@@ -248,7 +260,11 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
             // that field's length)
             StructField("fdl", LongType, nullable = false)))))) ++
         storedExtra.map { case (c, i) => StructField(c, inSchema(i).dataType) } ++
-        ivfCols.map(c => StructField(c, IntegerType)))
+        ivfCols.map(c => StructField(c, IntegerType)) ++
+        // quarantine: rejection reason rides the same stage-0 rows (null =
+        // survivor); the column only exists when quarantine is on, which
+        // also changes configHash — no resume across the two layouts
+        (if (cfg.quarantine) Seq(StructField("_reason", StringType)) else Nil))
       val withPositions = cfg.storePositions
       // dense-docId range plan from the CHEAP identity projection (a
       // column-pruned scan that never touches `content`): boundaries, exact
@@ -258,9 +274,18 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       // 100 TB the former MEMORY_AND_DISK persist here was a content-scale
       // cache). 4× finer ranges than partitions smooth the hash placement
       // of ranges onto physical partitions (worst-case task ≈ 2× average).
+      // quarantine must place null-identity rows deterministically: both the
+      // planning pass and the executor-side rangeOf see nulls as "" (the
+      // plan's per-range counts then match exactly; the rejected rows'
+      // ordinals inside a range don't matter — they never become docs rows)
+      val idProjection =
+        if (!cfg.quarantine) corpus.select("repo", "path", "commit")
+        else corpus.select(
+          coalesce(col("repo"), lit("")).as("repo"),
+          coalesce(col("path"), lit("")).as("path"),
+          coalesce(col("commit"), lit("")).as("commit"))
       val idPlan = DenseIds.plan(
-        corpus.select("repo", "path", "commit"),
-        Seq("repo", "path", "commit"), 4 * cfg.buildPartitions)
+        idProjection, Seq("repo", "path", "commit"), 4 * cfg.buildPartitions)
       val bcPlan = spark.sparkContext.broadcast(idPlan)
       val outSchemaPid = outSchema.add("_pid", IntegerType, nullable = false)
       val doctf = inDf.mapPartitions { it =>
@@ -269,7 +294,48 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         val emptyPos: Seq[Long] = Seq.empty
         val plan = bcPlan.value
         val keyBuf = new Array[String](3)
+        /** quarantine rejection reason of a corpus row, null = survivor —
+          * the es-hadoop bulk-error-handler analogue, evaluated inside the
+          * one content-scale pass (no extra scan). */
+        def reasonOf(r: org.apache.spark.sql.Row): String = {
+          if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)) return "null_identity"
+          if (r.isNullAt(contentIdx)) return "null_content"
+          if (maxChars > 0 && r.getString(contentIdx).length > maxChars)
+            return "oversized_content"
+          var i = 0
+          while (i < dvIdxQ.length) {
+            val (name, idx) = dvIdxQ(i)
+            if (!r.isNullAt(idx)) {
+              val it2 = r.getSeq[Any](idx).iterator
+              while (it2.hasNext) {
+                val finite = it2.next() match {
+                  case f: java.lang.Float => !f.isNaN && !f.isInfinite
+                  case d: java.lang.Double => !d.isNaN && !d.isInfinite
+                  case _ => false
+                }
+                if (!finite) return s"bad_vector:$name"
+              }
+            }
+            i += 1
+          }
+          null
+        }
+        /** rejected row: identity as-is, no lineage hash, no tokens — the
+          * docs projection filters it out; only the rejected/ relation and
+          * the reject counter ever see it. */
+        def rejectRow(r: org.apache.spark.sql.Row, reason: String): org.apache.spark.sql.Row = {
+          keyBuf(0) = if (r.isNullAt(0)) "" else r.getString(0)
+          keyBuf(1) = if (r.isNullAt(1)) "" else r.getString(1)
+          keyBuf(2) = if (r.isNullAt(2)) "" else r.getString(2)
+          org.apache.spark.sql.Row.fromSeq(
+            Seq(r.get(0), r.get(1), r.get(2), r.get(3),
+              null, 0L, Seq.empty[org.apache.spark.sql.Row]) ++
+            storedExtra.map { case (_, idx) => r.get(idx) } ++
+            ivfAssign.map(_ => null) :+ reason :+ plan.rangeOf(keyBuf))
+        }
         it.map { r =>
+          val qReason = if (quarantineOn) reasonOf(r) else null
+          if (qReason != null) rejectRow(r, qReason) else {
           val content = r.getString(contentIdx)
           val toks = Analyzer.tokenize(content)
           // per-term tf and (when configured) ascending token-stream
@@ -337,17 +403,22 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
             }
           }
           // extra analyzed fields (ES multi-field mapping): the field's
-          // token stream as `field:token` tagged terms carrying the FIELD's
-          // length as fdl (exact per-field BM25), plus one `field:` marker
-          // whose tf is the field length — so the marker's dictionary row
-          // accumulates df = field docCount and cf = field token total, the
-          // per-field statistics multi_match needs, maintained by the same
-          // machinery as any other term (merge, delete, segments).
-          analyzedIdx.foreach { case (name, idx) =>
+          // token stream — analyzed with THE FIELD'S configured analyzer
+          // (kind + index-time stopwords/synonyms; default code) — as
+          // `field:token` tagged terms carrying the FIELD's length as fdl
+          // (exact per-field BM25; stop-filtered tokens leave position gaps
+          // and don't count toward fdl, synonym injections share their
+          // trigger's position and don't count either — Lucene
+          // discountOverlaps), plus one `field:` marker whose tf is the
+          // field length — so the marker's dictionary row accumulates
+          // df = field docCount and cf = field token total, the per-field
+          // statistics multi_match needs, maintained by the same machinery
+          // as any other term (merge, delete, segments).
+          analyzedIdx.foreach { case (name, idx, spec) =>
             if (!r.isNullAt(idx)) {
-              val ftoks = Analyzer.tokenize(r.getString(idx))
-              if (ftoks.length > 0) {
-                val fdl = ftoks.length.toLong
+              val (ftoks, fposArr, fdl) =
+                graft.analysis.AnalyzerSpec.tokenizeIndexed(spec, r.getString(idx))
+              if (fdl > 0) {
                 val ftf = new java.util.HashMap[String, Long]()
                 val fpos: java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]] =
                   if (withPositions) new java.util.HashMap() else null
@@ -361,7 +432,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
                       buf = new scala.collection.mutable.ArrayBuffer[Long](4)
                       fpos.put(tagged, buf)
                     }
-                    buf += fi.toLong
+                    buf += fposArr(fi)
                   }
                   fi += 1
                 }
@@ -423,8 +494,10 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
           org.apache.spark.sql.Row.fromSeq(
             Seq(r.getString(0), r.getString(1), r.getString(2), r.getString(3),
               new String(shaChars), toks.length.toLong, terms.toSeq) ++
-            storedExtra.map { case (_, idx) => r.get(idx) } ++ ivfVals :+
+            storedExtra.map { case (_, idx) => r.get(idx) } ++ ivfVals ++
+            (if (quarantineOn) Seq(null) else Nil) :+
             plan.rangeOf(keyBuf))
+          }
         }
       }(org.apache.spark.sql.Encoders.row(outSchemaPid))
       // one wide op: partition by the plan's range id, sort each range by
@@ -452,11 +525,24 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       // sha256 lineage known here, no later stage waits on the docs
       // projection (it drops off the critical path entirely)
       val obs = org.apache.spark.sql.Observation()
+      // corpus stats over SURVIVORS only (quarantine off ⇒ every row is a
+      // survivor): numDocs/sumDl/lineage must describe the indexed docs —
+      // the lineage invariant holds over them; rejects have null sha256 and
+      // the conditional hash keeps them out of the xor (a raw
+      // xxhash64(NULL) is NOT null — it would poison the fingerprint)
+      val survivorPred =
+        if (cfg.quarantine) col("_reason").isNull else lit(true)
       assigned
         .select((Seq("docId", "repo", "path", "commit", "lang", "sha256", "dl", "terms") ++
-          storedExtra.map(_._1) ++ ivfCols).map(col): _*)
-        .observe(obs, count(lit(1)).as("n"), sum("dl").as("sumDl"),
-          expr("bit_xor(xxhash64(sha256))").as("lineage"))
+          storedExtra.map(_._1) ++ ivfCols ++
+          (if (cfg.quarantine) Seq("_reason") else Nil)).map(col): _*)
+        .observe(obs, count(lit(1)).as("n"),
+          count(when(survivorPred, lit(1))).as("nSurv"),
+          sum(when(survivorPred, col("dl"))).as("sumDl"),
+          (if (cfg.quarantine)
+            expr("coalesce(bit_xor(CASE WHEN _reason IS NULL THEN xxhash64(sha256) END)," +
+              " CAST(0 AS BIGINT))")
+          else expr("bit_xor(xxhash64(sha256))")).as("lineage"))
         .pipe(df => cfg.io.write(df, doctfDir))
       // the plan's offsets are exact only if the content pass saw the same
       // row multiset the planning pass did (deterministic source — file
@@ -468,9 +554,11 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         s"corpus changed between id planning (${idPlan.total} rows) and the " +
           s"tokenize pass ($seen rows); rebuild with resume = false")
       bcPlan.destroy()
-      val m = StageManifest("doctf", seen, 0L, 0L, inputFp, cfg.configHash,
+      val survivors = row("nSurv").asInstanceOf[Long]
+      val m = StageManifest("doctf", survivors, 0L, 0L, inputFp, cfg.configHash,
         sumDl = row("sumDl").asInstanceOf[Long],
-        contentLineage = row("lineage").asInstanceOf[Long])
+        contentLineage = row("lineage").asInstanceOf[Long],
+        rejected = seen - survivors)
       Json.write(manifestPath(doctfDir), m)
       m
     })
@@ -486,6 +574,9 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       // fixed overhead at small corpora, and a barrier at any size)
       val obs = org.apache.spark.sql.Observation()
       cfg.io.read(spark, doctfDir)
+        // quarantine: rejects never become docs rows (the rejected/
+        // relation is their only downstream)
+        .pipe(df => if (cfg.quarantine) df.filter(col("_reason").isNull) else df)
         .select((Seq("docId", "repo", "path", "commit", "lang", "sha256", "dl") ++
           extraCols ++ ivfCols).map(col): _*)
         .observe(obs, count(lit(1)).as("n"), sum("dl").as("sumDl"),
@@ -497,6 +588,22 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       Json.write(manifestPath(docsDir), m)
       m
     })
+    // ---- quarantine channel: the rejects' identity + reason as their own
+    // small relation next to the index (the es-hadoop error-handler output;
+    // one column-pruned scan of stage 0, no content)
+    val rejectedDir = s"$staging/rejected"
+    if (cfg.quarantine && loadIfDone(rejectedDir, inputFp).isEmpty) stage("rejected") {
+      cfg.io.write(
+        cfg.io.read(spark, doctfDir)
+          .filter(col("_reason").isNotNull)
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            col("_reason").as("reason")),
+        rejectedDir)
+      val m = StageManifest("rejected", doctfManifest.rejected, 0L, 0L, inputFp,
+        cfg.configHash)
+      Json.write(manifestPath(rejectedDir), m)
+      m
+    }
     // With corpus stats on the stage-0 manifest, the docs projection feeds
     // NOTHING downstream — run it concurrently with the tf→terms→tfenc→
     // blocks chain (its job interleaves into otherwise-idle cores; joined
@@ -720,12 +827,43 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     // Join the concurrent docs projection first: a publish must never land
     // without its docs table (f.get() also rethrows a docs-stage failure).
     docsTask.foreach(_.get())
+    // ---- HNSW graphs (ES 8 dense_vector ANN, the Lucene per-segment
+    // structure): one graph PER SHARD per field, built in its own task from
+    // the column-pruned (docId, vector) projection of the published docs —
+    // memory bounded by docsPerShard vectors + adjacency, deterministic
+    // (seeded by shard, docId insert order), resumable like any stage.
+    if (cfg.hnswM > 0) {
+      import spark.implicits._
+      val (m, efC, dps) = (cfg.hnswM, cfg.hnswEfConstruction, cfg.docsPerShard)
+      for (f <- cfg.fields.denseVector) {
+        val hDir = s"$staging/hnsw_$f"
+        if (loadIfDone(hDir, lineage).isEmpty) stage(s"hnsw_$f") {
+          val edges = cfg.io.read(spark, docsDir)
+            .select(col("docId"), col(f).cast("array<float>").as("v"))
+            .filter(col("v").isNotNull)
+            .as[(Long, Array[Float])]
+            .groupByKey(_._1 / dps)
+            .flatMapGroups { (shard, it) =>
+              val items = it.toArray.sortBy(_._1)
+              graft.search.Hnsw.toEdges(shard,
+                graft.search.Hnsw.build(items, m, efC, seed = 0x9E3779B9L ^ shard))
+            }
+          cfg.io.write(edges.toDF(), hDir)
+          val hm = StageManifest(s"hnsw_$f", 0L, 0L, 0L, lineage, cfg.configHash)
+          Json.write(manifestPath(hDir), hm)
+          hm
+        }
+      }
+    }
     val meta = IndexMeta(numDocs, sumDl, numTerms, numPostings, numBlocks,
       Analyzer.Version, cfg.k1, cfg.b, cfg.blockSize, cfg.docsPerShard, lineage, cfg.configHash,
       keywordFields = cfg.fields.keyword, hasPositions = cfg.storePositions,
       analyzedExtra = cfg.fields.analyzed, nestedFields = cfg.fields.nested,
       denseVectorFields = cfg.fields.denseVector, ivfQuantCells = cfg.ivfCells,
-      userMeta = cfg.userMeta)
+      hnswM = cfg.hnswM,
+      userMeta = cfg.userMeta,
+      fieldAnalyzers = cfg.fields.analyzers.map { case (f, sp) => f -> sp.encode },
+      rejectedDocs = doctfManifest.rejected)
     Json.write(s"$staging/meta.json", meta)
     cfg.io.dropTree(spark, doctfDir)
     cfg.io.dropTree(spark, tfDir)

@@ -57,7 +57,18 @@ final case class FieldConfig(
       * cell id is stored as `_ivf_<field>` — a plain int column whose
       * `isin(probedCells)` filter pushes into the columnar scan, the IVF
       * pruning path of [[graft.search.Searcher.knn]]. */
-    denseVector: Seq[String] = Nil)
+    denseVector: Seq[String] = Nil,
+    /** Per-field analyzer overrides for EXTRA analyzed fields — the ES
+      * mapping's `analyzer` knob (kind + index-time stopwords/synonyms,
+      * [[graft.analysis.AnalyzerSpec]]). Keys must be members of
+      * [[analyzed]]; `content` always uses the code-aware analyzer. Part of
+      * the index configHash (an analyzer change is an index change). */
+    analyzers: Map[String, graft.analysis.AnalyzerSpec] = Map.empty) {
+
+  /** Effective analyzer of an extra analyzed field. */
+  def analyzerOf(field: String): graft.analysis.AnalyzerSpec =
+    analyzers.getOrElse(field, graft.analysis.AnalyzerSpec.Code)
+}
 
 object FieldConfig {
   /** Derive from the corpus schema: every string column — and every
@@ -120,10 +131,30 @@ final case class IndexConfig(
       * tiny `ivf_<field>` relation next to the index. Affects the stored
       * `_ivf_<field>` column → part of configHash. */
     ivfCells: Int = 0,
+    /** HNSW graph ANN per denseVector field (0 = off): max neighbors per
+      * node at levels > 0 (level 0 keeps 2M — the Lucene/hnswlib setting).
+      * Graphs are built PER SHARD at index time (deterministic, seeded by
+      * shard) and published as `hnsw_<field>` adjacency relations — the
+      * Lucene per-segment dense_vector structure. Part of configHash. */
+    hnswM: Int = 0,
+    /** HNSW efConstruction (build beam width) — quality/build-time knob. */
+    hnswEfConstruction: Int = 100,
     /** caller metadata stamped into the published IndexMeta (the `_meta`
       * globals export of the reference, `hail_elasticsearch_client.py:90`).
       * Informational only — excluded from configHash. */
-    userMeta: Map[String, String] = Map.empty) {
+    userMeta: Map[String, String] = Map.empty,
+    /** INGEST QUARANTINE (the reference's es-hadoop bulk error handler,
+      * `hail_elasticsearch_client.py:118-121`): when true, malformed rows —
+      * null identity, null content, content over [[maxContentChars]],
+      * dense vectors with non-finite elements — are diverted to a
+      * `rejected/` relation (identity + reason) INSIDE the same stage-0
+      * pass instead of failing the build; the index is built over the
+      * survivors and the lineage invariant holds over them. Default off:
+      * all-or-nothing ingest (build-then-publish makes failure safe). */
+    quarantine: Boolean = false,
+    /** with [[quarantine]]: reject documents whose content exceeds this
+      * many chars (0 = no size limit). */
+    maxContentChars: Int = 0) {
 
   /** Stable fingerprint of everything that affects index bytes; a stage
     * checkpoint from a different config must never be resumed. */
@@ -132,9 +163,14 @@ final case class IndexConfig(
       s"|k=${fields.keyword.mkString(",")}|s=${fields.storedOnly.mkString(",")}" +
       s"|p=$storePositions" +
       (if (fields.analyzed.isEmpty) "" else s"|a=${fields.analyzed.mkString(",")}") +
+      (if (fields.analyzers.isEmpty) ""
+       else s"|az=${fields.analyzers.toSeq.sortBy(_._1)
+         .map { case (f, sp) => s"$f=${sp.encode}" }.mkString(",")}") +
       (if (fields.nested.isEmpty) "" else s"|nf=${fields.nested.mkString(",")}") +
       (if (fields.denseVector.isEmpty) ""
-       else s"|dv=${fields.denseVector.mkString(",")}|ivf=$ivfCells")
+       else s"|dv=${fields.denseVector.mkString(",")}|ivf=$ivfCells" +
+         (if (hnswM <= 0) "" else s"|hnsw=$hnswM,$hnswEfConstruction")) +
+      (if (!quarantine) "" else s"|qr=1,mc=$maxContentChars")
     java.lang.Long.toHexString(
       s.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
   }
@@ -243,13 +279,28 @@ final case class IndexMeta(
       * centroid relation (null-safe defaults for older metas) */
     denseVectorFields: Seq[String] = Nil,
     ivfQuantCells: Int = 0,
+    /** HNSW M of the published `hnsw_<field>` relations (0 = none built) */
+    hnswM: Int = 0,
     /** caller-supplied metadata stamped into the published index — the
       * reference's `_meta` globals export (dataset provenance, genome
       * version, seed: `hail_elasticsearch_client.py:90,177-181`). Purely
       * informational: never part of configHash, carried through purge,
       * newest side wins on merge (create_or_update_mapping semantics). */
-    userMeta: Map[String, String] = Map.empty) {
+    userMeta: Map[String, String] = Map.empty,
+    /** encoded per-field analyzer specs of the extra analyzed fields
+      * ([[graft.analysis.AnalyzerSpec.encode]]; absent field = code
+      * analyzer; null-safe default for older metas) — the query side MUST
+      * analyze per-field query text with the index-time spec */
+    fieldAnalyzers: Map[String, String] = Map.empty,
+    /** rows diverted to the `rejected/` relation by the ingest quarantine
+      * ([[IndexConfig.quarantine]]); 0 when quarantine was off */
+    rejectedDocs: Long = 0L) {
   def avgdl: Double = sumDl.toDouble / numDocs.toDouble
+  def analyzerSpecs: Map[String, String] =
+    if (fieldAnalyzers == null) Map.empty else fieldAnalyzers
+  def analyzerOf(field: String): graft.analysis.AnalyzerSpec =
+    analyzerSpecs.get(field).map(graft.analysis.AnalyzerSpec.decode)
+      .getOrElse(graft.analysis.AnalyzerSpec.Code)
   def keywords: Seq[String] =
     if (keywordFields == null) Seq("lang", "repo") else keywordFields
   def analyzed: Seq[String] = if (analyzedExtra == null) Nil else analyzedExtra
@@ -282,4 +333,6 @@ final case class StageManifest(
     // With these on the stage-0 manifest the docs projection carries no
     // value any later stage needs, so it runs OFF the build's critical path.
     sumDl: Long = 0L,
-    contentLineage: Long = 0L)
+    contentLineage: Long = 0L,
+    /** rows the ingest quarantine diverted in this stage (doctf only) */
+    rejected: Long = 0L)

@@ -73,6 +73,9 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
 
   /** per-segment driver dictionaries, populated by [[warm]] */
   @volatile private var dictMaps: Array[Map[String, (Long, Long)]] = _
+  /** sorted DISTINCT content terms across all segments, built by [[warm]] —
+    * the prefix-range expansion tier (see [[Searcher.prefixSlice]]) */
+  @volatile private var sortedTerms: Array[String] = _
 
   /** Pin the unioned blocks and docs in executor memory and (when the total
     * dictionary fits) collect per-segment term dictionaries to the driver —
@@ -85,11 +88,15 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       val maps = Array.fill(segs.length)(Map.newBuilder[String, (Long, Long)])
       rows.foreach(r => maps(r.getInt(0)) += (r.getString(1) -> ((r.getLong(2), r.getLong(3)))))
       dictMaps = maps.map(_.result())
+      sortedTerms = dictMaps.iterator.flatMap(_.keysIterator)
+        .filter(!_.contains(':')).toArray.distinct.sorted
     }
     this
   }
 
-  def cool(): Unit = { blocksAll.unpersist(); docsAll.unpersist(); dictMaps = null }
+  def cool(): Unit = {
+    blocksAll.unpersist(); docsAll.unpersist(); dictMaps = null; sortedTerms = null
+  }
 
   /** Per-segment term → (termId, df) for the given terms: zero jobs warm,
     * ONE job cold (unioned terms relation), never one job per segment. */
@@ -112,18 +119,33 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
   private def expandPrefixMap(
       prefixes: Seq[String], maxExpansions: Int = 1024): Map[String, Array[String]] =
     if (prefixes.isEmpty) Map.empty
+    else if (sortedTerms != null)
+      // warm range tier: binary search + bounded scan (see Searcher)
+      prefixes.map(pf =>
+        pf -> Searcher.prefixSlice(sortedTerms, pf).take(maxExpansions)).toMap
     else {
       val matches: Array[String] =
         if (dictMaps != null)
           dictMaps.iterator.flatMap(_.keysIterator)
             .filter(t => !t.contains(':') && prefixes.exists(t.startsWith)).toArray.distinct
         else
-          termsAll.filter(!col("term").contains(":") &&
-              prefixes.map(pf => col("term").startsWith(pf)).reduce(_ || _))
+          coldTermsScan(prefixes.map(Some(_)))
+            .filter(prefixes.map(pf => col("term").startsWith(pf)).reduce(_ || _))
             .select("term").distinct().as[String].collect()
       val sorted = matches.sorted
       prefixes.map(pf => pf -> sorted.filter(_.startsWith(pf)).take(maxExpansions)).toMap
     }
+
+  /** Unioned terms relation pre-filtered for a pattern scan — the segmented
+    * [[Searcher]]`.coldTermsScan`: range-restricted when every pattern has a
+    * literal prefix. */
+  private def coldTermsScan(litPrefixes: Seq[Option[String]]): DataFrame = {
+    val base = termsAll.filter(!col("term").contains(":"))
+    Searcher.rangePredOf(litPrefixes.map(_.getOrElse(""))) match {
+      case Some(pred) => base.filter(pred)
+      case None => base
+    }
+  }
 
   /** Dictionary terms within the edit bound of each fuzzy stem across ALL
     * segments — the segmented analogue of [[Searcher.expandFuzzyMap]].
@@ -158,15 +180,20 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     if (regexes.isEmpty) Map.empty
     else {
       val compiled = regexes.map(r => r -> java.util.regex.Pattern.compile(r)).toMap
+      val litPfx: Map[String, String] =
+        regexes.map(r => r -> Searcher.literalPrefixOfRegex(r)).toMap
       val matches: Array[String] =
-        if (dictMaps != null)
+        if (sortedTerms != null && regexes.forall(r => litPfx(r).nonEmpty))
+          regexes.flatMap(r => Searcher.prefixSlice(sortedTerms, litPfx(r))
+            .filter(t => compiled(r).matcher(t).matches())).distinct.toArray
+        else if (dictMaps != null)
           dictMaps.iterator.flatMap(_.keysIterator)
             .filter(t => !t.contains(':') &&
               compiled.valuesIterator.exists(_.matcher(t).matches()))
             .toArray.distinct
         else
-          termsAll.filter(!col("term").contains(":") &&
-              regexes.map(r => col("term").rlike(s"^(?:$r)$$")).reduce(_ || _))
+          coldTermsScan(regexes.map(r => Some(litPfx(r))))
+            .filter(regexes.map(r => col("term").rlike(s"^(?:$r)$$")).reduce(_ || _))
             .select("term").distinct().as[String].collect()
       val sorted = matches.sorted
       regexes.map(r =>
@@ -508,6 +535,64 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       .filter(col("v").isNotNull)
       .as[(Int, Long, Array[Float])]
       .map { case (s, id, v) => (s, id, Ann.cosine(v, bq.value)) }
+      .toDF("seg", "docId", "score")
+      .orderBy(desc("score"), asc("seg"), asc("docId"))
+      .limit(k)
+      .as[(Int, Long, Double)]
+      .collect()
+    resolveHits(top.map(t => (0, t._1, t._2, t._3)), 1, Map(0 -> k)).head
+  }
+
+  /** ES 8 `knn` over the segments' per-shard HNSW graphs —
+    * [[Searcher.knnHnsw]] semantics across segments: every (segment, shard)
+    * graph is walked in its own task (ONE cogroup over the tagged unions),
+    * candidates carry exact cosines, and the global top-k merges them.
+    * Lucene searches per-segment HNSW graphs the same way. */
+  def knnHnsw(field: String, queryVec: Array[Float], k: Int, ef: Int = 100,
+      filter: String = ""): Array[ScoredHit] = {
+    require(k > 0, "k must be > 0")
+    require(segs.forall(_._2.hnswM > 0),
+      "a segment was built without HNSW graphs (IndexConfig.hnswM = 0)")
+    require(segs.head._2.denseVectors.contains(field),
+      s"'$field' is not a dense_vector field of this index " +
+        s"(have: ${segs.head._2.denseVectors.mkString(", ")})")
+    val efEff = math.max(ef, k)
+    val dpsBySeg: Array[Long] = segs.map(_._2.docsPerShard).toArray
+    var vecs = taggedUnion("docs", Seq("docId", field))
+      .select(col("seg"), col("docId"), col(field).cast("array<float>").as("v"))
+      .filter(col("v").isNotNull)
+    vecs =
+      if (filter.isEmpty) vecs.withColumn("acc", lit(true))
+      else vecs.join(matchedSegDoc(filter).withColumn("acc", lit(true)),
+        Seq("seg", "docId"), "left")
+    val edgesKV = segs.indices.map { s =>
+      io.read(spark, s"${segs(s)._1}/hnsw_$field")
+        .select(lit(s).as("seg"), col("shard"), col("level"), col("docId"), col("neighbors"))
+    }.reduce(_ unionByName _)
+      .as[(Int, Long, Int, Long, Array[Long])]
+      .groupByKey(t => (t._1, t._2))
+    val vecsKV = vecs
+      .select(col("seg"), col("docId"), col("v"), coalesce(col("acc"), lit(false)).as("acc"))
+      .as[(Int, Long, Array[Float], Boolean)]
+      .groupByKey(t => (t._1, t._2 / dpsBySeg(t._1)))
+    val bq = spark.sparkContext.broadcast(queryVec)
+    val kk = k
+    val top = edgesKV.cogroup(vecsKV) { (key, es, vs) =>
+      val rows = vs.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val vecById = rows.iterator.map(r => r._2 -> r._3).toMap
+        val accepted = rows.iterator.filter(_._4).map(_._2).toArray
+        java.util.Arrays.sort(accepted)
+        if (accepted.isEmpty) Iterator.empty
+        else {
+          val g = Hnsw.fromEdges(
+            es.map(e => Hnsw.Edge(e._2, e._3, e._4, e._5)).toSeq, vecById)
+          Hnsw.search(g, bq.value, kk, efEff, accepted).iterator
+            .map(sd => (key._1, sd.docId, sd.score))
+        }
+      }
+    }
       .toDF("seg", "docId", "score")
       .orderBy(desc("score"), asc("seg"), asc("docId"))
       .limit(k)
@@ -1171,13 +1256,33 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
         if (dc == 0L) None else Some(f -> ((dc, ttf.toDouble / dc.toDouble)))
       }
     }.toMap
-    val tokens: Array[String] = pq.terms.distinct
+    // per-field query analysis with the field's index-time AnalyzerSpec
+    // (same rule as [[Searcher.multiMatch]]; specs agree across segments —
+    // they share the config that built them)
+    val contentTokens: Array[String] = pq.terms.distinct
+    val fieldTokens: Map[String, Array[String]] = fieldSpecs.map { case (f, _) =>
+      val spec =
+        if (f == "content") graft.analysis.AnalyzerSpec.Code
+        else segs.collectFirst {
+          case (_, m) if m.analyzerSpecs.contains(f) =>
+            graft.analysis.AnalyzerSpec.decode(m.analyzerSpecs(f))
+        }.getOrElse(graft.analysis.AnalyzerSpec.Code)
+      f -> (if (spec.isCode) contentTokens
+            else graft.analysis.AnalyzerSpec
+              .queryTokens(spec, pq.rawPlain.mkString(" ")).distinct)
+    }.toMap
+    val tokens: Array[String] = fieldSpecs.flatMap(fs => fieldTokens(fs._1)).distinct.toArray
+    val tokIdxOf: Map[String, Int] = tokens.zipWithIndex.toMap
+    if (mode == Wand.CrossFields)
+      require(fieldSpecs.forall { case (f, _) => fieldTokens(f).sameElements(contentTokens) },
+        "cross_fields requires all queried fields to share the content analyzer " +
+          "(ES groups cross_fields terms per analyzer)")
     final case class Clause(term: String, group: Int, tokIdx: Int, nF: Long,
         avgdlF: Double, fieldBoost: Double)
     val clauses: Seq[Clause] = fieldSpecs.zipWithIndex.flatMap { case ((f, fb), g) =>
       fieldStats.get(f).toSeq.flatMap { case (nF, avgdlF) =>
-        tokens.zipWithIndex.map { case (t, ti) =>
-          Clause(if (f == "content") t else s"$f:$t", g, ti, nF, avgdlF, fb)
+        fieldTokens(f).map { t =>
+          Clause(if (f == "content") t else s"$f:$t", g, tokIdxOf(t), nF, avgdlF, fb)
         }
       }
     }

@@ -105,6 +105,11 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * the reference's J10 broadcast-map pattern for a served index: term
     * lookup becomes a hash probe instead of a Spark job per query. */
   @volatile private var dictMap: Map[String, (Long, Long)] = _
+  /** SORTED content-term array (no `field:`-namespaced terms), built by
+    * [[warm]] next to [[dictMap]] — the prefix-range tier: prefix and
+    * literal-prefixed wildcard/regexp expansion binary-search into it
+    * instead of scanning every dictionary key. */
+  @volatile private var sortedTerms: Array[String] = _
 
   /** Pin the dictionary and posting blocks in executor memory — the ES
     * page-cache analogue for a served index. Call once before a query
@@ -117,11 +122,14 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     if (meta.numTerms <= maxDriverDictTerms) {
       dictMap = termsDf.select("term", "termId", "df").collect()
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      sortedTerms = dictMap.keysIterator.filter(!_.contains(':')).toArray.sorted
     } else termsDf.count()
     this
   }
 
-  def cool(): Unit = { termsDf.unpersist(); blocksDf.unpersist(); dictMap = null }
+  def cool(): Unit = {
+    termsDf.unpersist(); blocksDf.unpersist(); dictMap = null; sortedTerms = null
+  }
 
   /** (termId, df) for each query term present in the dictionary. */
   def lookupTerms(terms: Seq[String]): Array[(Long, Long)] =
@@ -149,19 +157,38 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
   def expandPrefixMap(
       prefixes: Seq[String], maxExpansions: Int = 1024): Map[String, Array[String]] =
     if (prefixes.isEmpty) Map.empty
+    else if (sortedTerms != null)
+      // warm range tier: binary search + bounded scan per prefix — work is
+      // O(log |dict| + matches), never O(|dict|)
+      prefixes.map(pf =>
+        pf -> Searcher.prefixSlice(sortedTerms, pf).take(maxExpansions)).toMap
     else {
       val matches: Array[String] =
         if (dictMap != null)
           dictMap.keysIterator
             .filter(t => !t.contains(':') && prefixes.exists(t.startsWith)).toArray
         else
-          termsDf
-            .filter(!col("term").contains(":") &&
-              prefixes.map(pf => col("term").startsWith(pf)).reduce(_ || _))
+          // cold range tier: the per-prefix range predicate pushes into the
+          // columnar terms scan (termIds dense in term order ⇒ row groups
+          // are term ranges ⇒ min/max pruning reads only matching groups)
+          coldTermsScan(prefixes.map(Some(_)))
+            .filter(prefixes.map(pf => col("term").startsWith(pf)).reduce(_ || _))
             .select("term").as[String].collect()
       val sorted = matches.sorted
       prefixes.map(pf => pf -> sorted.filter(_.startsWith(pf)).take(maxExpansions)).toMap
     }
+
+  /** The terms relation pre-filtered for a pattern-expansion scan: content
+    * namespace only, restricted to the patterns' literal-prefix ranges when
+    * EVERY pattern has one (a single prefix-less pattern already needs the
+    * whole dictionary — the documented full-scan fallback). */
+  private def coldTermsScan(litPrefixes: Seq[Option[String]]): DataFrame = {
+    val base = termsDf.filter(!col("term").contains(":"))
+    Searcher.rangePredOf(litPrefixes.map(_.getOrElse(""))) match {
+      case Some(pred) => base.filter(pred)
+      case None => base
+    }
+  }
 
   /** Dictionary terms within edit distance ≤ maxEdits of each fuzzy stem
     * (ES `fuzzy` query with the `scoring_boolean` rewrite: every match
@@ -203,15 +230,20 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     if (regexes.isEmpty) Map.empty
     else {
       val compiled = regexes.map(r => r -> java.util.regex.Pattern.compile(r)).toMap
+      val litPfx: Map[String, String] =
+        regexes.map(r => r -> Searcher.literalPrefixOfRegex(r)).toMap
       val matches: Array[String] =
-        if (dictMap != null)
+        if (sortedTerms != null && regexes.forall(r => litPfx(r).nonEmpty))
+          // warm range tier: each pattern tests only its prefix's slice
+          regexes.flatMap(r => Searcher.prefixSlice(sortedTerms, litPfx(r))
+            .filter(t => compiled(r).matcher(t).matches())).distinct.toArray
+        else if (dictMap != null)
           dictMap.keysIterator
             .filter(t => !t.contains(':') &&
               compiled.valuesIterator.exists(_.matcher(t).matches())).toArray
         else
-          termsDf
-            .filter(!col("term").contains(":") &&
-              regexes.map(r => col("term").rlike(s"^(?:$r)$$")).reduce(_ || _))
+          coldTermsScan(regexes.map(r => Some(litPfx(r))))
+            .filter(regexes.map(r => col("term").rlike(s"^(?:$r)$$")).reduce(_ || _))
             .select("term").as[String].collect()
       val sorted = matches.sorted
       regexes.map(r =>
@@ -688,6 +720,69 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       .filter(col("v").isNotNull)
       .as[(Long, Array[Float])]
       .map { case (id, v) => ScoredDoc(id, Ann.cosine(v, bq.value)) }
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+      .collect()
+  }
+
+  /** ES 8 `knn` over the per-shard HNSW graphs (the Lucene dense_vector
+    * structure — built when [[graft.index.IndexConfig.hnswM]] > 0):
+    * each shard's graph is walked in its own task (greedy descent + an
+    * `ef`-bounded beam at level 0, `num_candidates` in ES terms), the
+    * per-shard candidates carry EXACT cosines, and the global top-k is a
+    * TakeOrdered merge — approximate recall governed by `ef`, scores never
+    * approximate.
+    *
+    * Plan: ONE cogroup of the `hnsw_<field>` adjacency relation with the
+    * column-pruned (docId, vector[, accepted]) docs projection, both
+    * grouped by shard — per-task memory bounded by one shard's graph.
+    * `filter` is ES pre-filter semantics applied to the candidate RESULT
+    * set (the walk traverses freely — the standard filtered-HNSW shape);
+    * a highly selective filter belongs on the exact [[knn]] path. */
+  def knnHnsw(field: String, queryVec: Array[Float], k: Int, ef: Int = 100,
+      filter: String = ""): Array[ScoredDoc] = {
+    require(k > 0, "k must be > 0")
+    require(meta.hnswM > 0,
+      "index was built without HNSW graphs (IndexConfig.hnswM = 0)")
+    require(meta.denseVectors.contains(field),
+      s"'$field' is not a dense_vector field of this index " +
+        s"(have: ${meta.denseVectors.mkString(", ")})")
+    val efEff = math.max(ef, k)
+    val dps = meta.docsPerShard
+    val acceptDs: Dataset[Long] =
+      if (filter.isEmpty) null
+      else matchIdsDs(Searcher.parseFull(filter, meta.keywords.toSet))
+    var vecs = docsDf
+      .select(col("docId"), col(field).cast("array<float>").as("v"))
+      .filter(col("v").isNotNull)
+    vecs =
+      if (acceptDs == null) vecs.withColumn("acc", lit(true))
+      else vecs.join(acceptDs.toDF("docId").withColumn("acc", lit(true)),
+        Seq("docId"), "left")
+    val edgesKV = io.read(spark, s"$indexDir/hnsw_$field")
+      .select("shard", "level", "docId", "neighbors")
+      .as[Hnsw.Edge]
+      .groupByKey(_.shard)
+    val vecsKV = vecs
+      .select(col("docId"), col("v"), coalesce(col("acc"), lit(false)).as("acc"))
+      .as[(Long, Array[Float], Boolean)]
+      .groupByKey(_._1 / dps)
+    val bq = spark.sparkContext.broadcast(queryVec)
+    val kk = k
+    edgesKV.cogroup(vecsKV) { (_, es, vs) =>
+      val rows = vs.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val vecById = rows.iterator.map(r => r._1 -> r._2).toMap
+        val accepted = rows.iterator.filter(_._3).map(_._1).toArray
+        java.util.Arrays.sort(accepted)
+        if (accepted.isEmpty) Iterator.empty
+        else {
+          val g = Hnsw.fromEdges(es.toSeq, vecById)
+          Hnsw.search(g, bq.value, kk, efEff, accepted).iterator
+        }
+      }
+    }
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
       .collect()
@@ -1354,8 +1449,27 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
         .select("term", "df", "cf").collect()
         .map(r => r.getString(0).dropRight(1) -> ((r.getLong(1), r.getLong(2)))).toMap
     }
-    val tokens: Array[String] = pq.terms.distinct
-    // one clause per (field present in index) × token
+    // per-field query analysis (ES search_analyzer = index analyzer): a
+    // field with a non-code AnalyzerSpec re-analyzes the RAW scored tokens
+    // with its own kind + stop filter (synonyms are index-time injections —
+    // the query token already matches them in the postings)
+    val contentTokens: Array[String] = pq.terms.distinct
+    val fieldTokens: Map[String, Array[String]] = fieldSpecs.map { case (f, _) =>
+      val spec = if (f == "content") graft.analysis.AnalyzerSpec.Code else meta.analyzerOf(f)
+      f -> (if (spec.isCode) contentTokens
+            else graft.analysis.AnalyzerSpec
+              .queryTokens(spec, pq.rawPlain.mkString(" ")).distinct)
+    }.toMap
+    // unified token identity across fields (msm + cross_fields blending
+    // count DISTINCT query tokens): same analyzed string = same token
+    val tokens: Array[String] = fieldSpecs.flatMap(fs => fieldTokens(fs._1)).distinct.toArray
+    val tokIdxOf: Map[String, Int] = tokens.zipWithIndex.toMap
+    if (mode == Wand.CrossFields)
+      require(fieldSpecs.forall { case (f, _) =>
+        fieldTokens(f).sameElements(contentTokens) },
+        "cross_fields requires all queried fields to share the content analyzer " +
+          "(ES groups cross_fields terms per analyzer)")
+    // one clause per (field present in index) × (that field's tokens)
     final case class Clause(term: String, group: Int, tokIdx: Int, nF: Long,
         avgdlF: Double, fieldBoost: Double)
     val clauses: Seq[Clause] = fieldSpecs.zipWithIndex.flatMap { case ((f, fb), g) =>
@@ -1363,8 +1477,8 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
         if (f == "content") Some((meta.numDocs, meta.avgdl))
         else markerStats.get(f).map { case (dc, ttf) => (dc, ttf.toDouble / dc.toDouble) }
       statsF.toSeq.flatMap { case (nF, avgdlF) =>
-        tokens.zipWithIndex.map { case (t, ti) =>
-          Clause(if (f == "content") t else s"$f:$t", g, ti, nF, avgdlF, fb)
+        fieldTokens(f).map { t =>
+          Clause(if (f == "content") t else s"$f:$t", g, tokIdxOf(t), nF, avgdlF, fb)
         }
       }
     }
@@ -1517,8 +1631,22 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     if (!meta.hasPositions)
       throw new IllegalStateException(
         "phrase query on an index built without positions (IndexConfig.storePositions=false)")
-    val toks = Analyzer.tokenize(phrase)
+    // the FIELD's analyzer tokenizes the phrase (ES search_analyzer = index
+    // analyzer). A leading/trailing stopword is simply dropped (its indexed
+    // positions left gaps, so the remaining tokens are stream-adjacent); an
+    // INTERIOR stopword would need ES position-increment gap matching —
+    // rejected rather than silently matching tighter spans.
+    val fSpec = meta.analyzerOf(field)
+    val toks = graft.analysis.AnalyzerSpec.queryTokens(fSpec, phrase)
     require(toks.nonEmpty, "match_phrase needs at least one token")
+    if (fSpec.stopwords.nonEmpty) {
+      val base = graft.analysis.AnalyzerSpec.queryTokens(fSpec.copy(stopwords = Nil), phrase)
+      val inner = base.dropWhile(fSpec.stopwords.contains)
+        .reverse.dropWhile(fSpec.stopwords.contains).reverse
+      require(!inner.exists(fSpec.stopwords.contains),
+        s"phrase has an interior stopword of field '$field' — position-gap " +
+          "phrase matching is not supported; drop the stopword from the phrase")
+    }
     val tagged = toks.map(t => s"$field:$t")
     val mk = termsDf.filter(col("term") === s"$field:").select("df", "cf").collect()
     if (mk.isEmpty) return Array.empty // no document has the field
@@ -1543,6 +1671,21 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
           avgdlF, params, kk)
       }
       .orderBy(desc("score"), asc("docId")).limit(k).collect()
+  }
+
+  /** ES `_analyze` against a FIELD's configured analyzer: the
+    * (position, token) stream the index stores for `text` in that field —
+    * kind + index-time stopword gaps + synonym injections, exactly what
+    * [[graft.index.IndexBuilder]] emits. `content` (and any field without
+    * an override) uses the code-aware analyzer. */
+  def analyzeField(field: String, text: String): Array[(Long, String)] = {
+    require(field == "content" || meta.analyzed.contains(field),
+      s"'$field' is not an analyzed field of this index " +
+        s"(analyzed: ${("content" +: meta.analyzed).mkString(", ")})")
+    val spec =
+      if (field == "content") graft.analysis.AnalyzerSpec.Code else meta.analyzerOf(field)
+    val (toks, poss, _) = graft.analysis.AnalyzerSpec.tokenizeIndexed(spec, text)
+    poss.zip(toks)
   }
 
   /** ES `_termvectors` (with `term_statistics`): one document's term
@@ -2218,7 +2361,12 @@ object Searcher {
         * span `(i_m - i₁) - (m-1) ≤ slop`. Empty/short = slop 0 (exact
         * adjacency) — the default shape is unchanged. Parallel to
         * [[phrases]]. */
-      phraseSlops: Array[Int] = Array.empty) {
+      phraseSlops: Array[Int] = Array.empty,
+      /** RAW plain scored tokens (whitespace tokens that became [[terms]]),
+        * BEFORE analysis — per-field query paths (multi_match over a field
+        * with a non-code analyzer) re-analyze these with that field's
+        * index-time spec. */
+      rawPlain: Array[String] = Array.empty) {
     /** slop of phrase i (0 when unspecified) — [[phraseSlops]] padded */
     def slopOf(i: Int): Int = if (i < phraseSlops.length) phraseSlops(i) else 0
     /** [[phraseSlops]] padded to one entry per phrase */
@@ -2375,7 +2523,11 @@ object Searcher {
       negFilters.distinct.sorted, boosts, fuzzies, ranges,
       wildcards = wildParts.map(_.toLowerCase).distinct,
       regexps = regexpParts.map(t => t.substring(1, t.length - 1)).distinct,
-      phraseSlops = phrasePairs.map(_._2))
+      phraseSlops = phrasePairs.map(_._2),
+      rawPlain = plain.filter { t =>
+        val i = t.indexOf(':')
+        !(i > 0 && keywordFields.contains(t.substring(0, i)))
+      })
   }
 
   /** ES query-time synonyms (`synonym_graph` in the search analyzer,
@@ -2400,6 +2552,50 @@ object Searcher {
       .distinct
       .filterNot(s => toks.exists(_.equalsIgnoreCase(s)))
     (phraseSpans ++ toks ++ extra).mkString(" ")
+  }
+
+  // ---- sorted-dictionary range tier (the FST-lite prefix index) ----------
+  // Dictionary terms are stored (and collected) in sorted order, so any
+  // pattern with a LITERAL PREFIX expands over the [prefix, prefix+\uffff]
+  // range instead of the whole dictionary: warm = binary search into the
+  // sorted term array; cold = a range predicate pushed into the columnar
+  // terms scan (termIds are dense in term sort order, so the relation's
+  // row groups are term ranges and parquet min/max stats prune them).
+  // Fuzzy (edits can rewrite the first character) and prefix-less patterns
+  // keep the documented full-scan fallback.
+
+  /** Upper bound of the prefix range: every string starting with `pf`
+    * compares ≤ this (dictionary terms never contain \uffff). */
+  def prefixRangeUpper(pf: String): String = pf + '\uffff'
+
+  /** Leading literal chars of an anchored term regex — the run of plain
+    * word characters before the first metacharacter (conservative: any
+    * non-[A-Za-z0-9_] stops the scan). globToRegex output keeps literal
+    * prefixes literal, so this serves wildcards and regexps alike. */
+  def literalPrefixOfRegex(r: String): String =
+    r.takeWhile(c => c.isLetterOrDigit || c == '_')
+
+  /** One range predicate per prefixed pattern, for the cold terms scan.
+    * None when some pattern has no literal prefix (full scan fallback —
+    * a single prefix-less pattern already needs the whole dictionary). */
+  def rangePredOf(prefixes: Seq[String]): Option[org.apache.spark.sql.Column] =
+    if (prefixes.isEmpty || prefixes.exists(_.isEmpty)) None
+    else Some(prefixes.map(pf =>
+      col("term") >= lit(pf) && col("term") <= lit(prefixRangeUpper(pf))).reduce(_ || _))
+
+  /** All entries of a SORTED array within the prefix's range — binary
+    * search to the lower bound, linear scan while the prefix holds. */
+  def prefixSlice(sorted: Array[String], pf: String): Array[String] = {
+    var lo = 0
+    var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid) < pf) lo = mid + 1 else hi = mid
+    }
+    val out = Array.newBuilder[String]
+    var i = lo
+    while (i < sorted.length && sorted(i).startsWith(pf)) { out += sorted(i); i += 1 }
+    out.result()
   }
 
   /** Translate a wildcard pattern (`*` any run, `?` one char) to an

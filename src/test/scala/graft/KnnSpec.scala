@@ -201,6 +201,81 @@ class KnnSpec extends AnyFunSuite {
     assert(gotSeg == wantSeg)
   }
 
+  test("HNSW: exact cosines, high-ef agreement with exact knn, filter, merge, segmented") {
+    val cfgH = cfg.copy(hnswM = 8, hnswEfConstruction = 60)
+    val c = corpus(150, 113)
+    val dir = Files.createTempDirectory("graft-hnsw").toString
+    new IndexBuilder(spark, cfgH).build(c, s"$dir/single", resume = false)
+    assert(spark.read.parquet(s"$dir/single/hnsw_emb").count() > 0)
+    val se = new Searcher(spark, s"$dir/single")
+    val q = qvec(1)
+    // ef ≥ corpus size: the beam reaches everything reachable — on this
+    // tiny graph that is the whole shard, so results equal exact knn
+    val exact = se.knn("emb", q, 10).toSeq
+    assert(se.knnHnsw("emb", q, 10, ef = 200).toSeq == exact)
+    // pruned hits always carry their EXACT cosine
+    val allScores = se.knn("emb", q, 200).map(h => h.docId -> h.score).toMap
+    se.knnHnsw("emb", q, 10, ef = 20).foreach(h => assert(h.score == allScores(h.docId)))
+    // pre-filter gates candidates
+    val exactF = se.knn("emb", q, 10, filter = "lang:scala").toSeq
+    assert(se.knnHnsw("emb", q, 10, ef = 200, filter = "lang:scala").toSeq == exactF)
+
+    // merge rebuilds the graphs over the merged docIds
+    val c2 = corpus(60, 127)
+    new IndexBuilder(spark, cfgH).build(c2, s"$dir/b", resume = false)
+    IndexMerger.merge(spark, s"$dir/single", s"$dir/b", s"$dir/merged", cfgH)
+    val sem = new Searcher(spark, s"$dir/merged")
+    assert(spark.read.parquet(s"$dir/merged/hnsw_emb").count() > 0)
+    assert(sem.knnHnsw("emb", q, 10, ef = 300).toSeq == sem.knn("emb", q, 10).toSeq)
+
+    // segmented: per-segment graphs, identity-keyed global merge
+    val seg = new SegmentedIndex(spark, s"$dir/seg", cfgH, maxSegments = 4)
+    seg.ingest(c.filter(xxhash64(col("repo"), col("path")) % 2 === 0))
+    seg.ingest(c.filter(xxhash64(col("repo"), col("path")) % 2 =!= 0))
+    val ms = new MultiSearcher(spark, s"$dir/seg")
+    val docs = spark.read.parquet(s"$dir/single/docs")
+      .select("docId", "repo", "path", "commit").as[(Long, String, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = se.knnHnsw("emb", q, 10, ef = 200)
+      .map(h => { val (r, p, cm) = docs(h.docId); (r, p, cm, h.score) }).toSeq
+    val got = ms.knnHnsw("emb", q, 10, ef = 200)
+      .map(h => (h.repo, h.path, h.commit, h.score)).toSeq
+    assert(got == want)
+  }
+
+  test("HNSW recall@10 >= 0.95 vs exact on a 100k-vector corpus (per-shard graphs)") {
+    // clustered embedding geometry (200 centers + noise), 2 shards of 50k —
+    // the engine's shape: one graph per shard, candidates unioned, exact
+    // re-rank. Module-level so the assertion isolates graph quality.
+    val n = 100000
+    val dim = 16
+    val nShards = 2
+    val rnd = new java.util.Random(4242L)
+    val centers = Array.fill(200)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val vecs: Array[(Long, Array[Float])] = Array.tabulate(n) { i =>
+      val ctr = centers(i % 200)
+      (i.toLong, Array.tabulate(dim)(d => ctr(d) + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val perShard = n / nShards
+    val graphs = (0 until nShards).map { s =>
+      graft.search.Hnsw.build(
+        vecs.slice(s * perShard, (s + 1) * perShard), m = 16, efConstruction = 100,
+        seed = 0x9E3779B9L ^ s)
+    }
+    val qrnd = new java.util.Random(7L)
+    val recalls = (1 to 20).map { _ =>
+      val ctr = centers(qrnd.nextInt(200))
+      val q = Array.tabulate(dim)(d => ctr(d) + (qrnd.nextFloat() - 0.5f) * 0.2f)
+      val exact = vecs.map { case (id, v) => (id, graft.search.Ann.cosine(v, q)) }
+        .sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+      val got = graphs.flatMap(g => graft.search.Hnsw.search(g, q, 10, ef = 100))
+        .sortBy(sd => (-sd.score, sd.docId)).take(10).map(_.docId).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.95, s"HNSW recall@10 too low: $avg (per-query: $recalls)")
+  }
+
   test("_field_caps exposes mapped types, hides internal columns") {
     val c = corpus(60, 97)
     val dir = Files.createTempDirectory("graft-caps").toString
