@@ -590,9 +590,12 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     })
     // ---- quarantine channel: the rejects' identity + reason as their own
     // small relation next to the index (the es-hadoop error-handler output;
-    // one column-pruned scan of stage 0, no content)
+    // one column-pruned scan of stage 0, no content). Skipped when nothing
+    // was rejected — also covers merge/purge resume, whose synthetic doctf
+    // manifest has no backing data to scan.
     val rejectedDir = s"$staging/rejected"
-    if (cfg.quarantine && loadIfDone(rejectedDir, inputFp).isEmpty) stage("rejected") {
+    if (cfg.quarantine && doctfManifest.rejected > 0 &&
+      loadIfDone(rejectedDir, inputFp).isEmpty) stage("rejected") {
       cfg.io.write(
         cfg.io.read(spark, doctfDir)
           .filter(col("_reason").isNotNull)
