@@ -607,7 +607,10 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     * w.r.t. a fresh single build, so the fused ranking is too. */
   def hybridRrf(query: String, field: String, queryVec: Array[Float], k: Int,
       windowSize: Int = 100, rankConstant: Int = 60,
-      filter: String = ""): Array[ScoredHit] = {
+      filter: String = "",
+      /** > 0: vector branch through the per-segment HNSW graphs with this
+        * beam width ([[Searcher.hybridRrf]]); 0 = exact cosine branch. */
+      hnswEf: Int = 0): Array[ScoredHit] = {
     require(k > 0 && windowSize >= k,
       s"need windowSize >= k > 0 (got k=$k, windowSize=$windowSize)")
     require(rankConstant >= 1, s"rankConstant must be >= 1 (got $rankConstant)")
@@ -644,7 +647,9 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
             Map(0 -> windowSize)).head
         }
       }
-    val knnRank = knn(field, queryVec, windowSize, filter)
+    val knnRank =
+      if (hnswEf > 0) knnHnsw(field, queryVec, windowSize, hnswEf, filter)
+      else knn(field, queryVec, windowSize, filter)
     val fused = new java.util.HashMap[(String, String, String), Double]()
     def add(ranking: Array[ScoredHit]): Unit = {
       var i = 0

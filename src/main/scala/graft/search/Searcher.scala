@@ -800,7 +800,11 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * the same shape ES uses (per-shard top windows, coordinator fusion). */
   def hybridRrf(query: String, field: String, queryVec: Array[Float], k: Int,
       windowSize: Int = 100, rankConstant: Int = 60,
-      filter: String = ""): Array[ScoredDoc] = {
+      filter: String = "",
+      /** > 0: drive the vector branch through the per-shard HNSW graphs
+        * with this beam width (`num_candidates`) — the shape a real ES 8
+        * rrf retriever runs; 0 = exact cosine branch. */
+      hnswEf: Int = 0): Array[ScoredDoc] = {
     require(k > 0 && windowSize >= k,
       s"need windowSize >= k > 0 (got k=$k, windowSize=$windowSize)")
     require(rankConstant >= 1, s"rankConstant must be >= 1 (got $rankConstant)")
@@ -815,7 +819,9 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       if (filter.isEmpty) search(query, windowSize)
       else searchImpl(query, windowSize, 0, 1, null,
         matchIdsDs(Searcher.parseFull(filter, meta.keywords.toSet)))
-    val knnRank: Array[ScoredDoc] = knn(field, queryVec, windowSize, filter)
+    val knnRank: Array[ScoredDoc] =
+      if (hnswEf > 0) knnHnsw(field, queryVec, windowSize, hnswEf, filter)
+      else knn(field, queryVec, windowSize, filter)
     val fused = new java.util.HashMap[Long, Double]()
     def add(ranking: Array[ScoredDoc]): Unit = {
       var i = 0

@@ -241,6 +241,17 @@ class KnnSpec extends AnyFunSuite {
     val got = ms.knnHnsw("emb", q, 10, ef = 200)
       .map(h => (h.repo, h.path, h.commit, h.score)).toSeq
     assert(got == want)
+
+    // hybrid RRF with the vector branch on the HNSW path (the real ES 8
+    // rrf retriever shape): exhaustive ef equals the exact-branch fusion
+    assert(
+      se.hybridRrf("merge index", "emb", q, 10, windowSize = 30, hnswEf = 400).toSeq ==
+        se.hybridRrf("merge index", "emb", q, 10, windowSize = 30).toSeq)
+    assert(
+      ms.hybridRrf("merge index", "emb", q, 10, windowSize = 30, hnswEf = 400)
+        .map(h => (h.repo, h.path, h.commit, h.score)).toSeq ==
+        ms.hybridRrf("merge index", "emb", q, 10, windowSize = 30)
+          .map(h => (h.repo, h.path, h.commit, h.score)).toSeq)
   }
 
   test("HNSW recall@10 >= 0.95 vs exact on a 100k-vector corpus (per-shard graphs)") {
