@@ -2256,6 +2256,17 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     Seq((nDocs, nTerms, nPostings, sumDl, sumDl.toDouble / nDocs))
       .toDF("num_docs", "num_terms", "num_postings", "sum_dl", "avg_dl")
   }
+
+  /** The ingest quarantine's reject channel ([[graft.index.IndexConfig
+    * .quarantine]]): (repo, path, commit, lang, reason) of every row the
+    * build diverted — the es-hadoop error-handler output a reprocessing
+    * pipeline consumes. Empty when nothing was rejected (or quarantine was
+    * off); `meta.rejectedDocs` carries the count either way. */
+  def rejected(): DataFrame =
+    if (meta.rejectedDocs == 0L)
+      Seq.empty[(String, String, String, String, String)]
+        .toDF("repo", "path", "commit", "lang", "reason")
+    else io.read(spark, s"$indexDir/rejected")
 }
 
 object Searcher {

@@ -78,6 +78,10 @@ class QuarantineSpec extends AnyFunSuite {
     assert(docs.count() == 120)
     assert(!docs.columns.contains("_reason"))
     assert(docs.filter(col("path").isin("bad3", "bad4", "bad5")).count() == 0)
+
+    // the searcher exposes the reject channel; a clean index reports empty
+    assert(new Searcher(spark, s"$dir/index").rejected().count() == 5)
+    assert(new Searcher(spark, s"$cleanDir/index").rejected().count() == 0)
   }
 
   test("quarantine off preserves all-or-nothing ingest; knob changes configHash") {
