@@ -37,6 +37,22 @@ final case class AnalyzerSpec(
   require(AnalyzerSpec.Kinds.contains(kind),
     s"unknown analyzer kind '$kind' (have: ${AnalyzerSpec.Kinds.mkString(", ")})")
 
+  // '|' ',' ';' '=' are the unescaped delimiters of encode/decode (the
+  // persisted IndexMeta form, folded into configHash); a token carrying one
+  // would round-trip to a DIFFERENT spec on the query side. Such tokens can
+  // never match analyzed output anyway (every kind strips or splits on
+  // them), so reject them at construction instead of corrupting the meta.
+  for (t <- stopwords)
+    require(!t.exists(AnalyzerSpec.ReservedDelims.contains(_)),
+      s"stopword '$t' contains a reserved delimiter (one of | , ; =)")
+  for ((k, vs) <- synonyms) {
+    require(!k.exists(AnalyzerSpec.ReservedDelims.contains(_)),
+      s"synonym key '$k' contains a reserved delimiter (one of | , ; =)")
+    for (v <- vs)
+      require(!v.exists(AnalyzerSpec.ReservedDelims.contains(_)),
+        s"synonym value '$v' contains a reserved delimiter (one of | , ; =)")
+  }
+
   def isCode: Boolean = kind == "code" && stopwords.isEmpty && synonyms.isEmpty
 
   /** Compact, deterministic string form — stored in IndexMeta and folded
@@ -53,6 +69,7 @@ final case class AnalyzerSpec(
 
 object AnalyzerSpec {
   val Kinds: Set[String] = Set("code", "lowercase", "whitespace")
+  val ReservedDelims: Set[Char] = Set('|', ',', ';', '=')
   val Code: AnalyzerSpec = AnalyzerSpec()
 
   /** Inverse of [[AnalyzerSpec.encode]]. */

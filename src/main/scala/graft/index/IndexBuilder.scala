@@ -204,6 +204,11 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
               col(f).cast("array<float>").as("v"))
             .filter(col("v").isNotNull)
             .as[(Long, Array[Float])]
+            // Rows the quarantine will reject as bad_vector (non-finite
+            // elements) must not train the quantizer either — one NaN/Inf
+            // propagates into a published centroid and poisons query-time
+            // cell-probe ordering. Same finite-value rule as reasonOf.
+            .filter(t => t._2.forall(f => java.lang.Float.isFinite(f)))
             .map { case (id, v) => graft.search.Ann.Vec(id, v) }
           val cents = graft.search.Ann.kmeans(vecs, cfg.ivfCells, iters = 3, seed = 42L)
           cfg.io.write(

@@ -125,6 +125,57 @@ object Hnsw {
       if (qLevel > curTop) { curTop = qLevel; entry = q }
       q += 1
     }
+    // ---- level-0 connectivity repair ----------------------------------
+    // Diversity pruning of an EXISTING node's neighbor list can, rarely,
+    // disconnect level 0 even with the keepPrunedConnections backfill; an
+    // unreachable node would silently cap recall (and break the
+    // "exhaustive-ef beam == exact" oracle gate). Repair: directed BFS
+    // from the entry over level 0 (the reachability the beam actually
+    // uses); each unreachable component gets a bidirectional bridge from
+    // its smallest-ordinal node to that node's most similar reachable
+    // node (ties → smallest ordinal; the bridge may overflow the cap —
+    // a pruned bridge would defeat the repair). Deterministic; O(n·d)
+    // per repaired component, and components are rare and tiny.
+    if (n > 1) {
+      val reach = new Array[Boolean](n)
+      val stack = new java.util.ArrayDeque[Integer]()
+      def bfsFrom(s: Int): Unit = {
+        if (!reach(s)) { reach(s) = true; stack.push(s) }
+        while (!stack.isEmpty) {
+          val u = stack.pop().intValue()
+          val b = adjB(0)(u)
+          if (b != null) {
+            var j = 0
+            while (j < b.length) {
+              val v = b(j)
+              if (!reach(v)) { reach(v) = true; stack.push(v) }
+              j += 1
+            }
+          }
+        }
+      }
+      bfsFrom(entry)
+      var u = 0
+      while (u < n) {
+        if (!reach(u)) {
+          var best = -1
+          var bestS = Double.NegativeInfinity
+          val uv = vecs(u)
+          var v = 0
+          while (v < n) {
+            if (reach(v)) {
+              val s = Ann.cosine(uv, vecs(v))
+              if (s > bestS) { bestS = s; best = v }
+            }
+            v += 1
+          }
+          nbrs(0, u) += best
+          nbrs(0, best) += u
+          bfsFrom(u)
+        }
+        u += 1
+      }
+    }
     val adj = Array.tabulate(curTop + 1)(lc =>
       Array.tabulate(n)(u => {
         val b = adjB(lc)(u); if (b == null) Array.emptyIntArray else b.toArray
@@ -167,38 +218,48 @@ object Hnsw {
     searchLayerImpl(qv, ep, ef, u => {
       val b = adjB(lc)(u)
       if (b == null) Iterator.empty else b.iterator
-    }, vecs)
-
-  /** Beam search one layer over a built [[Graph]]. */
-  private def searchLayer(g: Graph, qv: Array[Float], ep: Int, ef: Int,
-      lc: Int): Array[(Int, Double)] =
-    searchLayerImpl(qv, ep, ef, u => g.adj(lc)(u).iterator, vecs = g.vecs)
+    }, vecs, acceptOrd = null, visitedLimit = Int.MaxValue)
 
   /** The canonical ef-bounded best-first layer search (similarity form):
-    * candidates max-heap by similarity, results min-heap of size ≤ ef. */
+    * candidates max-heap by similarity, results min-heap of size ≤ ef.
+    * `acceptOrd` (null = accept all) gates RESULT membership only — the
+    * walk expands any node whose similarity beats the current worst
+    * result, accepted or not, so the beam can cross filtered-out regions
+    * (the Lucene filtered-HNSW traversal). While the result beam is not
+    * yet full, every frontier node stays expandable; `visitedLimit` caps
+    * the node visits so a near-empty accept set cannot degenerate into a
+    * full-graph scan (the caller falls back to exact instead). */
   private def searchLayerImpl(qv: Array[Float], ep: Int, ef: Int,
       neighborsOf: Int => Iterator[Int],
-      vecs: Array[Array[Float]]): Array[(Int, Double)] = {
+      vecs: Array[Array[Float]],
+      acceptOrd: Int => Boolean,
+      visitedLimit: Int): Array[(Int, Double)] = {
     val visited = new java.util.HashSet[Int]()
     val cand = new java.util.PriorityQueue[(Int, Double)](
       11, (a: (Int, Double), b: (Int, Double)) => java.lang.Double.compare(b._2, a._2))
     val res = new java.util.PriorityQueue[(Int, Double)](
       11, (a: (Int, Double), b: (Int, Double)) => java.lang.Double.compare(a._2, b._2))
     val s0 = Ann.cosine(vecs(ep), qv)
-    visited.add(ep); cand.add((ep, s0)); res.add((ep, s0))
+    visited.add(ep); cand.add((ep, s0))
+    if (acceptOrd == null || acceptOrd(ep)) res.add((ep, s0))
+    var visits = 1
     while (!cand.isEmpty) {
       val c = cand.poll()
-      if (res.size >= ef && c._2 < res.peek()._2) {
+      if ((res.size >= ef && c._2 < res.peek()._2) || visits > visitedLimit) {
         cand.clear() // best candidate worse than the worst result → done
       } else {
         val it = neighborsOf(c._1)
         while (it.hasNext) {
           val u = it.next()
           if (visited.add(u)) {
+            visits += 1
             val s = Ann.cosine(vecs(u), qv)
             if (res.size < ef || s > res.peek()._2) {
-              cand.add((u, s)); res.add((u, s))
-              if (res.size > ef) res.poll()
+              cand.add((u, s))
+              if (acceptOrd == null || acceptOrd(u)) {
+                res.add((u, s))
+                if (res.size > ef) res.poll()
+              }
             }
           }
         }
@@ -212,10 +273,16 @@ object Hnsw {
 
   /** Top candidates of one shard's graph for `qv`: greedy descent from the
     * entry point, then an ef-bounded beam at level 0. `accept` (sorted
-    * docIds, null = all) is applied to the RESULT set only — the walk
-    * itself traverses freely, the standard filtered-HNSW approach. */
+    * docIds, null = all) is FILTER-AWARE (the Lucene filtered-HNSW shape):
+    * the walk traverses freely through non-accepted nodes, but only
+    * accepted nodes enter the result beam and count toward `ef` — so a
+    * selective filter keeps expanding until k accepted candidates are
+    * found instead of returning an underfilled beam. Traversal work is
+    * capped at `visitedLimit` visited nodes (0 = derive `max(8·ef, 512)`);
+    * when the cap fires before the beam fills, the caller should fall back
+    * to an exact scan over the accepted set ([[searchFiltered]] does). */
   def search(g: Graph, qv: Array[Float], k: Int, ef: Int,
-      accept: Array[Long] = null): Array[ScoredDoc] = {
+      accept: Array[Long] = null, visitedLimit: Int = 0): Array[ScoredDoc] = {
     if (g.entry < 0) return Array.empty
     var ep = g.entry
     var lc = g.maxLevel
@@ -234,11 +301,50 @@ object Hnsw {
       }
       lc -= 1
     }
-    val w = searchLayer(g, qv, ep, math.max(ef, k), 0)
-    val filtered =
-      if (accept == null) w.iterator
-      else w.iterator.filter(c => java.util.Arrays.binarySearch(accept, g.ids(c._1)) >= 0)
-    filtered.take(k).map { case (u, s) => ScoredDoc(g.ids(u), s) }.toArray
+    val efEff = math.max(ef, k)
+    val acceptOrd: Int => Boolean =
+      if (accept == null) null
+      else u => java.util.Arrays.binarySearch(accept, g.ids(u)) >= 0
+    val vLim =
+      if (acceptOrd == null) Int.MaxValue
+      else if (visitedLimit > 0) visitedLimit
+      else math.max(8 * efEff, 512)
+    val w = searchLayerImpl(qv, ep, efEff, u => g.adj(0)(u).iterator, g.vecs,
+      acceptOrd, vLim)
+    w.iterator.take(k).map { case (u, s) => ScoredDoc(g.ids(u), s) }.toArray
+  }
+
+  /** Exact cosine top-k among the accepted docIds of one shard (all of
+    * whose vectors the graph already holds) — the fallback for selective
+    * filters, where a graph walk wastes work and risks underfill. */
+  def exactAmongAccepted(g: Graph, qv: Array[Float], k: Int,
+      accept: Array[Long]): Array[ScoredDoc] = {
+    val out = new scala.collection.mutable.ArrayBuffer[ScoredDoc](accept.length)
+    var i = 0
+    while (i < accept.length) {
+      val u = java.util.Arrays.binarySearch(g.ids, accept(i))
+      if (u >= 0) out += ScoredDoc(g.ids(u), Ann.cosine(g.vecs(u), qv))
+      i += 1
+    }
+    out.sortBy(sd => (-sd.score, sd.docId)).take(k).toArray
+  }
+
+  /** The shard-level filtered-search POLICY, shared by every serving path
+    * (cold cogroup kernels and the warm driver tier must rank identically):
+    *  - no filter → plain graph search;
+    *  - |accepted| ≤ 2·ef → exact scan over the accepted set (ES falls
+    *    back to exact kNN for selective pre-filters: the scan is cheaper
+    *    than the walk AND exact);
+    *  - else → filter-aware traversal; if the visited cap fired before k
+    *    accepted candidates were found, exact scan (never underfill). */
+  def searchFiltered(g: Graph, qv: Array[Float], k: Int, ef: Int,
+      accept: Array[Long]): Array[ScoredDoc] = {
+    if (accept == null) return search(g, qv, k, ef)
+    val efEff = math.max(ef, k)
+    if (accept.length <= 2L * efEff) return exactAmongAccepted(g, qv, k, accept)
+    val r = search(g, qv, k, efEff, accept)
+    if (r.length < math.min(k, accept.length)) exactAmongAccepted(g, qv, k, accept)
+    else r
   }
 
   /** Serialize a built graph to adjacency rows (docId-keyed): one row per

@@ -156,7 +156,13 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     if (fuzzies.isEmpty) Map.empty
     else {
       val matches: Array[String] =
-        if (dictMaps != null)
+        if (sortedTerms != null)
+          // warm automaton tier over the cross-segment sorted dictionary
+          // (see [[Searcher.fuzzyWalk]])
+          fuzzies.flatMap { case (st, b) =>
+            Searcher.fuzzyWalk(sortedTerms, st, b)._1
+          }.distinct.toArray
+        else if (dictMaps != null)
           dictMaps.iterator.flatMap(_.keysIterator)
             .filter(t => !t.contains(':') &&
               fuzzies.exists { case (st, b) => Searcher.editWithin(st, t, b) })
@@ -164,7 +170,8 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
         else
           termsAll.filter(!col("term").contains(":") &&
               fuzzies.map { case (st, b) =>
-                levenshtein(col("term"), lit(st)) <= b }.reduce(_ || _))
+                length(col("term")).between(st.length - b, st.length + b) &&
+                  levenshtein(col("term"), lit(st)) <= b }.reduce(_ || _))
             .select("term").distinct().as[String].collect()
       val sorted = matches.sorted
       fuzzies.map { case (st, b) =>
@@ -558,6 +565,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
         s"(have: ${segs.head._2.denseVectors.mkString(", ")})")
     val efEff = math.max(ef, k)
     val dpsBySeg: Array[Long] = segs.map(_._2.docsPerShard).toArray
+    val hasFilter = filter.nonEmpty
     var vecs = taggedUnion("docs", Seq("docId", field))
       .select(col("seg"), col("docId"), col(field).cast("array<float>").as("v"))
       .filter(col("v").isNotNull)
@@ -582,13 +590,18 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       if (rows.isEmpty) Iterator.empty
       else {
         val vecById = rows.iterator.map(r => r._2 -> r._3).toMap
-        val accepted = rows.iterator.filter(_._4).map(_._2).toArray
-        java.util.Arrays.sort(accepted)
-        if (accepted.isEmpty) Iterator.empty
+        val accepted: Array[Long] =
+          if (!hasFilter) null
+          else {
+            val a = rows.iterator.filter(_._4).map(_._2).toArray
+            java.util.Arrays.sort(a)
+            a
+          }
+        if (accepted != null && accepted.isEmpty) Iterator.empty
         else {
           val g = Hnsw.fromEdges(
             es.map(e => Hnsw.Edge(e._2, e._3, e._4, e._5)).toSeq, vecById)
-          Hnsw.search(g, bq.value, kk, efEff, accepted).iterator
+          Hnsw.searchFiltered(g, bq.value, kk, efEff, accepted).iterator
             .map(sd => (key._1, sd.docId, sd.score))
         }
       }

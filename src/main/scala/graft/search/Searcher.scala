@@ -129,6 +129,54 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
 
   def cool(): Unit = {
     termsDf.unpersist(); blocksDf.unpersist(); dictMap = null; sortedTerms = null
+    hnswGraphs = Map.empty
+  }
+
+  /** One warm per-shard HNSW graph (shard number + reconstructed graph). */
+  private final case class ShardGraph(shard: Long, graph: Hnsw.Graph)
+
+  /** field → that field's per-shard graphs, ascending shard order —
+    * populated by [[warmKnn]], the dense-vector analogue of [[dictMap]]. */
+  @volatile private var hnswGraphs: Map[String, Array[ShardGraph]] = Map.empty
+
+  /** Pin `field`'s per-shard HNSW graphs in driver memory — the ES
+    * data-node-resident segment-graph shape, bounded like the driver
+    * dictionary: only when the field's vector count fits under
+    * `maxDriverVectors` (1M × 128-dim float ≈ 512 MB + adjacency). Warm
+    * [[knnHnsw]] then walks the cached graphs driver-side — per-query work
+    * sublinear in corpus size, zero Spark jobs for unfiltered queries —
+    * with results EXACTLY equal to the cold cogroup path (same graphs via
+    * [[Hnsw.fromEdges]], same [[Hnsw.searchFiltered]] policy, same merge
+    * order). Returns whether the tier is now warm; above the bound the
+    * cold path stays in force (on a cluster the cogroup's tasks land on
+    * executors whose page cache holds the relations after [[warm]]). */
+  def warmKnn(field: String, maxDriverVectors: Long = 1_000_000L): Boolean = {
+    require(meta.hnswM > 0,
+      "index was built without HNSW graphs (IndexConfig.hnswM = 0)")
+    require(meta.denseVectors.contains(field),
+      s"'$field' is not a dense_vector field of this index " +
+        s"(have: ${meta.denseVectors.mkString(", ")})")
+    if (hnswGraphs.contains(field)) return true
+    val vecDf = docsDf
+      .select(col("docId"), col(field).cast("array<float>").as("v"))
+      .filter(col("v").isNotNull)
+    if (vecDf.count() > maxDriverVectors) return false
+    val vecById = new java.util.HashMap[Long, Array[Float]]()
+    vecDf.as[(Long, Array[Float])].collect().foreach(t => vecById.put(t._1, t._2))
+    val byShard = io.read(spark, s"$indexDir/hnsw_$field")
+      .select("shard", "level", "docId", "neighbors")
+      .as[Hnsw.Edge]
+      .collect()
+      .groupBy(_.shard)
+      .toArray
+      .sortBy(_._1)
+    import scala.jdk.CollectionConverters._
+    val wrapped: collection.Map[Long, Array[Float]] = vecById.asScala
+    val gs = byShard.map { case (sh, es) =>
+      ShardGraph(sh, Hnsw.fromEdges(es.toSeq, wrapped))
+    }
+    hnswGraphs = hnswGraphs + (field -> gs)
+    true
   }
 
   /** (termId, df) for each query term present in the dictionary. */
@@ -203,7 +251,14 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     if (fuzzies.isEmpty) Map.empty
     else {
       val matches: Array[String] =
-        if (dictMap != null)
+        if (sortedTerms != null)
+          // warm automaton tier: DP trie-walk over the sorted dictionary —
+          // shared-prefix row reuse + dead-prefix range skips, never a
+          // per-term scan (the ES Levenshtein-automaton-over-FST shape)
+          fuzzies.flatMap { case (st, b) =>
+            Searcher.fuzzyWalk(sortedTerms, st, b)._1
+          }.distinct.toArray
+        else if (dictMap != null)
           dictMap.keysIterator
             .filter(t => !t.contains(':') &&
               fuzzies.exists { case (st, b) => Searcher.editWithin(st, t, b) })
@@ -211,8 +266,12 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
         else
           termsDf
             .filter(!col("term").contains(":") &&
+              // length window first: |len(term) - len(stem)| ≤ bound is
+              // necessary for edit distance ≤ bound and prunes the row
+              // set before any quadratic levenshtein evaluation
               fuzzies.map { case (st, b) =>
-                levenshtein(col("term"), lit(st)) <= b }.reduce(_ || _))
+                length(col("term")).between(st.length - b, st.length + b) &&
+                  levenshtein(col("term"), lit(st)) <= b }.reduce(_ || _))
             .select("term").as[String].collect()
       val sorted = matches.sorted
       fuzzies.map { case (st, b) =>
@@ -749,9 +808,48 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
         s"(have: ${meta.denseVectors.mkString(", ")})")
     val efEff = math.max(ef, k)
     val dps = meta.docsPerShard
+
+    // ---- warm driver tier (see [[warmKnn]]) ---------------------------
+    // Per-shard graphs resident driver-side (the ES data-node-resident
+    // segment-graph shape): a no-filter query runs ZERO Spark jobs —
+    // sublinear graph walks over the cached graphs, merged exactly like
+    // the cold path's TakeOrdered. A filtered query spends one Spark job
+    // on the accept set, then walks warm.
+    val warmGs = hnswGraphs.get(field)
+    if (warmGs.isDefined) {
+      val gs = warmGs.get
+      val accept: Array[Long] =
+        if (filter.isEmpty) null
+        else {
+          val a = matchIdsDs(Searcher.parseFull(filter, meta.keywords.toSet)).collect()
+          java.util.Arrays.sort(a)
+          a
+        }
+      if (accept != null && accept.isEmpty) return Array.empty
+      val perShard = new Array[Array[ScoredDoc]](gs.length)
+      java.util.stream.IntStream.range(0, gs.length).parallel().forEach { i =>
+        val g = gs(i)
+        // the shard's accepted slice: docIds of shard s lie in
+        // [s·dps, (s+1)·dps) and `accept` is sorted — two binary searches
+        val acc: Array[Long] =
+          if (accept == null) null
+          else {
+            val lo = lowerBound(accept, g.shard * dps)
+            val hi = lowerBound(accept, (g.shard + 1) * dps)
+            java.util.Arrays.copyOfRange(accept, lo, hi)
+          }
+        perShard(i) =
+          if (acc != null && acc.isEmpty) Array.empty
+          else Hnsw.searchFiltered(g.graph, queryVec, k, efEff, acc)
+      }
+      return perShard.iterator.flatten.toArray
+        .sortBy(sd => (-sd.score, sd.docId)).take(k)
+    }
+
     val acceptDs: Dataset[Long] =
       if (filter.isEmpty) null
       else matchIdsDs(Searcher.parseFull(filter, meta.keywords.toSet))
+    val hasFilter = acceptDs != null
     var vecs = docsDf
       .select(col("docId"), col(field).cast("array<float>").as("v"))
       .filter(col("v").isNotNull)
@@ -774,18 +872,34 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       if (rows.isEmpty) Iterator.empty
       else {
         val vecById = rows.iterator.map(r => r._1 -> r._2).toMap
-        val accepted = rows.iterator.filter(_._3).map(_._1).toArray
-        java.util.Arrays.sort(accepted)
-        if (accepted.isEmpty) Iterator.empty
+        val accepted: Array[Long] =
+          if (!hasFilter) null
+          else {
+            val a = rows.iterator.filter(_._3).map(_._1).toArray
+            java.util.Arrays.sort(a)
+            a
+          }
+        if (accepted != null && accepted.isEmpty) Iterator.empty
         else {
           val g = Hnsw.fromEdges(es.toSeq, vecById)
-          Hnsw.search(g, bq.value, kk, efEff, accepted).iterator
+          Hnsw.searchFiltered(g, bq.value, kk, efEff, accepted).iterator
         }
       }
     }
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
       .collect()
+  }
+
+  /** First index in sorted `a` whose value is >= `x`. */
+  private def lowerBound(a: Array[Long], x: Long): Int = {
+    var lo = 0
+    var hi = a.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (a(mid) < x) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   /** ES hybrid search with RECIPROCAL RANK FUSION (the ES 8.8+ `rrf`
@@ -2588,9 +2702,36 @@ object Searcher {
   /** Leading literal chars of an anchored term regex — the run of plain
     * word characters before the first metacharacter (conservative: any
     * non-[A-Za-z0-9_] stops the scan). globToRegex output keeps literal
-    * prefixes literal, so this serves wildcards and regexps alike. */
-  def literalPrefixOfRegex(r: String): String =
-    r.takeWhile(c => c.isLetterOrDigit || c == '_')
+    * prefixes literal, so this serves wildcards and regexps alike.
+    *
+    * Two constructs void the "leading literals are mandatory" assumption
+    * and must NOT narrow the dictionary range (a dropped term = a wrong
+    * result, the range tier is an optimization only):
+    *   - top-level alternation: /sort|scan/ matches "scan", which shares
+    *     no prefix with the left branch → full-scan fallback ("");
+    *   - a quantifier directly after the run makes its LAST char optional
+    *     (ab?c, ab* and ab{0,2}c all match inputs without the 'b') →
+    *     drop that char from the mandatory prefix. */
+  def literalPrefixOfRegex(r: String): String = {
+    // Scan for an unescaped '|' at paren depth 0 outside a char class.
+    var i = 0; var depth = 0; var inClass = false
+    while (i < r.length) {
+      r.charAt(i) match {
+        case '\\'                          => i += 1 // skip escaped char
+        case '[' if !inClass               => inClass = true
+        case ']' if inClass                => inClass = false
+        case '(' if !inClass               => depth += 1
+        case ')' if !inClass && depth > 0  => depth -= 1
+        case '|' if !inClass && depth == 0 => return ""
+        case _                             =>
+      }
+      i += 1
+    }
+    val run = r.takeWhile(c => c.isLetterOrDigit || c == '_')
+    if (run.nonEmpty && run.length < r.length &&
+        "?*{".indexOf(r.charAt(run.length)) >= 0) run.dropRight(1)
+    else run
+  }
 
   /** One range predicate per prefixed pattern, for the cold terms scan.
     * None when some pattern has no literal prefix (full scan fallback —
@@ -2625,6 +2766,83 @@ object Searcher {
       case c if c.isLetterOrDigit => c.toString
       case c => java.util.regex.Pattern.quote(c.toString)
     }.mkString
+
+  /** Fuzzy expansion over a SORTED dictionary via an incremental
+    * Levenshtein DP walk with shared-prefix reuse and dead-prefix skipping
+    * — the FST/automaton tier for `term~N` (ES walks a Levenshtein
+    * automaton over its FST; a DP row per trie depth IS that automaton's
+    * state, and the sorted array IS the trie's ordered leaf walk):
+    *  - consecutive terms share a prefix → their DP rows up to the shared
+    *    depth are identical and are NOT recomputed;
+    *  - a prefix whose whole row exceeds `bound` can never reach an accept
+    *    state on ANY extension → binary-search straight past every term
+    *    sharing that dead prefix.
+    * Returns (matches in sorted order, rows computed) — the second number
+    * is the scan metric tests assert against (≪ Σ term lengths, where the
+    * full scan's DP cost is Σ term lengths rows). Matches are EXACTLY the
+    * editWithin ≤ bound set (same unit-cost model), just found faster. */
+  def fuzzyWalk(sorted: Array[String], stem: String, bound: Int): (Array[String], Long) = {
+    val n = stem.length
+    val out = Array.newBuilder[String]
+    var rowsComputed = 0L
+    // rows(d) = DP row after consuming d chars of the current term;
+    // row(i) = min edits aligning those d chars with stem.take(i)
+    var rows = new Array[Array[Int]](16)
+    rows(0) = Array.tabulate(n + 1)(identity)
+    var prev = ""
+    var idx = 0
+    while (idx < sorted.length) {
+      val t = sorted(idx)
+      var common = 0
+      val maxCommon = math.min(t.length, prev.length)
+      while (common < maxCommon && t.charAt(common) == prev.charAt(common)) common += 1
+      if (t.length + 1 > rows.length) {
+        val grown = new Array[Array[Int]](math.max(rows.length * 2, t.length + 1))
+        System.arraycopy(rows, 0, grown, 0, rows.length)
+        rows = grown
+      }
+      var d = common
+      var dead = -1
+      while (d < t.length && dead < 0) {
+        val c = t.charAt(d)
+        val prevRow = rows(d)
+        val row = new Array[Int](n + 1)
+        row(0) = prevRow(0) + 1
+        var rowMin = row(0)
+        var i = 1
+        while (i <= n) {
+          val sub = prevRow(i - 1) + (if (stem.charAt(i - 1) == c) 0 else 1)
+          val del = prevRow(i) + 1
+          val ins = row(i - 1) + 1
+          val v = math.min(sub, math.min(del, ins))
+          row(i) = v
+          if (v < rowMin) rowMin = v
+          i += 1
+        }
+        rows(d + 1) = row
+        rowsComputed += 1
+        if (rowMin > bound) dead = d + 1
+        d += 1
+      }
+      prev = t
+      if (dead >= 0) {
+        // skip every term sharing the dead prefix: first index whose term
+        // exceeds the prefix's range upper bound (same shape as the prefix tier)
+        val upper = prefixRangeUpper(t.substring(0, dead))
+        var lo = idx + 1
+        var hi = sorted.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (sorted(mid) <= upper) lo = mid + 1 else hi = mid
+        }
+        idx = lo
+      } else {
+        if (rows(t.length)(n) <= bound) out += t
+        idx += 1
+      }
+    }
+    (out.result(), rowsComputed)
+  }
 
   /** Unrestricted Levenshtein edit distance ≤ `bound` test — the SAME cost
     * model as Spark's and DuckDB's `levenshtein` (unit insert/delete/

@@ -37,6 +37,41 @@ class DictRangeSpec extends AnyFunSuite {
     assert(Searcher.literalPrefixOfRegex("(a|b)c") == "")
     assert(Searcher.rangePredOf(Seq("sc", "qu")).isDefined)
     assert(Searcher.rangePredOf(Seq("sc", "")).isEmpty, "prefix-less pattern → full scan")
+    // top-level alternation: the leading literal run is NOT mandatory
+    // (/sort|scan/ matches "scan") → full-scan fallback
+    assert(Searcher.literalPrefixOfRegex("sort|scan") == "")
+    assert(Searcher.literalPrefixOfRegex("a|b") == "")
+    // a quantifier after the run makes the run's LAST char optional
+    assert(Searcher.literalPrefixOfRegex("ab?c") == "a")
+    assert(Searcher.literalPrefixOfRegex("ab*") == "a")
+    assert(Searcher.literalPrefixOfRegex("ab{0,2}c") == "a")
+    assert(Searcher.literalPrefixOfRegex("b?c") == "")
+    // '|' inside a character class or escaped is not alternation
+    assert(Searcher.literalPrefixOfRegex("a[|]b") == "a")
+    assert(Searcher.literalPrefixOfRegex("a\\|b") == "a")
+    // '+' keeps the last char mandatory (ab+ requires at least one 'b')
+    assert(Searcher.literalPrefixOfRegex("ab+c") == "ab")
+  }
+
+  test("fuzzyWalk == brute-force editWithin, with restricted DP row work") {
+    // synthetic dictionary: enough prefix diversity that dead-prefix
+    // skipping must engage (every 4-char combination over 6 letters)
+    val letters = "abcdef"
+    val dict = (for {
+      a <- letters; b <- letters; c <- letters; d <- letters
+    } yield s"$a$b$c$d").sorted.toArray.map(_.toString)
+    val fullRows = dict.map(_.length.toLong).sum // DP rows a full scan computes
+    for ((stem, bound) <- Seq(("abcd", 1), ("fade", 2), ("acebd", 2), ("xyz", 1))) {
+      val (got, rowsComputed) = Searcher.fuzzyWalk(dict, stem, bound)
+      val want = dict.filter(t => Searcher.editWithin(stem, t, bound))
+      assert(got.toSeq == want.toSeq, s"stem=$stem bound=$bound")
+      assert(rowsComputed < fullRows / 2,
+        s"stem=$stem bound=$bound computed $rowsComputed of $fullRows full-scan rows " +
+          "— the dead-prefix skip is not engaging")
+    }
+    // degenerate shapes
+    assert(Searcher.fuzzyWalk(Array.empty[String], "abc", 1)._1.isEmpty)
+    assert(Searcher.fuzzyWalk(dict, "abcd", 0)._1.toSeq == Seq("abcd"))
   }
 
   test("warm range tier and cold range scan agree with each other and the index") {
@@ -60,12 +95,32 @@ class DictRangeSpec extends AnyFunSuite {
     val coldHits = Map(
       "prefix" -> cold.search("sc* merge", 20).toSeq,
       "wild" -> cold.search("s*n", 20).toSeq,
-      "re" -> cold.search("/s(ort|can)/", 20).toSeq)
-    // warm expansions: sorted-array binary search
+      "re" -> cold.search("/s(ort|can)/", 20).toSeq,
+      "alt" -> cold.search("/split|stream/", 20).toSeq,
+      "opt" -> cold.search("/streamx?/", 20).toSeq,
+      "fz" -> cold.search("scorp~1 merge", 20).toSeq)
+    // warm expansions: sorted-array binary search / DP trie walk
     val warm = new Searcher(spark, s"$dir/index").warm()
     assert(warm.search("sc* merge", 20).toSeq == coldHits("prefix"))
     assert(warm.search("s*n", 20).toSeq == coldHits("wild"))
     assert(warm.search("/s(ort|can)/", 20).toSeq == coldHits("re"))
+    assert(warm.search("/split|stream/", 20).toSeq == coldHits("alt"))
+    assert(warm.search("/streamx?/", 20).toSeq == coldHits("opt"))
+    assert(warm.search("scorp~1 merge", 20).toSeq == coldHits("fz"))
     assert(coldHits.values.exists(_.nonEmpty), "degenerate: no pattern matched")
+
+    // the top-level-alternation expansion must carry BOTH branches — the
+    // pre-fix-tier regression: a "split" mandatory prefix silently dropped
+    // every "stream" dictionary term from /split|stream/
+    val allTerms = spark.read.parquet(s"$dir/index/terms")
+      .filter(!col("term").contains(":")).select("term").as[String].collect()
+    val rx = java.util.regex.Pattern.compile("split|stream")
+    val wantAlt = allTerms.filter(t => rx.matcher(t).matches()).sorted.toSeq
+    assert(warm.expandRegexpMap(Seq("split|stream"))("split|stream").toSeq == wantAlt)
+    assert(cold.expandRegexpMap(Seq("split|stream"))("split|stream").toSeq == wantAlt)
+    assert(wantAlt.size >= 2, s"corpus should carry both 'split' and 'stream' (got $wantAlt)")
+    // quantifier regression: /streamx?/ must match "stream" (the last
+    // literal is optional — the old prefix "streamx" range-missed it)
+    assert(warm.expandRegexpMap(Seq("streamx?"))("streamx?").toSeq.contains("stream"))
   }
 }

@@ -254,6 +254,57 @@ class KnnSpec extends AnyFunSuite {
           .map(h => (h.repo, h.path, h.commit, h.score)).toSeq)
   }
 
+  test("HNSW filtered traversal + warm driver tier: filtered == exact-among-accepted, warm == cold") {
+    val cfgH = cfg.copy(hnswM = 8, hnswEfConstruction = 60)
+    val c = corpus(200, 131)
+    val dir = Files.createTempDirectory("graft-hnsw-warm").toString
+    new IndexBuilder(spark, cfgH).build(c, s"$dir/index", resume = false)
+    val cold = new Searcher(spark, s"$dir/index")
+    val q = qvec(2)
+
+    // a selective pre-filter (|accepted| ≤ 2·ef) must return exactly
+    // min(k, |accepted|) hits equal to exact knn among the accepted docs
+    // (the auto-fallback — the round-4 post-beam filter could underfill)
+    val matched = cold.knn("emb", q, 1000, filter = "lang:go").length
+    assert(matched > 0 && matched <= 2 * 100,
+      s"want a filter selective under the ef=100 fallback threshold (matched $matched)")
+    val exactF = cold.knn("emb", q, 10, filter = "lang:go").toSeq
+    val got = cold.knnHnsw("emb", q, 10, ef = 100, filter = "lang:go").toSeq
+    assert(got == exactF)
+    assert(got.length == math.min(10, matched))
+
+    // a BROADER accept set than 2·ef engages the filter-aware traversal:
+    // exactly k hits, every hit accepted, every score the exact cosine
+    val allMatched = cold.knn("emb", q, 1000).map(h => h.docId -> h.score).toMap
+    val broad = cold.knn("emb", q, 1000, filter = "lang:scala")
+    assert(broad.length > 2 * 3,
+      s"broad filter must exceed the 2·ef=6 fallback threshold (matched ${broad.length})")
+    val acceptIds = broad.map(_.docId).toSet
+    val trav = cold.knnHnsw("emb", q, 3, ef = 3, filter = "lang:scala")
+    assert(trav.length == 3)
+    trav.foreach { h =>
+      assert(acceptIds.contains(h.docId), "hit outside the accept set")
+      assert(h.score == allMatched(h.docId), "score must be the exact cosine")
+    }
+
+    // warm driver tier: identical results to the cold cogroup path on the
+    // same queries (same graphs, same searchFiltered policy, same merge) —
+    // and the graphs are cached (second warm call is a no-op returning true)
+    val coldNoF = cold.knnHnsw("emb", q, 10, ef = 50).toSeq
+    val coldSel = cold.knnHnsw("emb", q, 10, ef = 100, filter = "lang:go").toSeq
+    val coldBroad = cold.knnHnsw("emb", q, 3, ef = 3, filter = "lang:scala").toSeq
+    val warm = new Searcher(spark, s"$dir/index")
+    assert(warm.warmKnn("emb"))
+    assert(warm.warmKnn("emb"), "idempotent re-warm")
+    assert(warm.knnHnsw("emb", q, 10, ef = 50).toSeq == coldNoF)
+    assert(warm.knnHnsw("emb", q, 10, ef = 100, filter = "lang:go").toSeq == coldSel)
+    assert(warm.knnHnsw("emb", q, 3, ef = 3, filter = "lang:scala").toSeq == coldBroad)
+    // over the bound → tier declines, cold path still serves
+    val tiny = new Searcher(spark, s"$dir/index")
+    assert(!tiny.warmKnn("emb", maxDriverVectors = 10))
+    assert(tiny.knnHnsw("emb", q, 10, ef = 50).toSeq == coldNoF)
+  }
+
   test("HNSW recall@10 >= 0.95 vs exact on a 100k-vector corpus (per-shard graphs)") {
     // clustered embedding geometry (200 centers + noise), 2 shards of 50k —
     // the engine's shape: one graph per shard, candidates unioned, exact
