@@ -23,6 +23,8 @@ import graft.streaming.StreamingIndexer
   *   alias  <baseDir> set <name> <indexDir> | get <name> | rm <name> | ls
   *          (atomically-swappable serving pointer — build a fresh index,
   *          then `alias set` flips readers to it; ES alias publish flow)
+  *   gen    <outPath> <files> [--seed N] [--partitions N]
+  *          (deterministic synthetic corpus — bench/demo input)
   *
   * The reference's CLI analogue is the Luigi task surface
   * (`luigi_pipeline/seqr_loading.py:318-321`).
@@ -66,6 +68,16 @@ object Main {
     }.toMap).getOrElse(Map.empty))
 
   private def run(spark: SparkSession, args: Seq[String]): Unit = args(0) match {
+    case "gen" =>
+      val Seq(outPath, nS) = args.slice(1, 3)
+      val rest = args.drop(3)
+      graft.corpus.CorpusGen.generate(spark, nS.toLong,
+        seed = opt(rest, "--seed").map(_.toLong).getOrElse(42L),
+        partitions = opt(rest, "--partitions").map(_.toInt).getOrElse(32),
+        tokensScale = 2)
+        .toDF().write.mode("overwrite").parquet(outPath)
+      println(s"generated $nS files at $outPath")
+
     case "build" =>
       val Seq(corpusPath, indexDir) = args.slice(1, 3)
       val rest = args.drop(3)

@@ -2521,6 +2521,41 @@ object SparkEntry {
         .select(col("docId"), col("path").cast("bigint").as("doc_id"))
         .join(broadcast(hits), Seq("docId"))
         .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+    }),
+
+    // fts77: index-time MULTI-TOKEN synonym (the ES `synonym_graph` shape:
+    // "query" → "zzqa zzqb" injected at consecutive positions from the
+    // trigger's) + a match_phrase on the injected target over the analyzed
+    // extra field — the phrase matches exactly the docs whose title carries
+    // the trigger, scored by Lucene phrase-frequency BM25 over the field's
+    // own statistics. Mirrors ES index-time synonym_graph + match_phrase
+    // (reference mapping knob: `elasticsearch_utils.py:53-121`).
+    "fts77_syn_graph_phrase" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        lit("docs").as("repo"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+        md5(col("text")).as("commit"),
+        col("lang"), col("text").as("content"),
+        array_join(slice(toks(col("text")), 1, 6), " ").as("title"))
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-fts77-${math.abs(d.hashCode)}"
+      val cfg = IndexConfig(buildPartitions = 8, docsPerShard = 1L << 12, buildBuckets = 2,
+        storePositions = true,
+        fields = graft.index.FieldConfig(keyword = Seq("lang", "repo"),
+          analyzed = Seq("title"),
+          analyzers = Map("title" -> graft.analysis.AnalyzerSpec(
+            kind = "lowercase",
+            synonyms = Map("query" -> Seq("zzqa zzqb"))))))
+      cachedIndex(corpus, idxDir, cfg) {
+        new IndexBuilder(s, cfg).build(corpus, idxDir, resume = false)
+      }
+      val hits = new Searcher(s, idxDir)
+        .matchPhraseField("title", "zzqa zzqb", 20)
+        .toSeq.toDF("docId", "score_raw")
+      s.read.parquet(s"$idxDir/docs")
+        .select(col("docId"), col("path").cast("bigint").as("doc_id"))
+        .join(broadcast(hits), Seq("docId"))
+        .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
     })
   )
 
@@ -3670,6 +3705,24 @@ object SparkEntry {
            |  FROM csc FULL OUTER JOIN tsc ON csc.doc_id = tsc.doc_id)
            |SELECT doc_id, round(r, 4) AS score
            |FROM allsc
+           |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin,
+      // multi-token synonym: docs whose title (first 6 text tokens) carry
+      // the trigger 'query' match the injected phrase "zzqa zzqb"; phrase
+      // frequency = trigger occurrences; both phrase terms share df = the
+      // trigger's doc count, scored idfSum × tfNorm over the FIELD's stats
+      "fts77_syn_graph_phrase" ->
+        s"""WITH doc AS (SELECT doc_id, $tokExpr AS ck FROM documents),
+           |ft AS (SELECT doc_id, list_slice(ck, 1, 6) AS st FROM doc),
+           |fd AS (SELECT doc_id, cast(len(st) AS bigint) AS fdl,
+           |         cast(len(list_filter(st, t -> t = 'query')) AS bigint) AS pf
+           |       FROM ft WHERE len(st) > 0),
+           |fs AS (SELECT count(*) AS n, sum(fdl) * 1.0 / count(*) AS avgdl FROM fd),
+           |df AS (SELECT count(*) AS d FROM fd WHERE pf > 0),
+           |sc AS (SELECT doc_id,
+           |         2.0 * ln(1.0 + (fs.n - df.d + 0.5)/(df.d + 0.5)) *
+           |         (pf/(pf + 1.2*(0.25 + 0.75*fdl/fs.avgdl))) AS r
+           |       FROM fd CROSS JOIN fs CROSS JOIN df WHERE pf > 0)
+           |SELECT doc_id, round(r, 4) AS score FROM sc
            |ORDER BY r DESC, doc_id ASC LIMIT 20""".stripMargin,
       // parallel unnest zips the token list with its 0-based positions —
       // the independent formulation of the analyzer's (position, token)

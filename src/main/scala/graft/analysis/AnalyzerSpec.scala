@@ -16,7 +16,11 @@ package graft.analysis
   *  - `lowercase` — alphanumeric runs, lowercased, NO subtoken splitting
   *    (the ES `standard`-ish analyzer for prose fields);
   *  - `whitespace` — whitespace-delimited tokens, case preserved (the ES
-  *    `whitespace` analyzer).
+  *    `whitespace` analyzer);
+  *  - `porter` — alphanumeric runs, lowercased, then Porter-stemmed
+  *    ([[Porter]] — the ES `stemmer(english)`/`porter_stem` token filter
+  *    over the `standard`-ish tokenizer). Query-side analysis applies the
+  *    same stemming, so `running` matches a document's `run`.
   *
   * Index-time filters, applied in ES order (tokenize → stop → synonym):
   *  - `stopwords` — matching tokens are REMOVED; remaining tokens keep
@@ -24,10 +28,14 @@ package graft.analysis
   *    field length (dl) counts survivors only;
   *  - `synonyms` — for each surviving token with a rule, the synonym
   *    tokens are INJECTED at the same position (ES `synonym` filter,
-  *    index-time). Injected tokens do not count toward dl (Lucene
-  *    discountOverlaps). Query-side analysis applies kind + stopwords but
-  *    NOT injection — the classic index-time-synonym setup where the query
-  *    token matches because the index already carries the synonym.
+  *    index-time). A MULTI-TOKEN target ("ml" → "machine learning" — the
+  *    ES `synonym_graph` shape) injects its tokens at consecutive
+  *    positions starting at the trigger's, so a phrase query for the
+  *    target matches documents containing the trigger. Injected tokens do
+  *    not count toward dl (Lucene discountOverlaps). Query-side analysis
+  *    applies kind + stopwords but NOT injection — the classic
+  *    index-time-synonym setup where the query token matches because the
+  *    index already carries the synonym.
   */
 final case class AnalyzerSpec(
     kind: String = "code",
@@ -68,7 +76,7 @@ final case class AnalyzerSpec(
 }
 
 object AnalyzerSpec {
-  val Kinds: Set[String] = Set("code", "lowercase", "whitespace")
+  val Kinds: Set[String] = Set("code", "lowercase", "whitespace", "porter")
   val ReservedDelims: Set[Char] = Set('|', ',', ';', '=')
   val Code: AnalyzerSpec = AnalyzerSpec()
 
@@ -105,6 +113,8 @@ object AnalyzerSpec {
       out.result()
     case "whitespace" =>
       content.split("\\s+").filter(_.nonEmpty)
+    case "porter" =>
+      baseTokens("lowercase", content).map(Porter.stem)
     case other => throw new IllegalArgumentException(s"unknown analyzer kind '$other'")
   }
 
@@ -128,8 +138,17 @@ object AnalyzerSpec {
         terms += t
         poss += i.toLong
         spec.synonyms.get(t).foreach(_.foreach { s =>
-          terms += s
-          poss += i.toLong
+          if (s.indexOf(' ') < 0) {
+            terms += s
+            poss += i.toLong
+          } else {
+            // multi-token target: consecutive positions from the trigger's
+            // (synonym_graph flattening — the target phrase matches here)
+            var k = 0
+            s.split(' ').foreach { st =>
+              if (st.nonEmpty) { terms += st; poss += i.toLong + k; k += 1 }
+            }
+          }
         })
       }
       i += 1

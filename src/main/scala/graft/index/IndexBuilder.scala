@@ -61,6 +61,27 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
   private val p = Bm25Params(cfg.k1, cfg.b)
 
   private def manifestPath(dir: String) = s"$dir/_manifest.json"
+  private def schemaPath(dir: String) = s"$dir/_schema.json"
+
+  /** Stage write + schema sidecar: the read-back side then passes the
+    * KNOWN schema to the reader instead of inferring it (a driver-serial
+    * parquet-footer job per read-back — at 6+ intra-build read-backs the
+    * inference jobs and their planning gaps are a fixed serial cost the
+    * scaling pair's 4× core budget cannot amortize). Written BEFORE the
+    * stage manifest, so a resumable stage always has its sidecar. */
+  private def writeStage(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    cfg.io.write(df, dir)
+    Json.writeString(schemaPath(dir), df.schema.json)
+  }
+
+  /** Stage read-back: schema from the sidecar when present (fresh build or
+    * same-version resume), inference otherwise (older staging trees). */
+  private def readStage(dir: String): org.apache.spark.sql.DataFrame =
+    if (Json.exists(schemaPath(dir)))
+      cfg.io.read(spark, dir,
+        org.apache.spark.sql.types.DataType.fromJson(Json.readString(schemaPath(dir)))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else cfg.io.read(spark, dir)
 
   /** opt-in stage timing (GRAFT_BUILD_TIMING=1) → stderr */
   private val timing = sys.env.contains("GRAFT_BUILD_TIMING")
@@ -186,9 +207,9 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
           s"field '$c' cannot be both analyzed and keyword/storedOnly")
       }
       for (f <- cfg.fields.analyzers.keys)
-        require(cfg.fields.analyzed.contains(f),
+        require(f == "content" || cfg.fields.analyzed.contains(f),
           s"analyzer override for '$f' but it is not an analyzed extra field " +
-            s"('content' always uses the code analyzer)")
+            "(or 'content' — the primary field's analyzer is overridable too)")
       // ---- IVF coarse quantizer (ES 8 dense_vector + index-time ANN
       // structure; Lucene builds its vector structures per segment the same
       // way): deterministic seeded k-means per field over the column-pruned
@@ -242,6 +263,14 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       val storedExtra: Array[(String, Int)] =
         extraCols.map(c => c -> inSchema.fieldIndex(c)).toArray
       val contentIdx = inSchema.fieldIndex("content")
+      // content analyzer (overridable like any analyzed field — default:
+      // the code analyzer, on whose exact stream the frozen oracles
+      // depend). Fast path for the default avoids the per-doc positions
+      // array allocation; a non-default spec routes through tokenizeIndexed
+      // (kind + index-time stopword gaps + synonym injections), its
+      // positions and survivor dl replacing the stream index and length.
+      val contentSpecV = cfg.fields.analyzerOf("content")
+      val contentIsCode = contentSpecV.isCode
       // quarantine plan: dense_vector column ordinals for the finite-value
       // check (independent of the IVF quantizer), plus the size bound
       val dvIdxQ: Array[(String, Int)] =
@@ -342,10 +371,16 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
           val qReason = if (quarantineOn) reasonOf(r) else null
           if (qReason != null) rejectRow(r, qReason) else {
           val content = r.getString(contentIdx)
-          val toks = Analyzer.tokenize(content)
+          val (toks, tposs, contentDl): (Array[String], Array[Long], Long) =
+            if (contentIsCode) {
+              val t = Analyzer.tokenize(content)
+              (t, null, t.length.toLong)
+            } else graft.analysis.AnalyzerSpec.tokenizeIndexed(contentSpecV, content)
           // per-term tf and (when configured) ascending token-stream
-          // positions — position i is the index in the analyzer's emitted
-          // stream, the same stream dl counts
+          // positions — for the code default, position i is the index in
+          // the analyzer's emitted stream (the same stream dl counts); a
+          // configured analyzer supplies its own positions (stopword gaps,
+          // synonym-injection sharing) and survivor dl
           val tfMap = new java.util.HashMap[String, Long]()
           val posMap: java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]] =
             if (withPositions) new java.util.HashMap() else null
@@ -355,13 +390,12 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
             if (withPositions) {
               var buf = posMap.get(toks(i))
               if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Long](4); posMap.put(toks(i), buf) }
-              buf += i.toLong
+              buf += (if (tposs == null) i.toLong else tposs(i))
             }
             i += 1
           }
           val termsBuf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](
             tfMap.size + 8)
-          val contentDl = toks.length.toLong
           val eit = tfMap.entrySet().iterator()
           while (eit.hasNext) {
             val e = eit.next()
@@ -548,7 +582,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
             expr("coalesce(bit_xor(CASE WHEN _reason IS NULL THEN xxhash64(sha256) END)," +
               " CAST(0 AS BIGINT))")
           else expr("bit_xor(xxhash64(sha256))")).as("lineage"))
-        .pipe(df => cfg.io.write(df, doctfDir))
+        .pipe(df => writeStage(df, doctfDir))
       // the plan's offsets are exact only if the content pass saw the same
       // row multiset the planning pass did (deterministic source — file
       // listing changes are already caught by inputFp); verify before any
@@ -578,7 +612,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       // second read-back pass (sequential-job count is the build's main
       // fixed overhead at small corpora, and a barrier at any size)
       val obs = org.apache.spark.sql.Observation()
-      cfg.io.read(spark, doctfDir)
+      readStage(doctfDir)
         // quarantine: rejects never become docs rows (the rejected/
         // relation is their only downstream)
         .pipe(df => if (cfg.quarantine) df.filter(col("_reason").isNull) else df)
@@ -586,7 +620,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
           extraCols ++ ivfCols).map(col): _*)
         .observe(obs, count(lit(1)).as("n"), sum("dl").as("sumDl"),
           expr("bit_xor(xxhash64(sha256))").as("lineage"))
-        .pipe(df => cfg.io.write(df, docsDir))
+        .pipe(df => writeStage(df, docsDir))
       val row = obs.get
       val m = StageManifest("docs", row("n").asInstanceOf[Long], 0L,
         row("sumDl").asInstanceOf[Long], row("lineage").asInstanceOf[Long], cfg.configHash)
@@ -602,7 +636,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     if (cfg.quarantine && doctfManifest.rejected > 0 &&
       loadIfDone(rejectedDir, inputFp).isEmpty) stage("rejected") {
       cfg.io.write(
-        cfg.io.read(spark, doctfDir)
+        readStage(doctfDir)
           .filter(col("_reason").isNotNull)
           .select(col("repo"), col("path"), col("commit"), col("lang"),
             col("_reason").as("reason")),
@@ -642,12 +676,12 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       // the posting's dl is the term's OWNING FIELD's length (t.fdl):
       // content terms carry the doc dl, tagged `field:token` terms their
       // field's dl — per-field BM25 tf-normalization is exact by storage
-      cfg.io.read(spark, doctfDir)
+      readStage(doctfDir)
         .select(col("docId"), explode(col("terms")).as("t"))
         .select(col("t.term").as("term"), col("docId"), col("t.tf").as("tf"),
           col("t.fdl").as("dl"), col("t.pos").as("pos"))
         .observe(obs, count(lit(1)).as("n"))
-        .pipe(df => cfg.io.write(df, tfDir))
+        .pipe(df => writeStage(df, tfDir))
       val n = obs.get("n").asInstanceOf[Long]
       val m = StageManifest("tf", n, 0L, n, lineage, cfg.configHash)
       Json.write(manifestPath(tfDir), m)
@@ -666,7 +700,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     val termsManifest = loadIfDone(termsDir, lineage).getOrElse(stage("terms") {
       // persist the dictionary-scale stats so DenseIds' range-sampling pass
       // reads the cache instead of re-running the posting-scale groupBy
-      val stats = cfg.io.read(spark, tfDir)
+      val stats = readStage(tfDir)
         .groupBy("term")
         .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -674,7 +708,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       // cache and collects range bounds in one job; the write below is then
       // the only other pass (two jobs for the whole stage, one persist)
       val ided = DenseIds.assignPlanned(stats, Seq("term"), "termId", cfg.buildPartitions)
-      cfg.io.write(ided.df.select("termId", "term", "df", "cf"), termsDir)
+      writeStage(ided.df.select("termId", "term", "df", "cf"), termsDir)
       if (ided.total <= cfg.broadcastDictMaxTerms)
         freshDict = ided.df.select("term", "termId").collect()
       ided.release()
@@ -709,10 +743,10 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
     val fusedEncode = numTerms <= cfg.broadcastDictMaxTerms
     val tfencDir = s"$staging/_tfenc"
     if (!fusedEncode && loadIfDone(tfencDir, lineage, bucketWidth).isEmpty) stage("tfenc") {
-      val termDict = cfg.io.read(spark, termsDir).select("term", "termId")
+      val termDict = readStage(termsDir).select("term", "termId")
       // shuffle-hash, not sort-merge: the dictionary slice per partition is
       // small enough to hash, and neither side pays a sort
-      cfg.io.read(spark, tfDir)
+      readStage(tfDir)
         .join(termDict.hint("shuffle_hash"), Seq("term"))
         .select(col("termId"), col("docId"), col("tf"), col("dl"), col("pos"),
           expr(s"cast(termId div $bucketWidth as int)").as("bucket"))
@@ -739,7 +773,29 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       if (!fusedEncode) null
       else if (freshDict != null) freshDict // collected from the terms stage's cache
       else stage("dict") { // resume path: the terms stage was skipped
-        cfg.io.read(spark, termsDir).select("term", "termId").collect()
+        readStage(termsDir).select("term", "termId").collect()
+      }
+    // ONE broadcast shared by every bucket, as flat parallel arrays with
+    // an EXECUTOR-side lazily-built hash map ([[IndexBuilder.FusedDict]]):
+    // per-bucket slice maps re-scanned the whole dictionary and re-paid
+    // broadcast value serialization per bucket — driver-serial work that
+    // grows with dictionary size (measured: ~1.4 s of inter-job gap per
+    // build at a 72k-file corpus; a driver-built whole-dict HashMap
+    // broadcast still paid ~0.8 s serializing the map). Arrays serialize
+    // in bulk; the map is built once per executor JVM inside the first
+    // task that needs it — task-parallel work, off the driver-serial
+    // critical path. Each bucket's range test moves to the termId the
+    // lookup returns, which is the same filter the slice encoded.
+    val fusedDictBc: org.apache.spark.broadcast.Broadcast[IndexBuilder.FusedDict] =
+      if (!fusedEncode) null
+      else {
+        val ts = new Array[String](fusedDict.length)
+        val ids = new Array[Long](fusedDict.length)
+        var i = 0
+        while (i < fusedDict.length) {
+          ts(i) = fusedDict(i).getString(0); ids(i) = fusedDict(i).getLong(1); i += 1
+        }
+        spark.sparkContext.broadcast(new IndexBuilder.FusedDict(ts, ids))
       }
     def packBucket(b: Int): StageManifest = {
       val bDir = f"$blocksDir/bucket=$b%04d"
@@ -754,29 +810,25 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         val slice =
           if (b * bucketWidth >= numTerms) spark.emptyDataset[Posting].toDF()
           else if (fusedEncode) {
-            // fused termId-encode: broadcast THIS bucket's dictionary slice
-            // as a plain hash map and encode with a lookup that doubles as
-            // the bucket filter. A broadcast-JOIN here would be driver-serial
-            // three times over (Row→InternalRow LocalRelation conversion, a
-            // BroadcastExchange job, a driver-built HashedRelation — ~1.5 s
-            // of inter-job gap per build, measured); the map broadcast ships
-            // the same bytes with none of those, and the lookup is the same
-            // narrow map the join's probe side would be.
+            // fused termId-encode: the SHARED whole-dictionary broadcast
+            // (built once above) + a lookup udf whose returned termId is
+            // range-tested as the bucket filter. A broadcast-JOIN here
+            // would be driver-serial three times over (Row→InternalRow
+            // LocalRelation conversion, a BroadcastExchange job, a
+            // driver-built HashedRelation — ~1.5 s of inter-job gap per
+            // build, measured); the map broadcast ships the same bytes
+            // with none of those, and the lookup is the same narrow map
+            // the join's probe side would be.
             val lo = b * bucketWidth
             val hi = (b + 1) * bucketWidth
-            val sliceMap = new java.util.HashMap[String, java.lang.Long]()
-            fusedDict.foreach { r =>
-              val id = r.getLong(1)
-              if (id >= lo && id < hi) sliceMap.put(r.getString(0), id)
-            }
-            val bcSlice = spark.sparkContext.broadcast(sliceMap)
+            val bcDict = fusedDictBc
             val enc = udf { (t: String) =>
-              val v = bcSlice.value.get(t)
+              val v = bcDict.value.map.get(t)
               if (v eq null) -1L else v.longValue
             }
-            cfg.io.read(spark, tfDir)
+            readStage(tfDir)
               .withColumn("termId", enc(col("term")))
-              .filter(col("termId") >= 0L)
+              .filter(col("termId") >= lo && col("termId") < hi)
               .select("termId", "docId", "tf", "dl", "pos")
           } else cfg.io.readBucket(spark, tfencDir, b)
             .map(_.select("termId", "docId", "tf", "dl", "pos"))
@@ -846,7 +898,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       for (f <- cfg.fields.denseVector) {
         val hDir = s"$staging/hnsw_$f"
         if (loadIfDone(hDir, lineage).isEmpty) stage(s"hnsw_$f") {
-          val edges = cfg.io.read(spark, docsDir)
+          val edges = readStage(docsDir)
             .select(col("docId"), col(f).cast("array<float>").as("v"))
             .filter(col("v").isNotNull)
             .as[(Long, Array[Float])]
@@ -887,6 +939,20 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
 object IndexBuilder {
   /** Thrown by the test-only kill switch in [[IndexBuilder.build]]. */
   final class BuildKilled(stage: Int) extends RuntimeException(s"killed after stage $stage")
+
+  /** Broadcast form of the fused-encode dictionary: flat parallel arrays
+    * (bulk-serializable — a HashMap pays per-entry object serialization on
+    * the driver-serial broadcast path) with the lookup map built ONCE per
+    * executor JVM on first use (`lazy val` is synchronized; task-parallel
+    * work instead of driver-serial time). */
+  final class FusedDict(terms: Array[String], ids: Array[Long]) extends Serializable {
+    @transient lazy val map: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](terms.length * 2)
+      var i = 0
+      while (i < terms.length) { m.put(terms(i), ids(i)); i += 1 }
+      m
+    }
+  }
 
   /** Streaming block packer: consecutive rows that share (termId, shard) are
     * cut into blocks of ≤ blockSize; O(blockSize) memory regardless of how

@@ -26,6 +26,17 @@ object Json {
   def read[T](path: String, clazz: Class[T]): T =
     mapper.readValue(Files.readString(Paths.get(path)), clazz)
 
+  /** Raw string sidecar (e.g. a schema JSON), same write-then-rename. */
+  def writeString(path: String, s: String): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, s)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readString(path: String): String = Files.readString(Paths.get(path))
+
   def exists(path: String): Boolean = Files.exists(Paths.get(path))
 
   def deleteRecursively(path: String): Unit = {

@@ -45,6 +45,14 @@ trait TableIO extends Serializable {
   /** Read a relation (for a bucketed relation: all buckets). */
   def read(spark: SparkSession, addr: String): DataFrame
 
+  /** Read a relation whose schema the caller already KNOWS (the builder
+    * reading back its own stage outputs): implementations that must
+    * otherwise infer the schema (parquet footer read — a driver-serial job
+    * per read-back that Amdahl charges against the core budget) skip the
+    * inference. Default: ignore the hint. */
+  def read(spark: SparkSession, addr: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = read(spark, addr)
+
   /** Read one bucket slice of a relation written with [[writePartitioned]];
     * None when that bucket has no data. The returned frame excludes the
     * partition column. */
@@ -80,6 +88,10 @@ object ParquetDirIO extends TableIO {
 
   def read(spark: SparkSession, addr: String): DataFrame =
     spark.read.parquet(addr)
+
+  override def read(spark: SparkSession, addr: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(addr)
 
   def readBucket(spark: SparkSession, addr: String, bucket: Int): Option[DataFrame] =
     if (Json.exists(s"$addr/bucket=$bucket")) Some(spark.read.parquet(s"$addr/bucket=$bucket"))

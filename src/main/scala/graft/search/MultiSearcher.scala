@@ -55,6 +55,12 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
   }
   require(segs.nonEmpty, s"segmented index at $dir has no segments")
 
+  /** The content field's analyzer (identical across segments — it is part
+    * of the configHash every segment shares). */
+  private val contentSpec = segs.head._2.analyzerOf("content")
+  private def ctokens(text: String): Array[String] =
+    graft.analysis.AnalyzerSpec.queryTokens(contentSpec, text)
+
   val numDocs: Long = segs.map(_._2.numDocs).sum
   val sumDl: Long = segs.map(_._2.sumDl).sum
   def avgdl: Double = sumDl.toDouble / numDocs.toDouble
@@ -235,7 +241,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       queries: Seq[(String, Int)]): (Seq[MultiSearcher.SegPlan], Double) = {
     import MultiSearcher.SegPlan
     val kw = segs.head._2.keywords.toSet
-    val parsed = queries.map { case (q, _) => Searcher.parseFull(q, kw) }
+    val parsed = queries.map { case (q, _) => Searcher.parseFull(q, kw, contentSpec) }
     if (parsed.exists(_.phrases.nonEmpty) && !allPositions)
       throw new IllegalStateException(
         "phrase query but a segment was built without positions (storePositions=false)")
@@ -389,7 +395,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
         .as[(Int, Int, Long)]
 
     val kw = segs.head._2.keywords.toSet
-    val pq = Searcher.parseFull(query, kw)
+    val pq = Searcher.parseFull(query, kw, contentSpec)
     if (!pq.hasScoringClauses && pq.phrases.isEmpty) {
       // pure filter context (match_all / keyword filters / ranges only):
       // every verified match at constant score 0, identity order
@@ -434,7 +440,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       luceneScoring: Boolean = true): Array[ScoredHit] = {
     if (!allPositions) throw new IllegalStateException(
       "phrase query but a segment was built without positions (storePositions=false)")
-    val toks = graft.analysis.Analyzer.tokenize(phrase)
+    val toks = ctokens(phrase)
     require(toks.nonEmpty, "match_phrase analyzes to nothing")
     val dicts = lookup(toks.distinct)
     val globalDf: Map[String, Long] =
@@ -482,7 +488,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     require(terms.nonEmpty, "span query needs at least one term")
     if (!allPositions) throw new IllegalStateException(
       "span query but a segment was built without positions (storePositions=false)")
-    val toks = terms.flatMap(t => graft.analysis.Analyzer.tokenize(t))
+    val toks = terms.flatMap(t => ctokens(t))
     require(toks.nonEmpty, "span query terms analyze to nothing")
     val dicts = lookup(toks.distinct)
     // exact global df (disjoint segment identities); conjunctive globally
@@ -643,7 +649,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
           // a range filter inside the TEXT query must INTERSECT the accept
           // set (the channel is one set per query) — pre-intersect and strip,
           // as searchNested does
-          val pqT = Searcher.parseFull(query, segs.head._2.keywords.toSet)
+          val pqT = Searcher.parseFull(query, segs.head._2.keywords.toSet, contentSpec)
           val acc =
             if (pqT.ranges.isEmpty) acc0
             else {
@@ -871,7 +877,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
   private def scoredSegDoc(query: String, minShouldMatch: Int = 1): DataFrame = {
     import MultiSearcher.SegPlan
     val kw = segs.head._2.keywords.toSet
-    val pq = Searcher.parseFull(query, kw)
+    val pq = Searcher.parseFull(query, kw, contentSpec)
     require(pq.phrases.isEmpty, "top_hits does not support phrase queries")
     def emptyOut = spark.emptyDataset[(Int, Long, Double)].toDF("seg", "docId", "score")
 
@@ -986,7 +992,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       mode: String = "missing"): Seq[(String, String, Long, Int)] = {
     require(maxEdits >= 1 && maxEdits <= 2, s"maxEdits must be 1 or 2 (got $maxEdits)")
     require(mode == "missing" || mode == "always", s"unknown suggest_mode '$mode'")
-    val tokens = graft.analysis.Analyzer.tokenize(text).distinct.toSeq
+    val tokens = ctokens(text).distinct.toSeq
     if (tokens.isEmpty) return Seq.empty
     val presentDicts = lookup(tokens)
     val present: Set[String] =
@@ -1019,7 +1025,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
   private def matchedSegDoc(query: String, minShouldMatch: Int = 1): DataFrame = {
     import MultiSearcher.SegPlan
     val kw = segs.head._2.keywords.toSet
-    val pq = Searcher.parseFull(query, kw)
+    val pq = Searcher.parseFull(query, kw, contentSpec)
     def emptyOut = spark.emptyDataset[(Int, Long)].toDF("seg", "docId")
 
     if (pq.hasScoringClauses || pq.phrases.nonEmpty) {
@@ -1240,7 +1246,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     require(minShouldMatch >= 1, s"minShouldMatch must be >= 1 (got $minShouldMatch)")
     require(fields.nonEmpty, "multi_match needs at least one field")
     val kw = segs.head._2.keywords.toSet
-    val pq = Searcher.parseFull(query, kw)
+    val pq = Searcher.parseFull(query, kw, contentSpec)
     require(pq.phrases.isEmpty && pq.prefixes.isEmpty && pq.fuzzies.isEmpty &&
       pq.wildcards.isEmpty && pq.regexps.isEmpty,
       "multi_match supports plain terms, keyword/range filters and negations only")
@@ -1280,7 +1286,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     val contentTokens: Array[String] = pq.terms.distinct
     val fieldTokens: Map[String, Array[String]] = fieldSpecs.map { case (f, _) =>
       val spec =
-        if (f == "content") graft.analysis.AnalyzerSpec.Code
+        if (f == "content") contentSpec
         else segs.collectFirst {
           case (_, m) if m.analyzerSpecs.contains(f) =>
             graft.analysis.AnalyzerSpec.decode(m.analyzerSpecs(f))
@@ -1524,7 +1530,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
     require(f.dataType == org.apache.spark.sql.types.StringType,
       s"highlight field '$field' is not a string column (${f.dataType.simpleString})")
     val kw = segs.head._2.keywords.toSet
-    val pq = Searcher.parseFull(query, kw)
+    val pq = Searcher.parseFull(query, kw, contentSpec)
     val expanded = expandAllSeg(Seq(pq))(pq)
     val hlTerms = (pq.terms ++ expanded ++ pq.phrases.flatten).distinct
     require(hlTerms.nonEmpty, "highlight needs at least one scored term or phrase")
@@ -1550,7 +1556,7 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
       excludeIdents: Set[(String, String, String)] = Set.empty): Array[ScoredHit] = {
     require(maxQueryTerms > 0 && minTermFreq >= 1 && minDocFreq >= 1,
       "maxQueryTerms must be > 0; minTermFreq and minDocFreq must be >= 1")
-    val tf: Map[String, Int] = graft.analysis.Analyzer.tokenize(likeText)
+    val tf: Map[String, Int] = ctokens(likeText)
       .groupBy(identity).map { case (t, xs) => t -> xs.length }
     val cand = tf.collect { case (t, f) if f >= minTermFreq => t }.toSeq.sorted
     if (cand.isEmpty) return Array.empty

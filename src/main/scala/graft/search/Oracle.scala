@@ -25,6 +25,18 @@ import graft.analysis.Analyzer
   */
 object Oracle {
 
+  /** Analyzed content token stream under `cspec` — the code default keeps
+    * the original Column-level analyzer; other specs route through a udf
+    * over the engine's own tokenizeIndexed (index-time stream: stopword
+    * gaps + synonym injections). */
+  private def analyzedCol(cspec: graft.analysis.AnalyzerSpec): Column =
+    if (cspec.isCode) Analyzer.analyze(col("content"))
+    else {
+      val sp = cspec
+      udf((text: String) =>
+        graft.analysis.AnalyzerSpec.tokenizeIndexed(sp, text)._1.toSeq).apply(col("content"))
+    }
+
   /** Top-k over a corpus with columns (repo, path, commit, lang, content).
     * Returns (repo, path, commit, score) ordered (score desc, identity asc).
     * Understands the engine's keyword-filter syntax (`lang:x` / `repo:y`
@@ -45,7 +57,16 @@ object Oracle {
         * needs ≥ this many DISTINCT contributing terms — mirrors the
         * engine's per-cursor count exactly (each prefix/fuzzy expansion is
         * its own clause under the scoring_boolean rewrite). */
-      minShouldMatch: Int = 1): DataFrame = {
+      minShouldMatch: Int = 1,
+      /** content analyzer of the index under test (an
+        * `analyzers("content")` override) — the oracle re-derives its
+        * document token streams and query analysis under the same spec.
+        * Code-analyzer default keeps the original Column-level path.
+        * Note: dl derives from the stream length, so specs with index-time
+        * stopwords/synonyms (dl = survivors, injections excluded) need the
+        * per-field oracle shape instead (fts75/fts77); plain kinds (code,
+        * lowercase, whitespace, porter) are exact. */
+      cspec: graft.analysis.AnalyzerSpec = graft.analysis.AnalyzerSpec.Code): DataFrame = {
     // The full query grammar is parsed by the ENGINE's parser (shared on
     // purpose — the split rules cannot diverge): `"quoted spans"` are
     // exact-phrase requirements matched over the same analyzed token stream
@@ -60,7 +81,7 @@ object Oracle {
     // engine's maxExpansions).
     val kwFields: Set[String] = keywordFields.getOrElse(
       graft.index.FieldConfig.derive(corpus.schema).keyword.toSet)
-    val pq = Searcher.parseFull(query, kwFields)
+    val pq = Searcher.parseFull(query, kwFields, cspec)
     val phraseSeqs: Seq[Seq[String]] = pq.phrases.map(_.toSeq).toSeq
     val qTerms = (pq.terms ++ phraseSeqs.flatten).distinct.sorted.toSeq
     val prefixes = pq.prefixes.toSeq
@@ -72,7 +93,7 @@ object Oracle {
     // ES must_not gate: true iff the doc contains ANY excluded term
     val exHit: Column = excludedGate(excluded)
     val docTok = corpus
-      .select(metaCols.map(col) :+ Analyzer.analyze(col("content")).as("toks"): _*)
+      .select(metaCols.map(col) :+ analyzedCol(cspec).as("toks"): _*)
       .select(metaCols.map(col) :+ size(col("toks")).cast("long").as("dl") :+ col("toks"): _*)
       .withColumn("_pok", phraseOk && !exHit)
       .persist()
@@ -237,12 +258,17 @@ object Oracle {
       corpus: DataFrame,
       query: String,
       keywordFields: Option[Set[String]] = None,
-      minShouldMatch: Int = 1): DataFrame = {
+      minShouldMatch: Int = 1,
+      /** content analyzer of the index under test (an
+        * `analyzers("content")` override) — the oracle re-derives its
+        * document token streams and query analysis under the same spec.
+        * Code-analyzer default keeps the original Column-level path. */
+      cspec: graft.analysis.AnalyzerSpec = graft.analysis.AnalyzerSpec.Code): DataFrame = {
     val kwFields: Set[String] = keywordFields.getOrElse(
       graft.index.FieldConfig.derive(corpus.schema).keyword.toSet)
-    val pq = Searcher.parseFull(query, kwFields)
+    val pq = Searcher.parseFull(query, kwFields, cspec)
     corpus
-      .withColumn("toks", Analyzer.analyze(col("content")))
+      .withColumn("toks", analyzedCol(cspec))
       .filter(matchGate(pq, minShouldMatch))
       .drop("toks")
   }

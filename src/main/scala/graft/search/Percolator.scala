@@ -31,7 +31,11 @@ import graft.analysis.Analyzer
   * values; register them as a post-filter on the percolate output). */
 class Percolator(
     registered: Seq[(String, String)],
-    keywordFields: Set[String] = Set("lang", "repo")) extends Serializable {
+    keywordFields: Set[String] = Set("lang", "repo"),
+    /** content analyzer of the index the documents come from (ES
+      * percolate analyzes the candidate doc with the mapped analyzer) */
+    contentSpec: graft.analysis.AnalyzerSpec = graft.analysis.AnalyzerSpec.Code)
+    extends Serializable {
 
   require(registered.nonEmpty, "no registered queries")
   require(registered.map(_._1).distinct.length == registered.length,
@@ -39,7 +43,7 @@ class Percolator(
 
   private val parsed: Seq[(String, Searcher.ParsedQuery)] =
     registered.map { case (id, q) =>
-      val pq = Searcher.parseFull(q, keywordFields)
+      val pq = Searcher.parseFull(q, keywordFields, contentSpec)
       require(pq.ranges.isEmpty,
         s"percolator query '$id' uses a numeric range filter — not supported " +
           "(apply it as a post-filter on the percolate output)")
@@ -71,9 +75,10 @@ class Percolator(
     val msm = minShouldMatch
     val nKw = kwCols.length
     val kwNames = kwCols.toArray
+    val cspec0 = contentSpec
     sel.mapPartitions { it =>
       it.flatMap { r =>
-        val toks = Analyzer.tokenize(r.getString(3))
+        val toks = graft.analysis.AnalyzerSpec.queryTokens(cspec0, r.getString(3))
         val tokSet = new java.util.HashSet[String]()
         var i = 0
         while (i < toks.length) { tokSet.add(toks(i)); i += 1 }

@@ -43,6 +43,14 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
   val meta: IndexMeta = Json.read(s"$indexDir/meta.json", classOf[IndexMeta])
   private val p = Bm25Params(meta.k1, meta.b)
 
+  /** The content field's analyzer (ES search_analyzer = index analyzer):
+    * the code analyzer unless the index was built with an
+    * `analyzers("content")` override ([[graft.index.FieldConfig]]). */
+  private val contentSpec = meta.analyzerOf("content")
+  /** Content-field query analysis under [[contentSpec]]. */
+  private def ctokens(text: String): Array[String] =
+    graft.analysis.AnalyzerSpec.queryTokens(contentSpec, text)
+
   private val termsDf = io.read(spark, s"$indexDir/terms")
   private val blocksDf = io.read(spark, s"$indexDir/blocks")
     .select(PostingBlock.columns.map(col): _*)
@@ -349,7 +357,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
   /** Split a raw query into (content terms, keyword filter terms) using
     * this index's configured keyword fields — see [[Searcher.parseQuery]]. */
   def parseQuery(query: String): (Array[String], Array[String]) =
-    Searcher.parseQuery(query, meta.keywords.toSet)
+    Searcher.parseQuery(query, meta.keywords.toSet, contentSpec)
 
   /** Top-k BM25 search; returns at most k rows ordered (score desc, docId asc).
     * Keyword filters (see [[parseQuery]]) are conjunctive and non-scoring.
@@ -393,7 +401,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(from == 0 || after == null, "search_after cannot be combined with from (ES rule)")
     require(minShouldMatch >= 1, s"minShouldMatch must be >= 1 (got $minShouldMatch)")
     val kEff = from + k
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     val expanded = expandAll(pq)
     // ES must_not: excluded terms (and negated keyword filters — dictionary
     // terms like any other) reject candidates, never affect stats; a term
@@ -568,7 +576,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     val params = p
 
     import Searcher.Plan
-    val parsed = queries.map { case (q, _) => Searcher.parseFull(q, meta.keywords.toSet) }
+    val parsed = queries.map { case (q, _) => Searcher.parseFull(q, meta.keywords.toSet, contentSpec) }
     if (parsed.exists(_.phrases.nonEmpty) && !meta.hasPositions)
       throw new IllegalStateException(
         "phrase query on an index built without positions (IndexConfig.storePositions=false)")
@@ -700,7 +708,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * `hail_scripts/elasticsearch/hail_elasticsearch_client.py:197-199`. */
   def matchPhrase(phrase: String, k: Int,
       luceneScoring: Boolean = true): Array[ScoredDoc] = {
-    val toks = Analyzer.tokenize(phrase)
+    val toks = ctokens(phrase)
     require(toks.nonEmpty, "match_phrase analyzes to nothing")
     searchPhrases(Array(toks), Array(0), Array.empty[String], Array.empty[String], k,
       luceneFreq = luceneScoring)
@@ -717,7 +725,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       k: Int): Array[ScoredDoc] = {
     require(terms.nonEmpty, "span_near needs at least one term")
     require(slop >= 0, s"slop must be >= 0 (got $slop)")
-    val toks = terms.flatMap(t => Analyzer.tokenize(t)).toArray
+    val toks = terms.flatMap(t => ctokens(t)).toArray
     require(toks.nonEmpty, "span_near terms analyze to nothing")
     searchPhrases(Array(toks), Array(slop), Array.empty[String], Array.empty[String], k,
       phraseOrdered = Array(inOrder), phraseEnds = Array(-1))
@@ -731,7 +739,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       slop: Int = 0): Array[ScoredDoc] = {
     require(terms.nonEmpty, "span_first needs at least one term")
     require(end > 0, s"end must be > 0 (got $end)")
-    val toks = terms.flatMap(t => Analyzer.tokenize(t)).toArray
+    val toks = terms.flatMap(t => ctokens(t)).toArray
     require(toks.nonEmpty, "span_first terms analyze to nothing")
     searchPhrases(Array(toks), Array(slop), Array.empty[String], Array.empty[String], k,
       phraseOrdered = Array(true), phraseEnds = Array(end))
@@ -762,7 +770,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
         s"(have: ${meta.denseVectors.mkString(", ")})")
     var base = docsDf
     if (filter.nonEmpty) {
-      val pq = Searcher.parseFull(filter, meta.keywords.toSet)
+      val pq = Searcher.parseFull(filter, meta.keywords.toSet, contentSpec)
       base = base.join(matchIdsDs(pq).toDF("docId"), Seq("docId"), "left_semi")
     }
     if (nprobe > 0) {
@@ -821,7 +829,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       val accept: Array[Long] =
         if (filter.isEmpty) null
         else {
-          val a = matchIdsDs(Searcher.parseFull(filter, meta.keywords.toSet)).collect()
+          val a = matchIdsDs(Searcher.parseFull(filter, meta.keywords.toSet, contentSpec)).collect()
           java.util.Arrays.sort(a)
           a
         }
@@ -848,7 +856,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
 
     val acceptDs: Dataset[Long] =
       if (filter.isEmpty) null
-      else matchIdsDs(Searcher.parseFull(filter, meta.keywords.toSet))
+      else matchIdsDs(Searcher.parseFull(filter, meta.keywords.toSet, contentSpec))
     val hasFilter = acceptDs != null
     var vecs = docsDf
       .select(col("docId"), col(field).cast("array<float>").as("v"))
@@ -932,7 +940,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     val textRank: Array[ScoredDoc] =
       if (filter.isEmpty) search(query, windowSize)
       else searchImpl(query, windowSize, 0, 1, null,
-        matchIdsDs(Searcher.parseFull(filter, meta.keywords.toSet)))
+        matchIdsDs(Searcher.parseFull(filter, meta.keywords.toSet, contentSpec)))
     val knnRank: Array[ScoredDoc] =
       if (hnswEf > 0) knnHnsw(field, queryVec, windowSize, hnswEf, filter)
       else knn(field, queryVec, windowSize, filter)
@@ -1048,7 +1056,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
   def nestedFacets(query: String, path: String, subField: String, topN: Int)
       : Array[(String, Long)] = {
     validateNested(path, Seq(subField -> ""))
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     docsDf.join(matchIdsDs(pq).toDF("docId"), Seq("docId"))
       .filter(col(path).isNotNull)
       .select(explode(col(path)).as("e"))
@@ -1153,7 +1161,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     val f = docsDf.schema.fields.find(_.name == field).getOrElse(
       throw new IllegalArgumentException(
         s"facet field '$field' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})"))
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     val matched = docsDf.join(matchIdsDs(pq).toDF("docId"), Seq("docId"))
       .filter(col(field).isNotNull)
     // an array field buckets per DISTINCT element (the ES terms-agg rule
@@ -1176,7 +1184,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
   /** ES `_count`: how many documents match the query — full bool semantics
     * via [[matchIdsDs]]; an empty query counts every document (match_all). */
   def count(query: String, minShouldMatch: Int = 1): Long =
-    matchIdsDs(Searcher.parseFull(query, meta.keywords.toSet), minShouldMatch).count()
+    matchIdsDs(Searcher.parseFull(query, meta.keywords.toSet, contentSpec), minShouldMatch).count()
 
   /** ES `stats` aggregation in query context over a stored NUMERIC docs
     * column: ONE row (cnt, mn, mx, sm, av) over the matching documents that
@@ -1184,7 +1192,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * field-bearing matches, min/max/sum/avg over their values). */
   def statsAgg(query: String, field: String, minShouldMatch: Int = 1): DataFrame = {
     validateNumericField(field)
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     val v = col(field).cast("double")
     docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
       .filter(col(field).isNotNull)
@@ -1199,7 +1207,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * over the match set; null fields skipped. */
   def extendedStatsAgg(query: String, field: String, minShouldMatch: Int = 1): DataFrame = {
     validateNumericField(field)
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     val v = col(field).cast("double")
     docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
       .filter(col(field).isNotNull)
@@ -1218,7 +1226,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       query: String, field: String, interval: Double, minShouldMatch: Int = 1): DataFrame = {
     require(interval > 0, s"histogram interval must be > 0 (got $interval)")
     validateNumericField(field)
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
       .filter(col(field).isNotNull)
       .groupBy((floor(col(field).cast("double") / interval) * interval).as("bucket"))
@@ -1236,7 +1244,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       query: String, field: String, ascending: Boolean, k: Int,
       minShouldMatch: Int = 1): DataFrame = {
     validateNumericField(field)
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     val ord = if (ascending) col(field).asc_nulls_last else col(field).desc_nulls_last
     docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
       .select(col("docId"), col(field))
@@ -1259,7 +1267,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
           s"scan field '$f' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})"))
         ("docId" +: fields).distinct
       }
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     docsDf.select(cols.map(col): _*)
       .join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
   }
@@ -1275,7 +1283,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(docsDf.columns.contains(bucketField),
       s"bucket field '$bucketField' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})")
     validateNumericField(valueField)
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     val v = col(valueField).cast("double")
     docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
       .filter(col(bucketField).isNotNull)
@@ -1300,7 +1308,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(bounds == bounds.sorted && bounds.distinct == bounds,
       s"range bounds must be strictly increasing (got ${bounds.mkString(", ")})")
     validateNumericField(field)
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     val v = col(field).cast("double")
     // bucket index per doc = number of bounds <= value (from-inclusive)
     val bucketIdx = bounds.foldLeft(lit(0))((acc, b) => acc + when(v >= b, 1).otherwise(0))
@@ -1329,7 +1337,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       rsd: Double = 0.05, minShouldMatch: Int = 1): Long = {
     require(docsDf.columns.contains(field),
       s"cardinality field '$field' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})")
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     val matched = docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
       .filter(col(field).isNotNull)
     val aggCol = if (exact) countDistinct(col(field)) else approx_count_distinct(col(field), rsd)
@@ -1404,7 +1412,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(topNBuckets > 0 && hitsPerBucket > 0, "topNBuckets and hitsPerBucket must be > 0")
     require(docsDf.columns.contains(bucketField),
       s"bucket field '$bucketField' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})")
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     val scored = scoredMatchesDs(pq, minShouldMatch).toDF("docId", "score")
     val joined = docsDf.join(scored, Seq("docId"))
       .filter(col(bucketField).isNotNull)
@@ -1434,7 +1442,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     validateNumericField(field)
     require(ps.nonEmpty && ps.forall(x => x >= 0.0 && x <= 1.0),
       "percentiles must be fractions in [0, 1]")
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     val matched = docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
       .filter(col(field).isNotNull)
     val fn = if (exact) "percentile" else "approx_percentile"
@@ -1459,7 +1467,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(k > 0, "k must be > 0")
     require(docsDf.columns.contains(field),
       s"collapse field '$field' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})")
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     val scored = scoredMatchesDs(pq, minShouldMatch).toDF("docId", "score")
     val joined = docsDf.select(col("docId"), col(field).cast("string").as("value"))
       .join(scored, Seq("docId"))
@@ -1490,7 +1498,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(k > 0, "k must be > 0")
     require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
       s"tieBreaker must be in [0, 1] (got $tieBreaker)")
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     require(pq.phrases.isEmpty, "dis_max does not support phrase clauses")
     require(pq.hasScoringClauses, "dis_max needs at least one scoring clause")
     scoredMatchesDs(pq, minShouldMatch, disMaxTieBreaker = Some(tieBreaker))
@@ -1543,7 +1551,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       s"tieBreaker must be in [0, 1] (got $tieBreaker)")
     require(minShouldMatch >= 1, s"minShouldMatch must be >= 1 (got $minShouldMatch)")
     require(fields.nonEmpty, "multi_match needs at least one field")
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     require(pq.phrases.isEmpty && pq.prefixes.isEmpty && pq.fuzzies.isEmpty &&
       pq.wildcards.isEmpty && pq.regexps.isEmpty,
       "multi_match supports plain terms, keyword/range filters and negations only")
@@ -1575,7 +1583,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     // the query token already matches them in the postings)
     val contentTokens: Array[String] = pq.terms.distinct
     val fieldTokens: Map[String, Array[String]] = fieldSpecs.map { case (f, _) =>
-      val spec = if (f == "content") graft.analysis.AnalyzerSpec.Code else meta.analyzerOf(f)
+      val spec = meta.analyzerOf(f)
       f -> (if (spec.isCode) contentTokens
             else graft.analysis.AnalyzerSpec
               .queryTokens(spec, pq.rawPlain.mkString(" ")).distinct)
@@ -1678,7 +1686,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(k > 0, "k must be > 0")
     require(maxExpansions > 0, "maxExpansions must be > 0")
     require(slop >= 0, "slop must be >= 0")
-    val toks = Analyzer.tokenize(phrase)
+    val toks = ctokens(phrase)
     require(toks.nonEmpty, "match_phrase_prefix needs at least one token")
     val stem = toks.last
     val lead = toks.dropRight(1)
@@ -1719,10 +1727,10 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(k > 0, "k must be > 0")
     require(negativeBoost >= 0.0 && negativeBoost <= 1.0,
       s"negativeBoost must be in [0, 1] (got $negativeBoost)")
-    val ppq = Searcher.parseFull(positive, meta.keywords.toSet)
+    val ppq = Searcher.parseFull(positive, meta.keywords.toSet, contentSpec)
     require(ppq.phrases.isEmpty, "boosting's positive query must be a term query (no phrases)")
     require(ppq.hasScoringClauses, "boosting needs a scoring positive query")
-    val npq = Searcher.parseFull(negative, meta.keywords.toSet)
+    val npq = Searcher.parseFull(negative, meta.keywords.toSet, contentSpec)
     val neg = matchIdsDs(npq).toDF("docId").withColumn("demote", lit(true))
     scoredMatchesDs(ppq, minShouldMatch).toDF("docId", "score")
       .join(neg, Seq("docId"), "left")
@@ -1803,7 +1811,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       s"'$field' is not an analyzed field of this index " +
         s"(analyzed: ${("content" +: meta.analyzed).mkString(", ")})")
     val spec =
-      if (field == "content") graft.analysis.AnalyzerSpec.Code else meta.analyzerOf(field)
+      meta.analyzerOf(field)
     val (toks, poss, _) = graft.analysis.AnalyzerSpec.tokenizeIndexed(spec, text)
     poss.zip(toks)
   }
@@ -1880,7 +1888,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(mods.contains(modifier), s"modifier must be one of ${mods.mkString(", ")}")
     val modes = Set("multiply", "sum", "max", "min", "replace", "avg")
     require(modes.contains(boostMode), s"boostMode must be one of ${modes.mkString(", ")}")
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     val scored = scoredMatchesDs(pq, minShouldMatch).toDF("docId", "score_bm25")
     val raw = coalesce(col(field).cast("double"), lit(missing)) * factor
     val fvf = modifier match {
@@ -1925,7 +1933,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(modes.contains(scoreMode), s"scoreMode must be one of ${modes.mkString(", ")}")
     val base = search(query, window, minShouldMatch = minShouldMatch)
     if (base.isEmpty) return base
-    val rpq = Searcher.parseFull(rescoreQuery, meta.keywords.toSet)
+    val rpq = Searcher.parseFull(rescoreQuery, meta.keywords.toSet, contentSpec)
     require(rpq.phrases.isEmpty, "rescore query must be a term query (no phrases)")
     val acceptIds = base.map(_.docId).sorted
     val sec: Map[Long, Double] = {
@@ -1987,7 +1995,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(f.dataType == org.apache.spark.sql.types.DateType ||
       f.dataType == org.apache.spark.sql.types.TimestampType,
       s"field '$field' is not a date/timestamp column (${f.dataType.simpleString})")
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
       .filter(col(field).isNotNull)
       .groupBy(date_trunc(interval.toLowerCase, col(field)).cast("date").as("bucket"))
@@ -2010,7 +2018,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     * construction (asserted in tests, bit-exact). */
   def explainHits(query: String, k: Int, minShouldMatch: Int = 1): DataFrame = {
     import spark.implicits._
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     require(pq.phrases.isEmpty, "explainHits does not support phrase queries")
     val hits = search(query, k, minShouldMatch = minShouldMatch)
     def emptyOut = Seq.empty[(Long, String, Long, Long, Double, Double, Double)]
@@ -2059,7 +2067,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       mode: String = "missing"): Seq[(String, String, Long, Int)] = {
     require(maxEdits >= 1 && maxEdits <= 2, s"maxEdits must be 1 or 2 (got $maxEdits)")
     require(mode == "missing" || mode == "always", s"unknown suggest_mode '$mode'")
-    val tokens = graft.analysis.Analyzer.tokenize(text).distinct.toSeq
+    val tokens = ctokens(text).distinct.toSeq
     if (tokens.isEmpty) return Seq.empty
     val present: Set[String] = lookupTermStats(tokens).keySet
     val want = if (mode == "missing") tokens.filterNot(present) else tokens
@@ -2088,7 +2096,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
   def suggestCompletion(prefix: String, topN: Int = 5,
       maxExpansions: Int = 10000): Seq[(String, Long)] = {
     require(prefix.nonEmpty, "completion prefix must be non-empty")
-    val stem = graft.analysis.Analyzer.tokenize(prefix) match {
+    val stem = ctokens(prefix) match {
       case Array(one) => one
       case _ => throw new IllegalArgumentException(
         s"completion prefix must analyze to exactly one term (got '$prefix')")
@@ -2119,7 +2127,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       s"highlight field '$field' is not a source column (have: ${source.columns.mkString(", ")})"))
     require(f.dataType == org.apache.spark.sql.types.StringType,
       s"highlight field '$field' is not a string column (${f.dataType.simpleString})")
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     val expanded = expandAll(pq)
     val hlTerms = (pq.terms ++ expanded ++ pq.phrases.flatten).distinct
     require(hlTerms.nonEmpty, "highlight needs at least one scored term or phrase")
@@ -2152,7 +2160,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
       excludeDocIds: Set[Long] = Set.empty): Array[ScoredDoc] = {
     require(maxQueryTerms > 0 && minTermFreq >= 1 && minDocFreq >= 1,
       "maxQueryTerms must be > 0; minTermFreq and minDocFreq must be >= 1")
-    val tf: Map[String, Int] = Analyzer.tokenize(likeText)
+    val tf: Map[String, Int] = ctokens(likeText)
       .groupBy(identity).map { case (t, xs) => t -> xs.length }
     val cand = tf.collect { case (t, f) if f >= minTermFreq => t }.toSeq.sorted
     val stats = lookupTermStats(cand)
@@ -2188,7 +2196,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
   def significantTerms(query: String, topN: Int, minDocCount: Int = 3,
       minShouldMatch: Int = 1): DataFrame = {
     require(topN > 0 && minDocCount >= 1, "topN must be > 0 and minDocCount >= 1")
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     val matched = matchIdsDs(pq, minShouldMatch).toDF("docId")
     val fgTotal = matched.count().toDouble
     if (fgTotal == 0)
@@ -2235,7 +2243,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(filters.map(_._1).distinct.length == filters.length,
       "filters aggregation bucket names must be unique")
     val tagged = filters.map { case (name, q) =>
-      matchIdsDs(Searcher.parseFull(q, meta.keywords.toSet))
+      matchIdsDs(Searcher.parseFull(q, meta.keywords.toSet, contentSpec))
         .toDF("docId").select(lit(name).as("bucket"))
     }.reduce(_ unionByName _)
     val names = filters.map(_._1).toDF("bucket")
@@ -2257,7 +2265,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(size > 0, s"composite size must be > 0 (got $size)")
     require(docsDf.columns.contains(field),
       s"field '$field' is not a stored docs column (have: ${docsDf.columns.mkString(", ")})")
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     docsDf.join(matchIdsDs(pq, minShouldMatch).toDF("docId"), Seq("docId"))
       .filter(col(field).isNotNull)
       .groupBy(col(field).cast("string").as("key"))
@@ -2290,7 +2298,7 @@ class Searcher(spark: SparkSession, indexDir: String, io: TableIO = ParquetDirIO
     require(sorts.nonEmpty, "need at least one sort field")
     require(sorts.map(_._1).distinct.length == sorts.length, "duplicate sort field")
     sorts.foreach { case (f, _) => validateOrderableField(f) }
-    val pq = Searcher.parseFull(query, meta.keywords.toSet)
+    val pq = Searcher.parseFull(query, meta.keywords.toSet, contentSpec)
     val ord = sorts.map { case (f, up) =>
       if (up) col(f).asc_nulls_last else col(f).desc_nulls_last
     } :+ col("docId").asc
@@ -2435,13 +2443,16 @@ object Searcher {
     * build — [[graft.index.FieldConfig]]). */
   def parseQuery(
       query: String,
-      keywordFields: Set[String] = Set("lang", "repo")): (Array[String], Array[String]) = {
+      keywordFields: Set[String] = Set("lang", "repo"),
+      cspec: graft.analysis.AnalyzerSpec = graft.analysis.AnalyzerSpec.Code)
+      : (Array[String], Array[String]) = {
     val parts = query.trim.split("\\s+").filter(_.nonEmpty)
     val (filters, content) = parts.partition { t =>
       val i = t.indexOf(':')
       i > 0 && keywordFields.contains(t.substring(0, i))
     }
-    (Analyzer.queryTerms(content.mkString(" ")), filters.distinct.sorted)
+    (graft.analysis.AnalyzerSpec.queryTokens(cspec, content.mkString(" ")).distinct.sorted,
+      filters.distinct.sorted)
   }
 
   /** A query parsed into loose terms, keyword filters, exact phrases
@@ -2594,9 +2605,13 @@ object Searcher {
     * scored content whose analyzed terms each carry the boost. Phrase spans
     * are extracted first, so `-`, `*`, `~`, `^` inside quotes are never
     * operators. */
-  def parseFull(query: String, keywordFields: Set[String]): ParsedQuery = {
+  def parseFull(query: String, keywordFields: Set[String],
+      cspec: graft.analysis.AnalyzerSpec = graft.analysis.AnalyzerSpec.Code): ParsedQuery = {
+    // content-field analysis under the index's configured content analyzer
+    def ctok(text: String): Array[String] =
+      graft.analysis.AnalyzerSpec.queryTokens(cspec, text)
     val phrasePairs = PhrasePattern.findAllMatchIn(query)
-      .map(m => (Analyzer.tokenize(m.group(1)),
+      .map(m => (ctok(m.group(1)),
         Option(m.group(2)).map(_.toInt).getOrElse(0)))
       .filter(_._1.nonEmpty).toArray
     val phrases = phrasePairs.map(_._1)
@@ -2614,12 +2629,12 @@ object Searcher {
     val (regexpParts, rest2) = rest2a.partition(t =>
       t.length > 2 && t.startsWith("/") && t.endsWith("/"))
     val (fuzzyParts, rest3) = rest2.partition {
-      case FuzzyPattern(stem, _) => Analyzer.tokenize(stem).length == 1
+      case FuzzyPattern(stem, _) => ctok(stem).length == 1
       case _ => false
     }
     val (prefParts, rest4a) = rest3.partition { t =>
       t.length > 1 && t.endsWith("*") &&
-        Analyzer.tokenize(t.dropRight(1)).length == 1
+        ctok(t.dropRight(1)).length == 1
     }
     // wildcard tokens: `*`/`?` anywhere in a plain-char token (the pure
     // trailing-star shape was already taken by the cheaper prefix path)
@@ -2628,7 +2643,7 @@ object Searcher {
         t.exists(c => c == '*' || c == '?') && t.exists(c => c != '*' && c != '?')
     }
     val (boostParts, plain) = rest4.partition {
-      case BoostPattern(stem, _) => Analyzer.queryTerms(stem).nonEmpty
+      case BoostPattern(stem, _) => ctok(stem).nonEmpty
       case _ => false
     }
     // a negated token that is itself a keyword filter (`-lang:scala`) is a
@@ -2637,17 +2652,17 @@ object Searcher {
       val i = t.indexOf(':')
       i > 0 && keywordFields.contains(t.substring(0, i))
     }
-    val excluded = Analyzer.queryTerms(negContent.mkString(" "))
-    val prefixes = prefParts.map(t => Analyzer.tokenize(t.dropRight(1)).head).distinct
+    val excluded = ctok(negContent.mkString(" ")).distinct.sorted
+    val prefixes = prefParts.map(t => ctok(t.dropRight(1)).head).distinct
     val fuzzies = fuzzyParts.collect {
-      case FuzzyPattern(stem, nStr) => (Analyzer.tokenize(stem).head, nStr.toInt)
+      case FuzzyPattern(stem, nStr) => (ctok(stem).head, nStr.toInt)
     }.distinct
     // boosted tokens are scored content; each analyzed term carries the
     // boost (last occurrence wins on a repeated term)
     val boosts: Map[String, Double] = boostParts.collect {
-      case BoostPattern(stem, w) => Analyzer.queryTerms(stem).map(_ -> w.toDouble)
+      case BoostPattern(stem, w) => ctok(stem).distinct.sorted.map(_ -> w.toDouble)
     }.flatten.toMap
-    val (terms, filters) = parseQuery(plain.mkString(" "), keywordFields)
+    val (terms, filters) = parseQuery(plain.mkString(" "), keywordFields, cspec)
     val ranges = (rangeParts.flatMap(parseRange(_, negated = false)) ++
       negRangeParts.flatMap(t => parseRange(t.drop(1), negated = true))).distinct
     ParsedQuery((terms ++ boosts.keys).distinct, filters, phrases, excluded, prefixes,
