@@ -325,6 +325,13 @@ object Bench {
     // identity-planning pass is a column-pruned read, not a second run of
     // the generator's content synthesis. A second, small corpus feeds each
     // child JVM's untimed warm-up build.
+    // Release phase A's cached relations and heap before any scaling pair:
+    // the parent session idles through phase B but its resident set (131
+    // harness queries' pinned caches, ~tens of GB) competes with the
+    // children for DRAM — exactly the contention the jobstats show as c8
+    // task-time inflation. (Phases C/C2 re-warm their own searchers.)
+    spark.catalog.clearCache()
+    System.gc()
     val corpusPath = s"$benchDir/corpus"
     val warmPath = s"$benchDir/corpus-warm"
     CorpusGen.generate(spark, benchFiles, seed = 42L, partitions = 32, tokensScale = 2)
@@ -400,7 +407,11 @@ object Bench {
     val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2400").toDouble
     val gateTarget = sys.env.getOrElse("SPARK_GRAFT_SCALE_GATE", "0.8").toDouble
     val minPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MIN_PAIRS", "5").toInt
-    val phaseCReserveSec = 420.0
+    // reserve after phase B: C+C2 latency passes (~6 min) + C3 hnsw-warm
+    // (~2-3 min) + scale10x (~5 min at the default corpus) — phase B may
+    // not eat into these; extra rounds are worth less than a skipped
+    // scale10x/hnsw point in the artifact
+    val phaseCReserveSec = sys.env.getOrElse("SPARK_GRAFT_PHASE_C_RESERVE_SEC", "960").toDouble
     // Per round, each build sample is immediately preceded by a membw probe
     // at the same thread count, so the pair's membw efficiency is measured
     // in the same host windows as the pair's build efficiency.

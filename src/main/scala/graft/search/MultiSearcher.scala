@@ -102,6 +102,50 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
 
   def cool(): Unit = {
     blocksAll.unpersist(); docsAll.unpersist(); dictMaps = null; sortedTerms = null
+    hnswGraphs = Map.empty
+  }
+
+  /** One warm (segment, shard) HNSW graph. */
+  private final case class SegShardGraph(seg: Int, shard: Long, graph: Hnsw.Graph)
+
+  /** field → every segment's per-shard graphs — the segmented analogue of
+    * [[Searcher.warmKnn]]'s driver tier (Lucene keeps per-SEGMENT graphs
+    * resident the same way). */
+  @volatile private var hnswGraphs: Map[String, Array[SegShardGraph]] = Map.empty
+
+  /** Pin every segment's per-shard HNSW graphs in driver memory (bounded by
+    * the total vector count like the driver dictionary). Warm [[knnHnsw]]
+    * then walks the cached graphs driver-side — zero Spark jobs for
+    * unfiltered queries, one accept-set job for filtered ones — with
+    * results EXACTLY equal to the cold cogroup path (same graphs, same
+    * [[Hnsw.searchFiltered]] policy, same merge order). */
+  def warmKnn(field: String, maxDriverVectors: Long = 1_000_000L): Boolean = {
+    require(segs.forall(_._2.hnswM > 0),
+      "a segment was built without HNSW graphs (IndexConfig.hnswM = 0)")
+    require(segs.head._2.denseVectors.contains(field),
+      s"'$field' is not a dense_vector field of this index " +
+        s"(have: ${segs.head._2.denseVectors.mkString(", ")})")
+    if (hnswGraphs.contains(field)) return true
+    val vecDf = taggedUnion("docs", Seq("docId", field))
+      .select(col("seg"), col("docId"), col(field).cast("array<float>").as("v"))
+      .filter(col("v").isNotNull)
+    if (vecDf.count() > maxDriverVectors) return false
+    val bySeg = Array.fill(segs.length)(new java.util.HashMap[Long, Array[Float]]())
+    vecDf.as[(Int, Long, Array[Float])].collect()
+      .foreach(t => bySeg(t._1).put(t._2, t._3))
+    import scala.jdk.CollectionConverters._
+    val gs = segs.indices.flatMap { sIdx =>
+      val edges = io.read(spark, s"${segs(sIdx)._1}/hnsw_$field")
+        .select("shard", "level", "docId", "neighbors")
+        .as[Hnsw.Edge]
+        .collect()
+      val vm: collection.Map[Long, Array[Float]] = bySeg(sIdx).asScala
+      edges.groupBy(_.shard).toSeq.sortBy(_._1).map { case (sh, es) =>
+        SegShardGraph(sIdx, sh, Hnsw.fromEdges(es.toSeq, vm))
+      }
+    }.toArray
+    hnswGraphs = hnswGraphs + (field -> gs)
+    true
   }
 
   /** Per-segment term → (termId, df) for the given terms: zero jobs warm,
@@ -571,6 +615,50 @@ class MultiSearcher(spark: SparkSession, dir: String, io: TableIO = ParquetDirIO
         s"(have: ${segs.head._2.denseVectors.mkString(", ")})")
     val efEff = math.max(ef, k)
     val dpsBySeg: Array[Long] = segs.map(_._2.docsPerShard).toArray
+
+    // ---- warm driver tier (see [[warmKnn]]): per-(segment, shard) graphs
+    // resident driver-side; identical ranking to the cold cogroup below.
+    val warmGs = hnswGraphs.get(field)
+    if (warmGs.isDefined) {
+      val gs = warmGs.get
+      // accept sets per segment: sorted docId arrays from the filter's
+      // (seg, docId) match set — one Spark job, only when filtered
+      val acceptBySeg: Array[Array[Long]] =
+        if (filter.isEmpty) null
+        else {
+          val rows = matchedSegDoc(filter).select("seg", "docId")
+            .as[(Int, Long)].collect()
+          val arr = Array.fill(segs.length)(Array.newBuilder[Long])
+          rows.foreach(t => arr(t._1) += t._2)
+          arr.map { b => val a = b.result(); java.util.Arrays.sort(a); a }
+        }
+      def lowerBound(a: Array[Long], x: Long): Int = {
+        var lo = 0; var hi = a.length
+        while (lo < hi) { val mid = (lo + hi) >>> 1; if (a(mid) < x) lo = mid + 1 else hi = mid }
+        lo
+      }
+      val perShard = new Array[Array[(Int, Long, Double)]](gs.length)
+      java.util.stream.IntStream.range(0, gs.length).parallel().forEach { i =>
+        val g = gs(i)
+        val dps = dpsBySeg(g.seg)
+        val acc: Array[Long] =
+          if (acceptBySeg == null) null
+          else {
+            val segAcc = acceptBySeg(g.seg)
+            val lo = lowerBound(segAcc, g.shard * dps)
+            val hi = lowerBound(segAcc, (g.shard + 1) * dps)
+            java.util.Arrays.copyOfRange(segAcc, lo, hi)
+          }
+        perShard(i) =
+          if (acc != null && acc.isEmpty) Array.empty
+          else Hnsw.searchFiltered(g.graph, queryVec, k, efEff, acc)
+            .map(sd => (g.seg, sd.docId, sd.score))
+      }
+      val top = perShard.iterator.flatten.toArray
+        .sortBy(t => (-t._3, t._1, t._2)).take(k)
+      return resolveHits(top.map(t => (0, t._1, t._2, t._3)), 1, Map(0 -> k)).head
+    }
+
     val hasFilter = filter.nonEmpty
     var vecs = taggedUnion("docs", Seq("docId", field))
       .select(col("seg"), col("docId"), col(field).cast("array<float>").as("v"))

@@ -303,6 +303,24 @@ class KnnSpec extends AnyFunSuite {
     val tiny = new Searcher(spark, s"$dir/index")
     assert(!tiny.warmKnn("emb", maxDriverVectors = 10))
     assert(tiny.knnHnsw("emb", q, 10, ef = 50).toSeq == coldNoF)
+
+    // segmented warm tier: identical to the segmented cold path on the
+    // same queries (and over-bound decline)
+    val seg = new SegmentedIndex(spark, s"$dir/seg", cfgH, maxSegments = 4)
+    seg.ingest(c.filter(xxhash64(col("repo"), col("path")) % 2 === 0))
+    seg.ingest(c.filter(xxhash64(col("repo"), col("path")) % 2 =!= 0))
+    val msCold = new MultiSearcher(spark, s"$dir/seg")
+    val segNoF = msCold.knnHnsw("emb", q, 10, ef = 50)
+      .map(h => (h.repo, h.path, h.commit, h.score)).toSeq
+    val segSel = msCold.knnHnsw("emb", q, 10, ef = 100, filter = "lang:go")
+      .map(h => (h.repo, h.path, h.commit, h.score)).toSeq
+    val msWarm = new MultiSearcher(spark, s"$dir/seg")
+    assert(msWarm.warmKnn("emb"))
+    assert(msWarm.knnHnsw("emb", q, 10, ef = 50)
+      .map(h => (h.repo, h.path, h.commit, h.score)).toSeq == segNoF)
+    assert(msWarm.knnHnsw("emb", q, 10, ef = 100, filter = "lang:go")
+      .map(h => (h.repo, h.path, h.commit, h.score)).toSeq == segSel)
+    assert(!new MultiSearcher(spark, s"$dir/seg").warmKnn("emb", maxDriverVectors = 10))
   }
 
   test("HNSW recall@10 >= 0.95 vs exact on a 100k-vector corpus (per-shard graphs)") {
