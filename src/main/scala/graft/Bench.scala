@@ -211,6 +211,10 @@ object Bench {
       val gapsStr = gaps.map { case (g, at) =>
         f"${g / 1e3}%.2fs@${jobSites.getOrDefault(at, "?").replace(" at ", ":").replace(' ', '_')}"
       }.mkString(";")
+      if (sys.env.contains("GRAFT_BENCH_PERJOB"))
+        System.err.println("PERJOB " + iv.map { case (st, en) =>
+          f"${(en - st) / 1e3}%.2fs@${jobSites.getOrDefault(st, "?").replace(" at ", ":").replace(' ', '_')}"
+        }.mkString(" | "))
       val (tm, cm, gm, swm, sb) =
         (taskMs.getAndSet(0), cpuMs.getAndSet(0), gcMs.getAndSet(0),
           shufWriteMs.getAndSet(0), shufBytes.getAndSet(0))
