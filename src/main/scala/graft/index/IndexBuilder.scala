@@ -710,7 +710,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       val ided = DenseIds.assignPlanned(stats, Seq("term"), "termId", cfg.buildPartitions)
       writeStage(ided.df.select("termId", "term", "df", "cf"), termsDir)
       if (ided.total <= cfg.broadcastDictMaxTerms)
-        freshDict = ided.df.select("term", "termId").collect()
+        freshDict = ided.df.select("term", "termId", "df").collect()
       ided.release()
       stats.unpersist()
       // the term count is already on the driver from DenseIds' offsets pass —
@@ -773,7 +773,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
       if (!fusedEncode) null
       else if (freshDict != null) freshDict // collected from the terms stage's cache
       else stage("dict") { // resume path: the terms stage was skipped
-        readStage(termsDir).select("term", "termId").collect()
+        readStage(termsDir).select("term", "termId", "df").collect()
       }
     // ONE broadcast shared by every bucket, as flat parallel arrays with
     // an EXECUTOR-side lazily-built hash map ([[IndexBuilder.FusedDict]]):
@@ -797,9 +797,51 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         }
         spark.sparkContext.broadcast(new IndexBuilder.FusedDict(ts, ids))
       }
+    // Bucket CUT POINTS — contiguous termId ranges either way (disjoint
+    // ranges keep blocks termId-local, so query-time parquet row-group
+    // pruning is unaffected by which bucket owns a term):
+    //  - fused mode: df-BALANCED cuts (equal POSTING-ROW volume per
+    //    bucket — rows = Σ df, the unit the shuffle/sort/pack actually
+    //    moves). Equal-width term-count cuts can put most of the posting
+    //    volume in one bucket; a shared local pool absorbs that (idle
+    //    slots backfill across the concurrent jobs — measured: phase span
+    //    ≈ Σ task time / cores either way), but on a real cluster the
+    //    bucket jobs are independent resume/retry units whose cost should
+    //    be even. Deterministic from the terms stage's output, so a
+    //    resumed build recomputes identical cuts;
+    //  - materialized (non-fused) mode: equal-width cuts, matching tfenc's
+    //    `termId div width` partition directories exactly.
+    // The manifest token is a fingerprint of the cut vector (replacing the
+    // raw width): a manifest written under ANY other layout — different
+    // cuts, widths or bucket count — can never be resumed against this one.
+    val bucketCuts: Array[Long] = {
+      val cuts = new Array[Long](cfg.buildBuckets + 1)
+      cuts(cfg.buildBuckets) = numTerms
+      if (!fusedEncode) {
+        var b = 1
+        while (b < cfg.buildBuckets) { cuts(b) = math.min(b * bucketWidth, numTerms); b += 1 }
+      } else {
+        val byId = fusedDict.sortBy(_.getLong(1))
+        val totalDf = byId.iterator.map(_.getLong(2)).sum
+        var b = 1
+        var i = 0
+        var cum = 0L
+        while (b < cfg.buildBuckets) {
+          val target = math.round(totalDf.toDouble * b / cfg.buildBuckets)
+          while (i < byId.length && cum < target) { cum += byId(i).getLong(2); i += 1 }
+          cuts(b) = i.toLong // termIds are dense in sort order: index == termId
+          b += 1
+        }
+      }
+      cuts
+    }
+    val bucketToken: Long = {
+      val h = bucketCuts.foldLeft(1125899906842597L)((acc, c) => 31 * acc + c)
+      if (h == 0L) 1L else h // 0 means "unbucketed" to loadIfDone
+    }
     def packBucket(b: Int): StageManifest = {
       val bDir = f"$blocksDir/bucket=$b%04d"
-      loadIfDone(bDir, lineage, bucketWidth).getOrElse(stage(s"blocks/$b") {
+      loadIfDone(bDir, lineage, bucketToken).getOrElse(stage(s"blocks/$b") {
         // hash-partition on (termId, shard): no range-sampling pre-pass, and
         // skew is BOUNDED BY CONSTRUCTION — a stop term present in every doc
         // still contributes at most docsPerShard postings per group, spread
@@ -808,7 +850,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
         // a bucket past the term range (numTerms < buildBuckets) has no
         // dictionary slice / partition directory — pack an empty slice
         val slice =
-          if (b * bucketWidth >= numTerms) spark.emptyDataset[Posting].toDF()
+          if (bucketCuts(b) >= bucketCuts(b + 1)) spark.emptyDataset[Posting].toDF()
           else if (fusedEncode) {
             // fused termId-encode: the SHARED whole-dictionary broadcast
             // (built once above) + a lookup udf whose returned termId is
@@ -819,8 +861,8 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
             // build, measured); the map broadcast ships the same bytes
             // with none of those, and the lookup is the same narrow map
             // the join's probe side would be.
-            val lo = b * bucketWidth
-            val hi = (b + 1) * bucketWidth
+            val lo = bucketCuts(b)
+            val hi = bucketCuts(b + 1)
             val bcDict = fusedDictBc
             val enc = udf { (t: String) =>
               val v = bcDict.value.map.get(t)
@@ -851,7 +893,7 @@ class IndexBuilder(spark: SparkSession, cfg: IndexConfig = IndexConfig()) {
           .pipe(ds => cfg.io.writeBucket(ds.toDF(), blocksDir, b))
         val row = obs.get
         val mm = StageManifest(s"blocks/$b", row("blocks").asInstanceOf[Long],
-          0L, row("postings").asInstanceOf[Long], lineage, cfg.configHash, bucketWidth)
+          0L, row("postings").asInstanceOf[Long], lineage, cfg.configHash, bucketToken)
         Json.write(manifestPath(bDir), mm)
         mm
       })
